@@ -35,32 +35,37 @@ object Dedup {
   val exactSql: String =
     "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1"
 
-  /** MinHash signatures: for each of `numHashes` hash functions j, the
-    * signature element is min over shingles of md5(j || '|' || shingle).
-    * md5-as-string min is engine-portable; swap in xxhash64 for raw speed
-    * off the oracle path.
+  /** MinHash signatures, one wide aggregation: for each of `numHashes`
+    * hash functions j, the signature element is min over shingles of
+    * md5(j || '|' || shingle). All `numHashes` mins are computed as
+    * parallel aggregate expressions over a single pass of the shingle
+    * frame — no row multiplication, one shuffle keyed by doc. md5-as-string
+    * min is engine-portable; swap in xxhash64 for raw speed off the oracle
+    * path.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val js = sh.sparkSession.range(1, numHashes + 1).select(col("id").as("j"))
-    sh.crossJoin(broadcast(js))
-      .groupBy(col(idCol), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("sh")))).as("mv"))
+    val mins = (1 to numHashes).map { j =>
+      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh_$j")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding over minhash signatures: `numHashes` rows split into
+  /** LSH banding over minhash signatures: `numHashes` signature elements in
     * bands of `rowsPerBand`; docs sharing any full band signature become
-    * candidate pairs. Pure equi-join on (band, sig).
+    * candidate pairs. Pure equi-join on (band, sig) — candidate volume is
+    * sum of bucket², tunable via band shape, never n².
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sh = TextAnalysis.shingles(docs, idCol, textCol)
     val mh = minhashSignatures(sh, idCol, numHashes)
-    // band b holds j = b*r+1 .. b*r+r; with r=2 sig = mv(odd j) , mv(even j)
-    val bands = mh
-      .groupBy(col(idCol), floor((col("j") - 1) / rowsPerBand).cast("int").as("band"))
-      .agg(concat_ws(",",
-        max(when(pmod(col("j"), lit(2)) === 1, col("mv"))),
-        max(when(pmod(col("j"), lit(2)) === 0, col("mv")))).as("sig"))
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val sig = concat_ws(",", (1 to rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bands = mh.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
@@ -92,18 +97,20 @@ object Dedup {
     * per engine, so this qkey is rows-only checked).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-    val withBits = tokens.select(
-      col(idCol),
-      expr("transform(sequence(0, 63), b -> CASE WHEN (shiftright(xxhash64(tok), b) & 1) = 1 THEN 1 ELSE -1 END)").as("votes"))
-    withBits
-      .groupBy(col(idCol))
-      .agg(expr("aggregate(collect_list(votes), " +
-        "array_repeat(0, 64), (acc, v) -> zip_with(acc, v, (x, y) -> x + y))").as("sums"))
-      .select(
-        col(idCol),
-        expr("aggregate(zip_with(sums, sequence(0, 63), (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)")
-          .as("simhash"))
+    val tokens = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    // 64 parallel conditional sums (one per bit), all inside one codegen'd
+    // partial+final aggregate — no HOFs, no intermediate arrays.
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val fingerprint = (0 until 64)
+      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokens.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fingerprint.as("simhash"))
   }
 
   /** SimHash near-dup candidates via 4×16-bit band join. */
@@ -129,7 +136,11 @@ object Dedup {
     val sh = TextAnalysis.shingles(docs, idCol, textCol)
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("sh"))
-    val fsh = sh.join(keep, Seq("sh"))
+    // The filtered inverted index feeds four branches (both join sides +
+    // sizes); persisting it avoids re-running scan→explode→distinct→join
+    // per branch. At cluster scale the same role is played by
+    // checkpointing/bucketed staging of the index.
+    val fsh = sh.join(keep, Seq("sh")).persist()
     val sizes = fsh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = fsh.select(col(idCol).as("doc_a"), col("sh"))
     val b = fsh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))

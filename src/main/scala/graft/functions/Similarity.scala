@@ -29,23 +29,23 @@ import graft.engine.{QueryDef, Tables}
   */
 object Similarity {
 
-  /** Per-element double cast then fold-left dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Fold-left dot product in double over float vectors — the custom
+    * codegen [[VectorDotProduct]] expression (the HOF
+    * `aggregate(zip_with(...))` formulation computes the identical value
+    * but is interpreted per row; ~20× slower on all-pairs workloads).
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vectorDot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Attach the double-cast vector and its L2 norm (computed once). */
-  def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(
-      col(idCol),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+  /** Attach the vector and its L2 norm (computed once). */
+  def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    emb.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** Exact top-k cosine neighbors for each query vector (self excluded). */
   def knnBrute(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {

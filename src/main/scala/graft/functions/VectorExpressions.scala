@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for float-vector dot products.
+  *
+  * The composable alternative (`aggregate(zip_with(...))`) is a
+  * higher-order function: HOFs are interpreted per row (no codegen) and
+  * materialize an intermediate array per pair — profiled at ~20× slower on
+  * the all-pairs similarity workloads. This expression generates a tight
+  * primitive loop inside WholeStageCodegen: no boxing, no intermediate
+  * array, no virtual calls in the hot path.
+  *
+  * Determinism contract (oracle parity): accumulation is sequential
+  * left-to-right in double after an exact float→double widening per
+  * element — bit-identical to both the HOF formulation and DuckDB's
+  * `list_inner_product` on `DOUBLE[]`.
+  */
+case class VectorDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column-API handle for [[VectorDotProduct]]. Spark 4's Column no longer
+    * exposes the catalyst expression directly, so the handle goes through
+    * the function registry: call [[register]] on the session first (every
+    * engine entry point that scores vectors does).
+    */
+  def vectorDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("vector_dot", a, b)
+
+  /** Idempotent registration; also makes `vector_dot(a, b)` available in
+    * spark.sql text queries.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorDotProduct(exprs(0), exprs(1)), "built-in")
+}
