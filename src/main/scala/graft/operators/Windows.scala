@@ -64,6 +64,9 @@ object Windows {
 
   /** Count per session window, gap-based merge
     * (reference: sessionWindows, WindowFunctions.scala:169-177).
+    * Merge is INCLUSIVE at the boundary: an event at exactly last+gap joins
+    * the session (verified against Spark's SessionWindow semantics; the
+    * oracle's lag-idiom uses `<=` to match).
     * Global variant: fine at demo scale, single-key at heart — prefer
     * [[keyedSessionCount]] at scale (SURVEY.md §7.5 risk 2).
     */
@@ -172,7 +175,7 @@ object Windows {
       (s, dir) => sessionCount(evs(s, dir), "ts", "30 minutes"),
       Some(
         """WITH o AS (SELECT epoch_us(ts) AS e FROM events),
-          |b AS (SELECT e, CASE WHEN e - lag(e) OVER (ORDER BY e) < 1800000000 THEN 0 ELSE 1 END AS brk FROM o),
+          |b AS (SELECT e, CASE WHEN e - lag(e) OVER (ORDER BY e) <= 1800000000 THEN 0 ELSE 1 END AS brk FROM o),
           |s AS (SELECT e, sum(brk) OVER (ORDER BY e ROWS UNBOUNDED PRECEDING) AS sid FROM b)
           |SELECT min(e) AS ss, max(e) + 1800000000 AS se, count(*) AS cnt FROM s GROUP BY sid""".stripMargin)),
     QueryDef(
@@ -180,7 +183,7 @@ object Windows {
       (s, dir) => keyedSessionCount(evs(s, dir), "user_id", "ts", "2 hours"),
       Some(
         """WITH o AS (SELECT user_id, epoch_us(ts) AS e FROM events),
-          |b AS (SELECT user_id, e, CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY e) < 7200000000 THEN 0 ELSE 1 END AS brk FROM o),
+          |b AS (SELECT user_id, e, CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY e) <= 7200000000 THEN 0 ELSE 1 END AS brk FROM o),
           |s AS (SELECT user_id, e, sum(brk) OVER (PARTITION BY user_id ORDER BY e ROWS UNBOUNDED PRECEDING) AS sid FROM b)
           |SELECT user_id, min(e) AS ss, max(e) + 7200000000 AS se, count(*) AS cnt FROM s GROUP BY user_id, sid""".stripMargin)),
     QueryDef(

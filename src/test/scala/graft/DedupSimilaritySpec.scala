@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextAnalysis, VectorExpressions}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog again and again today",
+    2L -> "the quick brown fox jumps over the lazy dog again and again today", // exact dup of 1
+    3L -> "the quick brown fox jumps over the lazy cat again and again today", // near dup of 1
+    4L -> "completely different content about spark engines and distributed query processing",
+  )
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.length === 3)
+    assert(got.contains((1L, 2L))) // keep_id=1, dup_cnt=2
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, near dups score high") {
+    val byName = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", maxDf = 100, threshold = 0.5)
+      .select("doc_a", "doc_b", "jacc")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(byName((1L, 2L)) === 1.0)
+    assert(byName((1L, 3L)) > 0.5 && byName((1L, 3L)) < 1.0)
+    assert(!byName.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs hash identically; near dups closer than unrelated") {
+    val sh = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) === sh(2L))
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("simhash pairs surfaces the duplicate cluster") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("vector_dot matches a hand-computed dot product") {
+    VectorExpressions.register(spark)
+    val df = vecs(1L -> Seq(1f, 2f, 3f), 2L -> Seq(4f, 5f, 6f))
+    val a = df.filter(col("vec_id") === 1).select(col("embedding").as("va"))
+    val b = df.filter(col("vec_id") === 2).select(col("embedding").as("vb"))
+    val got = a.crossJoin(b)
+      .select(VectorExpressions.vectorDot(col("va"), col("vb")).as("d"))
+      .collect()(0).getDouble(0)
+    assert(got === 32.0)
+  }
+
+  test("knnBrute ranks by cosine with self excluded") {
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f), // closest to 0
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(-1f, 0f, 0f))    // farthest from 0
+    val got = Similarity.knnBrute(df, df.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("knnLsh finds an identical vector (same bucket by construction)") {
+    val df = vecs(
+      0L -> Seq(1f, 2f, 3f, 4f),
+      1L -> Seq(1f, 2f, 3f, 4f), // identical → identical bucket
+      2L -> Seq(-4f, 3f, -2f, 1f))
+    val got = Similarity.knnLsh(df, col("vec_id") === 0, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 1L && math.abs(p._2 - 1.0) < 1e-9))
+  }
+
+  test("embedding near-dup pairs at threshold") {
+    val df = vecs(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.99f, 0.14f),
+      2L -> Seq(0f, 1f))
+    val got = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.95)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 1L)))
+  }
+
+  test("language id and quality metrics are deterministic over the fixture") {
+    val d = docs(1L -> "the cat and the dog", 2L -> "der hund und die katze ist")
+    val langs = TextAnalysis.langId(d, "doc_id", "text")
+      .select("doc_id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) === "en")
+    assert(langs(2L) === "de")
+    val q = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .filter(col("doc_id") === 1).collect()(0)
+    assert(q.getLong(2) === 5L) // n_tokens
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("feature extraction is deterministic, distributed, and schema-stable") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media, partitions = 4)
+    assert(feats.schema.fieldNames.toSeq ===
+      Seq("media_id", "media_type", "n_bytes", "checksum", "feature"))
+    val rows = feats.collect()
+    assert(rows.length === 30)
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30), 2).collect()
+    assert(rows.map(r => r.media_id -> r.checksum).toMap ===
+      again.map(r => r.media_id -> r.checksum).toMap) // partitioning-invariant
+    assert(rows.forall(_.feature.length === Multimodal.FakeCodec.FeatureDim))
+  }
+
+  test("frame sampling expands only video rows") {
+    val media = Multimodal.syntheticMedia(spark, 9) // ids 2,5,8 are video
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16)
+    val byId = frames.collect().groupBy(_.getLong(0))
+    assert(byId.keySet === Set(2L, 5L, 8L))
+    // payload of id=2 is 64+2=66 bytes → ceil(66/16)=5 frames
+    assert(byId(2L).length === 5)
+  }
+}
+
+/** Plan-shape audit: the optimizations the 100 TB posture depends on must
+  * actually appear in the physical plan (SURVEY.md §4).
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.collect() // finalize AQE so the executed plan shows real stages
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_eq pushes the predicate into the parquet scan") {
+    val p = plan("filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("q1_pricing prunes columns at the scan") {
+    val p = plan("q1_pricing")
+    assert(!p.contains("l_orderkey"), "unused column not pruned from scan")
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("q3_top_orders broadcasts the dimension and takes ordered top-k") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"), s"dimension join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("window aggregations run as partial+final hash aggregate") {
+    val p = plan("tumbling_count")
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+    assert(p.contains("*(1)"), s"no whole-stage-codegen span markers:\n$p") // *(n) = codegen'd stage
+  }
+
+  test("window_join is an equi-join, not a nested loop") {
+    val p = plan("window_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"window join degraded to a non-equi join:\n$p")
+  }
+}

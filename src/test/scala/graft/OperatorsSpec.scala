@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KeyedAggs, MultiStream, Stateless}
+
+class StatelessSpec extends SparkSpec {
+
+  test("fizzbuzz keeps exactly the multiples of 15") {
+    // property per FIXTURES.md A.4: output == "fizzbuzz" ⟺ n % 15 == 0
+    val nums = spark.range(1, 101).select(col("id").as("n"))
+    val got = Stateless.fizzbuzz(nums, "n").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (1L to 100L).filter(_ % 15 == 0))
+  }
+
+  test("fizzbuzz tag classification") {
+    val nums = spark.range(1, 16).select(col("id").as("n"))
+    val tags = nums.select(col("n"), Stateless.fizzbuzzTag(col("n")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags(3L) === "fizz" && tags(5L) === "buzz" && tags(15L) === "fizzbuzz" && tags(7L) === "7")
+  }
+
+  test("mapDouble doubles") {
+    val got = Stateless.mapDouble(spark.range(1, 4).select(col("id").as("n")), "n")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(2L, 4L, 6L))
+  }
+
+  test("flatMapRange expands 1→n-1 and drops n<2") {
+    import spark.implicits._
+    val df = Seq((10L, 1), (11L, 3)).toDF("k", "n")
+    val got = Stateless.flatMapRange(df, "k", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(got.toSeq === Seq((11L, 1L), (11L, 2L))) // k=10 (n=1) vanishes
+  }
+}
+
+class KeyedAggSpec extends SparkSpec {
+
+  test("columnar keyed sum equals typed reduceGroups (keyBy+reduce parity)") {
+    import spark.implicits._
+    val data = Seq((1L, 1.5), (1L, 2.5), (2L, 3.0), (2L, -1.0), (3L, 0.0))
+    val columnar = KeyedAggs.keyedReduceSum(data.toDF("user_id", "value"), "user_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val typed = KeyedAggs.keyedReduceSumTyped(data.toDS()).collect().toMap
+    assert(columnar === Map(1L -> 4.0, 2L -> 2.0, 3L -> 0.0))
+    assert(typed === columnar)
+  }
+}
+
+class MultiStreamSpec extends SparkSpec {
+
+  private def evDf(rows: Seq[(Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "off")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_seconds(1704067200 + off)").as("ts"))
+  }
+
+  test("union preserves cardinality |A|+|B|") {
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(3, 4).toDF("x")
+    assert(MultiStream.unionStreams(a, b).count() === 5)
+  }
+
+  test("window join matches only same-bucket pairs") {
+    val clicks = evDf(Seq((1L, 7L, "click", 10.0), (2L, 7L, "click", 100.0)))
+    val buys = evDf(Seq((3L, 7L, "purchase", 50.0), (4L, 8L, "purchase", 20.0)))
+    val got = MultiStream.windowJoin(clicks, buys, "user_id", "ts", 60L, "event_id", "event_id")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // click@10s and purchase@50s share minute bucket; click@100s does not;
+    // user 8 never matches user 7
+    assert(got.toSeq === Seq((1L, 3L)))
+  }
+
+  test("interval join bounds are exclusive") {
+    val a = evDf(Seq((1L, 7L, "click", 100.0)))
+    val b = evDf(Seq(
+      (2L, 7L, "purchase", 102.0),   // +2s: excluded (exclusive upper)
+      (3L, 7L, "purchase", 101.9),   // +1.9s: included
+      (4L, 7L, "purchase", 98.0),    // -2s: excluded (exclusive lower)
+      (5L, 7L, "purchase", 98.1)))   // -1.9s: included
+    val got = MultiStream.intervalJoin(a, b, "user_id", "ts", "2 SECONDS", "event_id", "event_id")
+      .collect().map(_.getLong(2)).sorted
+    assert(got.toSeq === Seq(3L, 5L))
+  }
+
+  test("coprocess ratio computes a*100/(a+b)") {
+    val u = evDf(Seq((1L, 1L, "click", 0.0), (2L, 1L, "click", 1.0), (3L, 1L, "purchase", 2.0)))
+    val got = MultiStream.coProcessRatio(u, "event_type", "click", "purchase").collect()(0).getDouble(0)
+    assert(math.abs(got - 200.0 / 3.0) < 1e-12)
+  }
+}

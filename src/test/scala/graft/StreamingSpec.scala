@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{CatalogEvent, ShoppingCartEvent, SideEvent}
+
+class StreamingSpec extends SparkSpec {
+
+  private def cart(user: String, off: Double, sku: String = "s1"): ShoppingCartEvent =
+    ShoppingCartEvent(user, sku, 1, at(off), "add")
+
+  test("streaming tumbling counts equal the batch result (MemoryStream twin)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ShoppingCartEvent]
+    val q = StreamingOps.tumblingCounts(input.toDF(), "time", "500 milliseconds", "3 seconds")
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("append").start()
+    try {
+      // the reference fixture offsets: 2,3,4,4,6,8
+      input.addData(Seq(2, 3, 4, 4).map(o => cart("bob", o.toDouble)))
+      input.addData(Seq(6, 8).map(o => cart("sam", o.toDouble)))
+      // watermark-advancing flush event far in the future closes all windows
+      input.addData(Seq(cart("zed", 100.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tumbling_out")
+      .select(unix_timestamp(col("ws")).as("ws"), col("cnt"))
+      .collect().map(r => (r.getLong(0) - GamingFixture.base.getEpochSecond, r.getLong(1))).toMap
+    // append mode emits only closed windows: [0,3)→1, [3,6)→3, [6,9)→2
+    assert(got === Map(0L -> 1L, 3L -> 3L, 6L -> 2L))
+
+    // batch twin over the same nine events minus the flush sentinel
+    val batch = graft.operators.Windows.tumblingCount(
+      (Seq(2, 3, 4, 4).map(o => cart("bob", o.toDouble)) ++ Seq(6, 8).map(o => cart("sam", o.toDouble)))
+        .toDF(), "time", "3 seconds")
+      .collect().map(r => (r.getLong(0) - GamingFixture.base.getEpochSecond, r.getLong(1))).toMap
+    assert(batch === got)
+  }
+
+  test("late events beyond the watermark are dropped from closed windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ShoppingCartEvent]
+    val q = StreamingOps.tumblingCounts(input.toDF(), "time", "500 milliseconds", "3 seconds")
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      input.addData(cart("bob", 2.0))
+      q.processAllAvailable()
+      input.addData(cart("sam", 60.0)) // advances watermark to 59.5s, closes [0,3)
+      q.processAllAvailable()
+      input.addData(cart("late", 2.5)) // late: window [0,3) already finalized
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_out")
+      .select(unix_timestamp(col("ws")).as("ws"), col("cnt"))
+      .collect().map(r => (r.getLong(0) - GamingFixture.base.getEpochSecond, r.getLong(1))).toMap
+    assert(got.get(0L) === Some(1L)) // the late event did not re-emit or bump the count
+  }
+
+  test("count trigger: accumulating emits n,2n,...; purging emits n,n,...") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    def run(purging: Boolean, name: String): Seq[Long] = {
+      val input = MemoryStream[ShoppingCartEvent]
+      val q = StreamingOps.countTrigger(input.toDS(), 2, purging)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData((1 to 3).map(i => cart("bob", i.toDouble)))
+        q.processAllAvailable()
+        input.addData((4 to 6).map(i => cart("bob", i.toDouble)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).orderBy("fire_count").collect().map(_.getLong(1)).toSeq
+    }
+
+    assert(run(purging = false, "ct_acc") === Seq(2L, 4L, 6L)) // Triggers.scala:19-28 semantics
+    assert(run(purging = true, "ct_purge") === Seq(2L, 2L, 2L)) // Triggers.scala:31-40 semantics
+  }
+
+  test("coprocess running ratio emits after every element across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SideEvent]
+    val q = StreamingOps.coProcessRatio(input.toDS())
+      .writeStream.format("memory").queryName("ratio_out").outputMode("append").start()
+    try {
+      input.addData(SideEvent(1, 0, at(1.0)), SideEvent(1, 0, at(2.0)), SideEvent(1, 1, at(3.0)))
+      q.processAllAvailable()
+      input.addData(SideEvent(1, 1, at(4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ratio_out").collect().map(_.getDouble(0)).sorted
+    // running: [100, 100, 66.67] then state carries into batch 2: [50]
+    assert(got.length === 4)
+    assert(got.contains(50.0))
+    assert(math.abs(got.sorted.apply(1) - 200.0 / 3.0) < 1e-9)
+  }
+
+  test("stream-stream interval join pairs within the interval only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val carts = MemoryStream[ShoppingCartEvent]
+    val views = MemoryStream[CatalogEvent]
+    val joined = StreamingOps.intervalJoin(
+      carts.toDF(), views.toDF(), "user_id", "time", "time", "1 second", "2 SECONDS")
+    val q = joined.writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      carts.addData(cart("bob", 10.0))
+      views.addData(CatalogEvent("bob", at(11.0), "p1"))  // +1s: match
+      views.addData(CatalogEvent("bob", at(12.0), "p2"))  // +2s exactly: excluded
+      views.addData(CatalogEvent("alice", at(10.5), "p3")) // other key
+      carts.addData(cart("bob", 100.0)) // advance watermark
+      views.addData(CatalogEvent("zed", at(100.0), "px"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ij_out").select("product_id").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("p1"))
+  }
+
+  test("rate-source generators produce the reference event shapes") {
+    val carts = graft.streaming.Generators.shoppingCartEvents(spark, 10)
+    assert(carts.isStreaming)
+    assert(carts.schema.fieldNames.toSeq ===
+      Seq("user_id", "sku", "quantity", "time", "event_type"))
+  }
+}
