@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+import Parity._
+
+/** Extended relational surface beyond the reference (SURVEY.md §2.7 notes
+  * these are "free in Spark"): as-of join, grouped top-k, rollup, pivot,
+  * semi/anti joins, set ops, running analytic windows, approximate
+  * distinct. A user of a full analytics engine expects these; each is a
+  * one-shuffle plan at scale.
+  */
+object Extended {
+
+  /** As-of (point-in-time) join: for each left row, the single most recent
+    * right row with `rightTs <= leftTs`, per key — the time-series /
+    * feature-store join.
+    *
+    * Implementation is the union-scan idiom, NOT a join: tag both sides,
+    * union, and carry the latest right id forward with a `last(ignoreNulls)`
+    * running window per key. ONE hash shuffle on the key, zero join blowup,
+    * no per-left-row aggregation — at 100 TB this beats the
+    * equi-join+filter+argmax plan by the size of the intermediate pair set
+    * (which is |left|×|right| per key in the worst case).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(keyCol), col(tsCol).as("t"),
+      col(leftId).as("a_id"), lit(null).cast("long").as("b_id"), lit(1).as("side"))
+    val r = right.select(col(keyCol), col(tsCol).as("t"),
+      lit(null).cast("long").as("a_id"), col(rightId).as("b_id"), lit(0).as("side"))
+    // right rows sort before left rows at equal timestamps → "at or before"
+    // is inclusive; equal right timestamps tie-break on the larger id.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("t"), col("side"), col("b_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("matched", last(col("b_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("matched").isNotNull)
+      .select(col("a_id"), col("matched").as("b_id"), col(keyCol))
+  }
+
+  /** Grouped top-k: the k largest rows per key by `orderCol` (ties broken
+    * by `idCol`). Plans as a per-key window sort after one hash exchange;
+    * with AQE a skewed key splits into multiple sorted partitions.
+    */
+  def topKPerKey(df: DataFrame, keyCol: String, orderCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(keyCol), col(idCol), col(orderCol), col("rank"))
+  }
+
+  /** Hierarchical aggregation via ROLLUP (supersets: CUBE/GROUPING SETS use
+    * the same expand-based plan).
+    */
+  def rollupCounts(li: DataFrame): DataFrame =
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** Pivot: one column per event type, zero-filled. The value set is
+    * declared explicitly — at scale an undeclared pivot forces an extra
+    * distinct-collect pass on the driver.
+    */
+  def pivotCounts(events: DataFrame, types: Seq[String]): DataFrame = {
+    val pivoted = events.groupBy(col("user_id")).pivot("event_type", types).count()
+    pivoted.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Semi/anti joins: EXISTS / NOT EXISTS as real join operators (never a
+    * correlated per-row subquery). Catalyst broadcasts the small side.
+    */
+  def semiJoin(l: DataFrame, r: DataFrame, cond: Column): DataFrame = l.join(r, cond, "left_semi")
+  def antiJoin(l: DataFrame, r: DataFrame, cond: Column): DataFrame = l.join(r, cond, "left_anti")
+
+  /** Per-key running (prefix) sum in event order — the analytic-window
+    * counterpart of the keyed reduce. Decimal accumulation keeps the
+    * emitted doubles order-exact (Parity.decSum rationale).
+    */
+  def runningSum(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("event_id"),
+      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).over(w)
+        .cast("double").as("run_sum"))
+  }
+
+  /** HyperLogLog distinct estimate — sketch implementations differ across
+    * engines, so this qkey is rows-only checked; the exact twin
+    * (`distinct_users`) is oracle-checked.
+    */
+  def approxDistinct(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  // ---- qkey registry -----------------------------------------------------
+
+  private def slice(s: SparkSession, dir: String, t: String) =
+    Tables.events(s, dir).filter(col("event_type") === t)
+
+  val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "asof_join",
+      (s, dir) => asofJoin(slice(s, dir, "click"), slice(s, dir, "purchase"),
+        "user_id", "ts", "event_id", "event_id"),
+      Some(
+        """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+          |FROM (SELECT * FROM events WHERE event_type = 'click') a
+          |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin)),
+    QueryDef(
+      "topk_per_key",
+      (s, dir) => topKPerKey(Tables.events(s, dir), "user_id", "value", "event_id", 3),
+      Some(
+        """SELECT user_id, event_id, value, CAST(rn AS INT) AS rank
+          |FROM (SELECT user_id, event_id, value,
+          |        row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+          |      FROM events)
+          |WHERE rn <= 3""".stripMargin)),
+    QueryDef(
+      "rollup_counts",
+      (s, dir) => rollupCounts(Tables.lineitem(s, dir)),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")),
+    QueryDef(
+      "pivot_counts",
+      (s, dir) => pivotCounts(Tables.events(s, dir), eventTypes),
+      Some("SELECT user_id, " +
+        eventTypes.map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ") +
+        " FROM events GROUP BY 1")),
+    QueryDef(
+      "semi_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        semiJoin(c, o, c("c_custkey") === o("o_custkey")).select(col("c_custkey"), col("c_name"))
+      },
+      Some("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+    QueryDef(
+      "anti_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        antiJoin(c, o, c("c_custkey") === o("o_custkey")).select(col("c_custkey"), col("c_name"))
+      },
+      Some("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+    QueryDef(
+      "except_op",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.filter(col("value") > 100).select(col("event_id"))
+          .except(e.filter(col("event_type") === "error").select(col("event_id")))
+      },
+      Some("SELECT event_id FROM events WHERE value > 100 " +
+        "EXCEPT SELECT event_id FROM events WHERE event_type = 'error'")),
+    QueryDef(
+      "intersect_op",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.filter(col("event_type") === "signup").select(col("user_id"))
+          .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+      },
+      Some("SELECT user_id FROM events WHERE event_type = 'signup' " +
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'")),
+    QueryDef(
+      "running_sum",
+      (s, dir) => runningSum(Tables.events(s, dir)),
+      Some(
+        """SELECT event_id,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
+          |FROM events""".stripMargin)),
+    QueryDef(
+      "approx_distinct",
+      (s, dir) => approxDistinct(Tables.events(s, dir)),
+      None), // sketch values are engine-specific; exact twin: distinct_users
+  )
+}

@@ -86,6 +86,17 @@ class MultiStreamSpec extends SparkSpec {
     assert(got.toSeq === Seq(3L, 5L))
   }
 
+  test("asof join picks the latest right row at-or-before each left row") {
+    import graft.operators.Extended
+    val clicks = evDf(Seq((1L, 7L, "click", 3.0), (2L, 7L, "click", 7.0), (3L, 7L, "click", 10.0), (4L, 8L, "click", 7.0)))
+    val buys = evDf(Seq((10L, 7L, "purchase", 5.0), (11L, 7L, "purchase", 10.0)))
+    val got = Extended.asofJoin(clicks, buys, "user_id", "ts", "event_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // click@3 precedes every purchase → dropped; click@7 → purchase@5;
+    // click@10 → purchase@10 (inclusive at-or-before); user 8 never matches
+    assert(got === Map(2L -> 10L, 3L -> 11L))
+  }
+
   test("coprocess ratio computes a*100/(a+b)") {
     val u = evDf(Seq((1L, 1L, "click", 0.0), (2L, 1L, "click", 1.0), (3L, 1L, "purchase", 2.0)))
     val got = MultiStream.coProcessRatio(u, "event_type", "click", "purchase").collect()(0).getDouble(0)
