@@ -100,17 +100,13 @@ object Dedup {
     val tokens = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
-    // 64 parallel conditional sums (one per bit), all inside one codegen'd
-    // partial+final aggregate — no HOFs, no intermediate arrays.
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s_$b")
-    }
-    val fingerprint = (0 until 64)
-      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tokens.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), fingerprint.as("simhash"))
+    // Bit votes accumulate in a typed Aggregator with a primitive 65-slot
+    // buffer (64 bit-counters + token count). A 64-wide sum(when(...)) agg
+    // generates code past the JIT method limit and runs interpreted
+    // (profiled 25 s vs ~2 s at sf0.1); the imperative buffer is the fast
+    // partial+final-aggregatable shape.
+    val sim = udaf(new SimHashAggregator)
+    tokens.groupBy(col(idCol)).agg(sim(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup candidates via 4×16-bit band join. */
@@ -192,6 +188,37 @@ object Dedup {
       |       round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin
+
+  /** SimHash bit-vote accumulator: slot b counts set bits of position b,
+    * slot 64 counts tokens; a fingerprint bit is set when set-bits form the
+    * majority (2·c_b > n ⟺ the ±1 vote sum is positive). Same
+    * zero/reduce/merge/finish shape as the reference's AggregateFunction
+    * (reference: WindowFunctions.scala:87-97).
+    */
+  class SimHashAggregator extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Long] {
+    override def zero: Array[Long] = new Array[Long](65)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < 64) { b(i) += (h >>> i) & 1L; i += 1 }
+      b(64) += 1
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 65) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Long = {
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (2 * b(i) > b(64)) fp |= 1L << i; i += 1 }
+      fp
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", (s, dir) => exact(Tables.documents(s, dir), "doc_id", "text"), Some(exactSql)),
