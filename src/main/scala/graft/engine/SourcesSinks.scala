@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bounded-source surface (SURVEY.md §2.1).
+  *
+  * Reference mapping:
+  *  - `env.fromElements(1,2,3,4)` (DataStreams.scala:15) → [[fromElements]]
+  *  - `env.fromSequence(1, 100)` (DataStreams.scala:40) → [[fromSequence]]
+  *  - `env.fromCollection(events)` (WindowFunctions.scala:40-41) → [[fromCollection]]
+  *  - custom `SourceFunction` generators (Shopping.scala:32-146) →
+  *    [[graft.streaming.Generators]] (rate source) / MemoryStream in tests.
+  *
+  * `fromSequence` delegates to `spark.range`: a parallel, splittable range
+  * source (each executor generates its slice) — not a driver-side
+  * collection parallelize, so it scales to arbitrarily large sequences.
+  */
+object Sources {
+  def fromElements[T: Encoder](spark: SparkSession)(elems: T*): Dataset[T] =
+    spark.createDataset(elems)
+
+  /** Inclusive-start, inclusive-end like Flink's fromSequence. */
+  def fromSequence(spark: SparkSession, from: Long, to: Long): Dataset[java.lang.Long] =
+    spark.range(from, to + 1).toDF("value").as[java.lang.Long](
+      org.apache.spark.sql.Encoders.LONG)
+
+  def fromCollection[T: Encoder](spark: SparkSession, elems: Seq[T]): Dataset[T] =
+    spark.createDataset(elems)
+}
+
+/** Sink surface (SURVEY.md §2.2).
+  *
+  * Reference mapping:
+  *  - `.print` (DataStreams.scala:18 et al.) → [[Sinks.printSink]]
+  *    (batch `show`; streaming callers use `writeStream.format("console")`)
+  *  - `StreamingFileSink.forRowFormat` + parallelism 1
+  *    (DataStreams.scala:57-62) → [[Sinks.rowFileSink]] — row-format text,
+  *    `parallelism` controls output file count via coalesce
+  *  - `executeAndCollect` (WindowFunctions.scala:222) → [[Sinks.collectToDriver]]
+  *    (bounded results only — the engine never collects inside operators).
+  */
+object Sinks {
+  /** Row-format text sink; `parallelism` ≙ Flink's setParallelism on the
+    * sink (output file count). Column values are tab-joined.
+    */
+  def rowFileSink(df: DataFrame, path: String, parallelism: Int = 1): Unit =
+    df.select(concat_ws("\t", df.columns.map(c => col(c).cast("string")): _*).as("value"))
+      .coalesce(parallelism)
+      .write.mode("overwrite").text(path)
+
+  def parquetSink(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def printSink(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
+
+  def collectToDriver[T](ds: Dataset[T]): Seq[T] = ds.collect().toSeq
+}

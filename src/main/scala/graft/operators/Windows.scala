@@ -127,6 +127,18 @@ object Windows {
       .orderBy(col("cnt").desc, col("ws").asc)
       .limit(1)
 
+  /** Processing-time windows: stamp arrival time at ingest and window on
+    * it (reference: TumblingProcessingTimeWindows,
+    * TimeBasedTransformations.scala:36-47 — which itself documents that
+    * "multiple runs generate different results"; the nondeterminism is
+    * inherent, so these ops have tests but no oracle).
+    */
+  def stampProcessingTime(df: DataFrame, as: String = "proc_ts"): DataFrame =
+    df.withColumn(as, current_timestamp())
+
+  def processingTimeTumblingCount(df: DataFrame, size: String): DataFrame =
+    tumblingCount(stampProcessingTime(df), "proc_ts", size)
+
   // ---- qkey registry -----------------------------------------------------
   // Hour-scale durations fit the test data's event spacing (~26 s – 43 min
   // apart depending on sf); the reference's 3 s windows are exercised on its

@@ -1,0 +1,107 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Sinks, Sources}
+import graft.operators.{KeyedAggs, MultiStream, Stateless, Windows}
+
+/** Property-style invariants over seeded random inputs (SURVEY.md §5.4).
+  * Deterministic seeds keep runs reproducible while still sampling the
+  * space rather than hand-picking examples.
+  */
+class PropertySpec extends SparkSpec {
+  private val rnd = new Random(42)
+
+  private def randomEvents(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong, at(rnd.nextInt(3600) + rnd.nextDouble()))
+    }.toDF("event_id", "user_id", "ts")
+  }
+
+  test("tumbling windows partition the timeline: every event in exactly one window") {
+    for (_ <- 1 to 3) {
+      val df = randomEvents(200)
+      val total = Windows.tumblingCount(df, "ts", "7 seconds")
+        .agg(sum("cnt")).collect()(0).getLong(0)
+      assert(total === 200)
+    }
+  }
+
+  test("sliding windows assign every event to exactly size/slide windows") {
+    for (sizeMul <- Seq(2, 5)) {
+      val df = randomEvents(150)
+      val total = Windows.slidingCount(df, "ts", s"${3 * sizeMul} seconds", "3 seconds")
+        .agg(sum("cnt")).collect()(0).getLong(0)
+      assert(total === 150L * sizeMul)
+    }
+  }
+
+  test("interval join equals the theta join with the same strict predicate") {
+    val a = randomEvents(80)
+    val b = randomEvents(80)
+    val joined = MultiStream.intervalJoin(a, b, "user_id", "ts", "5 SECONDS", "event_id", "event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val theta = a.select(col("event_id").as("aid"), col("user_id"), col("ts").as("ats"))
+      .join(b.select(col("event_id").as("bid"), col("user_id"), col("ts").as("bts")), Seq("user_id"))
+      .filter(abs(col("bts").cast("double") - col("ats").cast("double")) < 5.0)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(joined === theta)
+    assert(joined.nonEmpty) // 80×80 over a shared hour with 5 keys: matches certain
+  }
+
+  test("keyed reduce equals groupBy sum on random values") {
+    import spark.implicits._
+    val data = (1 to 300).map(_ => (rnd.nextInt(7).toLong, rnd.nextDouble() * 100))
+    val df = data.toDF("user_id", "value")
+    val fromOp = KeyedAggs.keyedReduceSum(df, "user_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = data.groupBy(_._1).view.mapValues(vs =>
+      vs.map(v => BigDecimal(v._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble).toMap
+    for ((k, v) <- expected) assert(math.abs(fromOp(k) - v) < 1e-9, s"key $k")
+  }
+
+  test("union cardinality is |A| + |B| for any random split") {
+    val df = randomEvents(120)
+    val a = df.filter(col("user_id") < 2)
+    val b = df.filter(col("user_id") >= 2)
+    assert(MultiStream.unionStreams(a, b).count() === 120)
+  }
+
+  test("fizzbuzz law: kept n are exactly multiples of 15, over random ranges") {
+    for (_ <- 1 to 3) {
+      val lo = rnd.nextInt(1000) + 1
+      val hi = lo + rnd.nextInt(2000) + 10
+      val kept = Stateless.fizzbuzz(
+        spark.range(lo.toLong, hi.toLong).select(col("id").as("n")), "n")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === (lo.toLong until hi.toLong).filter(_ % 15 == 0).toSet)
+    }
+  }
+
+  test("sources round-trip through the row-format file sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ds = Sources.fromSequence(spark, 1, 100)
+    Sinks.rowFileSink(Stateless.fizzbuzz(ds.toDF(), "value"), tmp, parallelism = 1)
+    val back = spark.read.text(tmp).collect().map(_.getString(0).toLong).sorted
+    assert(back.toSeq === (15L to 100L by 15L))
+    val files = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length === 1) // parallelism 1 ≙ DataStreams.scala:62
+  }
+
+  test("fromElements/fromCollection mirror the reference bounded sources") {
+    import spark.implicits._
+    assert(Sources.fromElements(spark)(1, 2, 3, 4).collect().toSeq === Seq(1, 2, 3, 4))
+    assert(Sources.fromCollection(spark, Seq("a", "b")).count() === 2)
+    assert(Sinks.collectToDriver(Sources.fromSequence(spark, 1, 100)).size === 100)
+  }
+
+  test("processing-time windows count everything exactly once (nondeterministic buckets)") {
+    val df = randomEvents(50)
+    val total = Windows.processingTimeTumblingCount(df, "5 seconds")
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total === 50)
+  }
+}
