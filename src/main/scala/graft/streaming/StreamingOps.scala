@@ -103,6 +103,49 @@ object StreamingOps {
         })
   }
 
+  /** Spark 4-native twin of [[countTrigger]] on the `transformWithState`
+    * API (StatefulProcessor + typed ValueState, RocksDB-backed): the
+    * long-term home for custom stateful operators — explicit state
+    * variables, timers, TTL — replacing `flatMapGroupsWithState`'s single
+    * state blob. Both implementations are kept: flatMapGroupsWithState
+    * works on any state store; this one requires RocksDB
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  class CountTriggerProcessor(n: Int, purging: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, ShoppingCartEvent, CountFire] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var countState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long](
+        "count", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ShoppingCartEvent],
+                                 timerValues: TimerValues): Iterator[CountFire] = {
+      var cnt = if (countState.exists()) countState.get() else 0L
+      val fires = scala.collection.mutable.ArrayBuffer.empty[CountFire]
+      rows.toSeq.sortBy(_.time.getTime).foreach { _ =>
+        cnt += 1
+        if (cnt % n == 0) {
+          fires += CountFire(key, if (purging) n.toLong else cnt)
+          if (purging) cnt = 0
+        }
+      }
+      countState.update(cnt)
+      fires.iterator
+    }
+  }
+
+  def countTriggerTws(events: Dataset[ShoppingCartEvent], n: Int, purging: Boolean): Dataset[CountFire] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new CountTriggerProcessor(n, purging),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Envelope for connect-style co-processing of two differently-typed
     * streams (SURVEY.md §1.4: ConnectedStreams → union of an Either-style
     * envelope + keyed state).

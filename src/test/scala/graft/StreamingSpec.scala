@@ -80,6 +80,35 @@ class StreamingSpec extends SparkSpec {
     assert(run(purging = true, "ct_purge") === Seq(2L, 2L, 2L)) // Triggers.scala:31-40 semantics
   }
 
+  test("transformWithState count trigger matches the flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(purging: Boolean, name: String): Seq[Long] = {
+        val input = MemoryStream[ShoppingCartEvent]
+        val q = StreamingOps.countTriggerTws(input.toDS(), 2, purging)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          input.addData((1 to 3).map(i => cart("bob", i.toDouble)))
+          q.processAllAvailable()
+          input.addData((4 to 6).map(i => cart("bob", i.toDouble)))
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name).orderBy("fire_count").collect().map(_.getLong(1)).toSeq
+      }
+      assert(run(purging = false, "tws_acc") === Seq(2L, 4L, 6L))
+      assert(run(purging = true, "tws_purge") === Seq(2L, 2L, 2L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("coprocess running ratio emits after every element across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
