@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join result") {
+    import spark.implicits._
+    // heavily skewed big side: 90% of rows share one key
+    val big = spark.range(2000).select(
+      when(col("id") < 1800, 1L).otherwise(col("id") % 50).as("k"),
+      col("id").as("payload"))
+    val small = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Scale.saltedJoin(big, small, "k", buckets = 8)
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(plain.size === 2000)
+  }
+
+  test("bucketed tables join without an exchange") {
+    import spark.implicits._
+    for (t <- Seq("bucketed_a", "bucketed_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) { // stale location from an interrupted run blocks CREATE
+        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+        rm(loc)
+      }
+    }
+    val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    Scale.writeBucketed(a, "bucketed_a", "k", 4)
+    Scale.writeBucketed(b, "bucketed_b", "k", 4)
+    // disable broadcast so the sort-merge path shows the bucketed layout
+    // (at real scale both sides are too big to broadcast anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "bucketed_a", "bucketed_b", "k")
+      joined.collect() // finalize AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("shuffle partition sizing clamps and scales") {
+    assert(Scale.shufflePartitionsFor(1L << 20) === 32) // tiny input → floor
+    assert(Scale.shufflePartitionsFor(100L * (128L << 20)) === 100)
+    assert(Scale.shufflePartitionsFor(Long.MaxValue) === 20000) // ceiling
+  }
+}
