@@ -17,7 +17,8 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     Stateless.defs ++ KeyedAggs.defs ++ Windows.defs ++ MultiStream.defs ++
-      Relational.defs ++ Extended.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs
+      Relational.defs ++ Extended.defs ++ TextAnalysis.defs ++ Dedup.defs ++
+      Similarity.defs ++ graft.multimodal.Multimodal.defs
 
   require(allDefs.map(_.key).distinct.size == allDefs.size, "duplicate qkeys")
 

@@ -96,6 +96,23 @@ object Multimodal {
           .as("frame_idx"))
   }
 
+  /** Feature-extraction summary registered as a (rows-only) qkey: the
+    * pipeline is deterministic but its input is the synthetic media table,
+    * not a driver parquet table, so there is no SQL oracle.
+    */
+  val defs: Seq[graft.engine.QueryDef] = Seq(
+    graft.engine.QueryDef(
+      "multimodal_features",
+      (s, _) =>
+        extractFeatures(syntheticMedia(s, 300), partitions = 8)
+          .toDF()
+          .groupBy(org.apache.spark.sql.functions.col("media_type"))
+          .agg(
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+            org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n_bytes")).as("total_bytes")),
+      None),
+  )
+
   /** Deterministic synthetic media table (for tests and demos). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._

@@ -127,6 +127,18 @@ object Windows {
       .orderBy(col("cnt").desc, col("ws").asc)
       .limit(1)
 
+  /** Full-window buffer: the window's elements, ordered — the semantics of
+    * the reference's `(All)WindowFunction.apply(…, input: Iterable[T], …)`
+    * (reference: WindowFunctions.scala:58-63,114-121), which receives the
+    * whole window buffered. `collect_list` + `sort_array` keeps it an
+    * aggregation (partial lists merge map-side); memory is bounded by
+    * window × key cardinality — the same bound Flink's window state has.
+    */
+  def windowElements(df: DataFrame, tsCol: String, size: String, idCol: String): DataFrame =
+    df.groupBy(window(col(tsCol), size))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("ids"))
+
   /** Processing-time windows: stamp arrival time at ingest and window on
     * it (reference: TumblingProcessingTimeWindows,
     * TimeBasedTransformations.scala:36-47 — which itself documents that
@@ -213,6 +225,11 @@ object Windows {
         """WITH r AS (SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
           |SELECT user_id, CAST(floor((rn-1)/10) AS BIGINT) AS bucket, count(*) AS cnt
           |FROM r GROUP BY 1, 2""".stripMargin)),
+    QueryDef(
+      "window_elements",
+      (s, dir) => windowElements(evs(s, dir), "ts", "1 hour", "event_id"),
+      Some(s"SELECT ${tumbleSql(3600)} AS ws, list(event_id ORDER BY event_id) AS ids " +
+        "FROM events GROUP BY 1")),
     QueryDef(
       "topk_window",
       (s, dir) => topWindowByCount(evs(s, dir).filter(col("event_type") === "signup"), "ts", "1 hour", "15 minutes"),

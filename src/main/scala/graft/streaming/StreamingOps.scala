@@ -60,6 +60,33 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col(keyCol), col("window.start").as("ws"), col("cnt"))
 
+  /** Streaming sliding-window count (reference: slidingAllWindows,
+    * WindowFunctions.scala:147-158).
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, delay: String,
+                    size: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+
+  /** Streaming session-window count (reference: sessionWindows,
+    * WindowFunctions.scala:169-177): sessions finalize when the watermark
+    * passes their (gap-extended) end. Streaming session aggregation MUST
+    * be keyed (Spark rejects global session aggs — state has to hash-
+    * partition); the reference's non-keyed variant exists in batch only
+    * ([[graft.operators.Windows.sessionCount]]).
+    */
+  def sessionCounts(events: DataFrame, keyCol: String, tsCol: String,
+                    delay: String, gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("cnt"))
+
   /** Stream-stream interval join with exclusive bounds (reference:
     * MultipleStreams.scala:61-103): equi-key + time-range condition plans a
     * StreamingSymmetricHashJoin; watermarks bound each side's state

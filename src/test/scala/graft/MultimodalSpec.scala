@@ -68,4 +68,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"window join degraded to a non-equi join:\n$p")
   }
+
+  test("interval_join plans as an equi-join with a range filter, not cartesian") {
+    val p = plan("interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded:\n$p")
+  }
+
+  test("asof_join is a single-shuffle window scan, no join operator at all") {
+    val p = plan("asof_join")
+    assert(!p.contains("Join"), s"as-of join should be the union-scan idiom:\n$p")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction"),
+      s"expected a window operator:\n$p")
+  }
 }

@@ -149,6 +149,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq("p1"))
   }
 
+  test("streaming session windows finalize when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ShoppingCartEvent]
+    val q = StreamingOps.sessionCounts(input.toDF(), "user_id", "time", "500 milliseconds", "1 second")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      input.addData(cart("bob", 2.0), cart("bob", 2.5), cart("bob", 3.4), cart("bob", 10.0))
+      input.addData(cart("zed", 60.0)) // advance watermark past everything
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_out")
+      .select(unix_timestamp(col("ss")).as("ss"), col("cnt"))
+      .collect().map(r => (r.getLong(0) - GamingFixture.base.getEpochSecond, r.getLong(1))).toMap
+    // {2, 2.5, 3.4} chain within 1s gaps; 10.0 alone; the 60.0 flush
+    // event's own session stays OPEN (watermark 59.5 < its end 61)
+    assert(got === Map(2L -> 3L, 10L -> 1L))
+  }
+
+  test("streaming sliding windows emit size/slide windows per event") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ShoppingCartEvent]
+    val q = StreamingOps.slidingCounts(input.toDF(), "time", "500 milliseconds", "2 seconds", "1 second")
+      .writeStream.format("memory").queryName("slide_out").outputMode("append").start()
+    try {
+      input.addData(cart("bob", 5.0))
+      input.addData(cart("zed", 60.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("slide_out")
+      .select(unix_timestamp(col("ws")).as("ws"), col("cnt"))
+      .collect().map(r => (r.getLong(0) - GamingFixture.base.getEpochSecond, r.getLong(1))).toMap
+    assert(got.view.filterKeys(_ < 10).toMap === Map(4L -> 1L, 5L -> 1L)) // event@5 ∈ [4,6) and [5,7)
+  }
+
   test("rate-source generators produce the reference event shapes") {
     val carts = graft.streaming.Generators.shoppingCartEvents(spark, 10)
     assert(carts.isStreaming)
