@@ -129,7 +129,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Int = 100, threshold: Double = 0.8): DataFrame = {
-    val sh = TextAnalysis.shingles(docs, idCol, textCol)
+    // sh feeds the df-filter AND the index join → persist to stop the
+    // scan→explode→distinct lineage running twice.
+    val sh = TextAnalysis.shingles(docs, idCol, textCol).persist()
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("sh"))
     // The filtered inverted index feeds four branches (both join sides +

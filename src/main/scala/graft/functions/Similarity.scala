@@ -96,20 +96,28 @@ object Similarity {
     emb.withColumn("bucket", planeExprs.reduce(_ + _))
   }
 
-  /** ANN top-k via LSH bucket candidates: queries only score against
-    * corpus vectors in their own bucket.
+  /** ANN top-k via LSH bucket candidates. Multi-probe (default) also
+    * scores the `numPlanes` buckets at Hamming distance 1 from the query's
+    * bucket — the standard recall/cost dial: each flipped sign bit is the
+    * hyperplane the query is most likely to sit on the wrong side of.
+    * Candidates stay an equi-join on bucket; each corpus vector lives in
+    * exactly one bucket so probes never duplicate a candidate.
     */
   def knnLsh(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
-             k: Int, numPlanes: Int = 8): DataFrame = {
+             k: Int, numPlanes: Int = 8, multiProbe: Boolean = true): DataFrame = {
     val bucketed = lshBuckets(emb, idCol, vecCol, numPlanes)
     val corpus = withNorm(bucketed, idCol, vecCol)
       .join(bucketed.select(col(idCol), col("bucket")), Seq(idCol))
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("bucket"))
     val qs = bucketed.filter(queryPred)
+    val probeCols =
+      if (multiProbe) col("q_bucket") +: (0 until numPlanes).map(p => col("q_bucket").bitwiseXOR(lit(1L << p)))
+      else Seq(col("q_bucket"))
     val qn = withNorm(qs, idCol, vecCol)
       .join(qs.select(col(idCol), col("bucket").as("q_bucket")), Seq(idCol))
-      .select(col(idCol).as("q_id"), col("v").as("vq"), col("nrm").as("nq"), col("q_bucket"))
-    val scored = corpus.join(broadcast(qn), col("bucket") === col("q_bucket") && col("n_id") =!= col("q_id"))
+      .select(col(idCol).as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
+        explode(array(probeCols: _*)).as("probe"))
+    val scored = corpus.join(broadcast(qn), col("bucket") === col("probe") && col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)

@@ -71,6 +71,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === 32.0)
   }
 
+  test("vector_dot edge cases: length mismatch truncates, null propagates, empty is 0") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f), Seq(10f, 20f)),          // length mismatch → min length
+      (2L, Seq.empty[Float], Seq.empty[Float])        // empty → 0.0
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorExpressions.vectorDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 50.0, 2L -> 0.0))
+    val withNull = df.select(VectorExpressions.vectorDot(col("a"), lit(null).cast("array<float>")).as("d"))
+      .collect().map(r => r.isNullAt(0))
+    assert(withNull.forall(identity)) // null input → null output
+  }
+
   test("knnBrute ranks by cosine with self excluded") {
     val df = vecs(
       0L -> Seq(1f, 0f, 0f),
@@ -90,6 +105,26 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = Similarity.knnLsh(df, col("vec_id") === 0, "vec_id", "embedding", 2)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
     assert(got.exists(p => p._1 == 1L && math.abs(p._2 - 1.0) < 1e-9))
+  }
+
+  test("knnLsh results are consistent with brute force and multiprobe lifts recall") {
+    import graft.engine.Tables
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshMulti = Similarity.knnLsh(emb, col("vec_id") < 8, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshSingle = Similarity.knnLsh(emb, col("vec_id") < 8, "vec_id", "embedding", 5,
+      multiProbe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // any (q, n) both return gets the identical cosine (same scoring path)
+    for ((pair, cs) <- lshMulti if brute.contains(pair)) assert(cs === brute(pair))
+    // multiprobe candidates strictly contain single-probe candidates
+    assert(lshSingle.keySet.subsetOf(lshMulti.keySet) || lshMulti.size >= lshSingle.size)
+    val recallMulti = lshMulti.keySet.count(brute.contains).toDouble / brute.size
+    val recallSingle = lshSingle.keySet.count(brute.contains).toDouble / brute.size
+    info(f"recall@5 single-probe=$recallSingle%.2f multi-probe=$recallMulti%.2f")
+    assert(recallMulti >= recallSingle)
   }
 
   test("embedding near-dup pairs at threshold") {

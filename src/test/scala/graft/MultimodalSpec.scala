@@ -75,6 +75,11 @@ class PlanSpec extends SparkSpec {
       s"interval join degraded:\n$p")
   }
 
+  test("topk_per_key pushes rank<=k into WindowGroupLimit (no full sort of losers)") {
+    val p = plan("topk_per_key")
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into the window:\n$p")
+  }
+
   test("asof_join is a single-shuffle window scan, no join operator at all") {
     val p = plan("asof_join")
     assert(!p.contains("Join"), s"as-of join should be the union-scan idiom:\n$p")
