@@ -43,6 +43,25 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
 
+/** SQL text surface: register the sf-dir tables as temp views (plus the
+  * engine's custom functions) so `spark.sql("...")` works over the same
+  * data the DataFrame operators see. The engine is DataFrame-first, but a
+  * user switching from any SQL-speaking system gets the full Spark SQL
+  * dialect for free.
+  */
+object GraftSql {
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    tableNames.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, dir) else Tables(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
+    graft.functions.VectorExpressions.register(spark)
+  }
+}
+
 /** Session factory for local runs/tests. Production deploys pass their own
   * session; nothing in the engine assumes local mode.
   */

@@ -146,7 +146,46 @@ object TextAnalysis {
        |SELECT d.doc_id, md5(d.text) AS fp_full, m.fp_min
        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
 
+  /** Canonical text normalization for dedup pipelines: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace, trim — then a
+    * content hash of the normal form (catches case/punctuation-only dups
+    * that exact hashing misses).
+    */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z0-9 ]", " "), " +", " "))
+
+  def normalizedHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(normalize(col(textCol))).as("norm_hash"))
+
+  val normalizedHashSql: String =
+    "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash FROM documents"
+
+  /** Corpus-level word-bigram frequencies, top-k (tie-break on the bigram
+    * text). The positional pairing stays per-document (small arrays), the
+    * count is a plain mergeable aggregation — at 100 TB the shuffle
+    * carries |distinct bigrams|, and a df-cap/threshold would bound a
+    * pathological vocabulary.
+    */
+  def topBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(k)
+
+  val topBigramsSql: String =
+    """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |       FROM ws WHERE len(w) >= 2)
+      |SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1
+      |ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_normalize", (s, dir) => normalizedHash(Tables.documents(s, dir), "doc_id", "text"), Some(normalizedHashSql)),
+    QueryDef("top_bigrams", (s, dir) => topBigrams(Tables.documents(s, dir), "text", 20), Some(topBigramsSql)),
     QueryDef("lang_id", (s, dir) => langId(Tables.documents(s, dir), "doc_id", "text"), Some(langIdSql)),
     QueryDef("text_quality", (s, dir) => qualityScore(Tables.documents(s, dir), "doc_id", "text"), Some(qualityScoreSql)),
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),

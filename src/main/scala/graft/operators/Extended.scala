@@ -182,5 +182,16 @@ object Extended {
       "approx_distinct",
       (s, dir) => approxDistinct(Tables.events(s, dir)),
       None), // sketch values are engine-specific; exact twin: distinct_users
+    QueryDef(
+      "value_percentiles",
+      // exact interpolated percentiles (both engines sort-and-interpolate;
+      // round(6) absorbs last-ulp formula differences)
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90")),
+      Some("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY 1")),
   )
 }

@@ -98,6 +98,18 @@ class PropertySpec extends SparkSpec {
     assert(Sinks.collectToDriver(Sources.fromSequence(spark, 1, 100)).size === 100)
   }
 
+  test("SQL text surface: registered views + custom functions answer queries") {
+    graft.engine.GraftSql.registerTables(spark, "/root/testdata/sf0.001")
+    val viaSql = spark.sql(
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql.values.sum === 6000L)
+    val dotViaSql = spark.sql(
+      "SELECT vector_dot(embedding, embedding) AS d FROM embeddings WHERE vec_id = 0")
+      .collect()(0).getDouble(0)
+    assert(dotViaSql > 0.0) // custom codegen expression reachable from SQL
+  }
+
   test("processing-time windows count everything exactly once (nondeterministic buckets)") {
     val df = randomEvents(50)
     val total = Windows.processingTimeTumblingCount(df, "5 seconds")
