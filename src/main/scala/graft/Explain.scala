@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: dump the formatted physical plan of every registered
+  * query to one file. The artifact the "would this survive a 100× scale-up"
+  * review reads — exchanges, pushed filters, read schemas, join strategies,
+  * codegen spans are all visible per query.
+  *
+  * Usage: runMain graft.Explain <sfDir> <outFile>
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outFile = if (args.length > 1) args(1) else "PLANS.txt"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      sb.append(s"\n${"=" * 78}\n== $name\n${"=" * 78}\n")
+      try {
+        val df = fn(spark, sfDir)
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch {
+        case e: Throwable => sb.append(s"EXPLAIN FAILED: ${e.getMessage}\n")
+      }
+    }
+    Files.writeString(Paths.get(outFile), sb.toString)
+    println(s"[explain] wrote ${SparkEntry.queries.size} plans to $outFile")
+    spark.stop()
+  }
+}

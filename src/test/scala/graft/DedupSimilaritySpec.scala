@@ -127,6 +127,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recallMulti >= recallSingle)
   }
 
+  test("knnIvf scores match brute force on shared pairs; recall reported") {
+    import graft.engine.Tables
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.knnIvf(emb, col("vec_id") < 8, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    for ((pair, cs) <- ivf if brute.contains(pair)) assert(cs === brute(pair))
+    info(f"recall@5 ivf(nprobe=2/16 cells)=${ivf.keySet.count(brute.contains).toDouble / brute.size}%.2f")
+  }
+
   test("embedding near-dup pairs at threshold") {
     val df = vecs(
       0L -> Seq(1f, 0f),
