@@ -87,6 +87,19 @@ object StreamingOps {
       .select(col(keyCol), col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col("cnt"))
 
+  /** Stream-stream window join (reference: MultipleStreams.scala:36-57 —
+    * pairs restricted to the same tumbling window, here on event time):
+    * equality on the `window()` struct is a time constraint Spark's
+    * symmetric hash join uses for state eviction, so each side retains
+    * only the watermark-open windows.
+    */
+  def windowJoin(a: DataFrame, b: DataFrame, keyCol: String,
+                 aTs: String, bTs: String, delay: String, size: String): DataFrame = {
+    val l = a.withWatermark(aTs, delay).withColumn("w", window(col(aTs), size))
+    val r = b.withWatermark(bTs, delay).withColumn("w", window(col(bTs), size))
+    l.join(r, l(keyCol) === r(keyCol) && l("w") === r("w"))
+  }
+
   /** Stream-stream interval join with exclusive bounds (reference:
     * MultipleStreams.scala:61-103): equi-key + time-range condition plans a
     * StreamingSymmetricHashJoin; watermarks bound each side's state

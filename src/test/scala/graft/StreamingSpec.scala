@@ -149,6 +149,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq("p1"))
   }
 
+  test("stream-stream window join pairs same-bucket events only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val carts = MemoryStream[ShoppingCartEvent]
+    val views = MemoryStream[CatalogEvent]
+    val joined = StreamingOps.windowJoin(
+      carts.toDF(), views.toDF(), "user_id", "time", "time", "1 second", "5 seconds")
+      .select(views.toDF()("product_id"))
+    val q = joined.writeStream.format("memory").queryName("wj_out").outputMode("append").start()
+    try {
+      carts.addData(cart("bob", 1.0))
+      views.addData(CatalogEvent("bob", at(3.0), "same_bucket"))   // [0,5) with the cart
+      views.addData(CatalogEvent("bob", at(7.0), "next_bucket"))   // [5,10): no cart
+      views.addData(CatalogEvent("alice", at(2.0), "other_user"))
+      carts.addData(cart("zed", 60.0))
+      views.addData(CatalogEvent("zed", at(90.0), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wj_out").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("same_bucket"))
+  }
+
   test("streaming session windows finalize when the watermark passes the gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
