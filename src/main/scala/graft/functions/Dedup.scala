@@ -64,8 +64,11 @@ object Dedup {
       val sig = concat_ws(",", (1 to rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
+    // both self-join sides read the band table → persist (|docs|×bands
+    // rows of hashes — the LSH "index"; production stages it to storage)
     val bands = mh.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist()
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
@@ -115,6 +118,7 @@ object Dedup {
     val banded = sh.select(col(idCol), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))")).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist() // both self-join sides read it — the SimHash band index
     val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("band"), col("key"))
     val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("band").as("band_b"), col("key").as("key_b"))
     a.join(b, col("band") === col("band_b") && col("key") === col("key_b") && col("doc_a") < col("doc_b"))
