@@ -183,6 +183,40 @@ object Extended {
       (s, dir) => approxDistinct(Tables.events(s, dir)),
       None), // sketch values are engine-specific; exact twin: distinct_users
     QueryDef(
+      "event_gaps",
+      // lead/lag analytic: per-user inter-event gap in µs — the
+      // sessionization primitive underlying gap-based windows
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir).select(
+          col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      },
+      Some("SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events")),
+    QueryDef(
+      "value_quartiles",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir).select(
+          col("user_id"), col("event_id"), ntile(4).over(w).as("quartile"))
+      },
+      Some("SELECT user_id, event_id, CAST(ntile(4) OVER " +
+        "(PARTITION BY user_id ORDER BY value, event_id) AS INT) AS quartile FROM events")),
+    QueryDef(
+      "orders_by_month",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, " +
+        "count(*) AS cnt FROM orders GROUP BY 1, 2")),
+    QueryDef(
+      "value_histogram",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(floor(col("value") / 20).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT CAST(floor(value/20) AS BIGINT) AS bin, count(*) AS cnt FROM events GROUP BY 1")),
+    QueryDef(
       "value_percentiles",
       // exact interpolated percentiles (both engines sort-and-interpolate;
       // round(6) absorbs last-ulp formula differences)

@@ -98,6 +98,23 @@ class PropertySpec extends SparkSpec {
     assert(Sinks.collectToDriver(Sources.fromSequence(spark, 1, 100)).size === 100)
   }
 
+  test("operators are total on empty inputs (no crash, empty output)") {
+    import spark.implicits._
+    import graft.functions.{Dedup, Similarity => Sim}
+    val noEvents = Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("event_id", "user_id", "ts")
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Windows.tumblingCount(noEvents, "ts", "1 hour").count() === 0)
+    assert(Windows.keyedSessionCount(noEvents, "user_id", "ts", "1 hour").count() === 0)
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashLshPairs(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashPairs(noDocs, "doc_id", "text").count() === 0)
+    assert(Sim.knnBrute(noVecs, noVecs, "vec_id", "embedding", 5).count() === 0)
+    assert(Sim.knnLsh(noVecs, lit(true), "vec_id", "embedding", 5).count() === 0)
+    assert(MultiStream.unionStreams(noEvents, noEvents).count() === 0)
+  }
+
   test("SQL text surface: registered views + custom functions answer queries") {
     graft.engine.GraftSql.registerTables(spark, "/root/testdata/sf0.001")
     val viaSql = spark.sql(
