@@ -75,3 +75,20 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDotProduct(exprs(0), exprs(1)), "built-in")
 }
+
+/** SparkSessionExtensions entry point: lets deployments wire the engine's
+  * custom expressions at session-build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — instead of the
+  * per-session [[VectorExpressions.register]] call the operators make
+  * defensively.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VectorDotProduct].getName, "vector_dot"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          VectorDotProduct(exprs(0), exprs(1))))
+}

