@@ -91,6 +91,63 @@ object Dedup {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
 
+  /** MinHash-estimated Jaccard over LSH candidate pairs: similarity is the
+    * fraction of agreeing signature slots — no exact pair counting at all.
+    * This is the production near-dup shape at 100 TB: candidate generation
+    * AND scoring both run off the fixed-size signature table; the corpus
+    * text is touched exactly once (to build signatures).
+    */
+  def minhashEstJaccard(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, idCol, textCol)
+    val mh = minhashSignatures(sh, idCol, numHashes).persist()
+    val pairs = minhashLshPairsFrom(mh, idCol, numHashes, rowsPerBand)
+    val a = mh.select(col(idCol).as("doc_a") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"a_$j")): _*)
+    val b = mh.select(col(idCol).as("doc_b") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"b_$j")): _*)
+    val agree = (1 to numHashes).map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (agree.cast("double") / numHashes).as("est_jacc"))
+  }
+
+  /** Band-join candidate pairs from an existing signature frame. */
+  private def minhashLshPairsFrom(mh: DataFrame, idCol: String,
+                                  numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val sig = concat_ws(",", (1 to rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bands = mh.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist()
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  val minhashEstJaccardSql: String = {
+    val maxes = (1 to 8).map(j => s"max(CASE WHEN j = $j THEN mv END) AS m$j").mkString(", ")
+    val agree = (1 to 8).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (${TextAnalysis.shinglesSql()}),
+       |mh AS (
+       |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mv
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) h
+       |  GROUP BY 1, 2
+       |), wide AS (SELECT doc_id, $maxes FROM mh GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, CAST(floor((j-1)/2) AS INT) AS band,
+       |         string_agg(mv, ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+       |SELECT p.doc_a, p.doc_b, CAST($agree AS DOUBLE) / 8 AS est_jacc
+       |FROM pairs p JOIN wide a ON a.doc_id = p.doc_a JOIN wide b ON b.doc_id = p.doc_b""".stripMargin
+  }
+
   /** SimHash: 64-bit locality-sensitive content hash. Per whitespace token,
     * xxhash64 gives 64 bits; each bit votes ±1; the sign of each summed bit
     * position forms the fingerprint. Near-dups differ in few bits. All
@@ -229,6 +286,7 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", (s, dir) => exact(Tables.documents(s, dir), "doc_id", "text"), Some(exactSql)),
     QueryDef("dedup_minhash", (s, dir) => minhashLshPairs(Tables.documents(s, dir), "doc_id", "text"), Some(minhashSql)),
+    QueryDef("dedup_minhash_est", (s, dir) => minhashEstJaccard(Tables.documents(s, dir), "doc_id", "text"), Some(minhashEstJaccardSql)),
     QueryDef("dedup_simhash", (s, dir) => simhashPairs(Tables.documents(s, dir), "doc_id", "text"), None),
     QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
     QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),

@@ -121,6 +121,27 @@ object Relational {
            |GROUP BY 1""".stripMargin),
     ),
     QueryDef(
+      "q18_big_orders",
+      // TPC-H Q18 shape: HAVING over a fact aggregation, then join back to
+      // the order header — the filter reduces the join input to the few
+      // qualifying groups before any wide row is built.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("odate"),
+            col("total_qty"))
+      },
+      Some(
+        """SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate, total_qty
+          |FROM orders JOIN (
+          |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+          |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+          |) ON o_orderkey = l_orderkey""".stripMargin)),
+    QueryDef(
       "json_props",
       (s, dir) => jsonPropSum(Tables.events(s, dir)),
       Some(

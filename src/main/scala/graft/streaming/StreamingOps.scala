@@ -186,6 +186,77 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  case class SessionOut(key: String, ss_ms: Long, se_ms: Long, cnt: Long)
+
+  /** Custom gap-session operator on event-time TIMERS — the full
+    * Flink-trigger machinery on the transformWithState API: sessions
+    * buffer in ValueState, a timer registered at last+gap fires when the
+    * WATERMARK passes it (handleExpiredTimer), emitting the closed
+    * session. Sessions closed by a later same-batch event emit inline.
+    * Built-in `session_window` is the production path; this demonstrates
+    * arbitrary timer-driven window policies the built-ins can't express.
+    */
+  class SessionGapProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, ShoppingCartEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sess: ValueState[(Long, Long, Long)] = _ // (start, last, count)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)](
+        "sess",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ShoppingCartEvent],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      rows.toSeq.sortBy(_.time.getTime).foreach { e =>
+        val t = e.time.getTime
+        cur = cur match {
+          case Some((s, last, n)) if t - last > gapMs =>
+            out += SessionOut(key, s, last + gapMs, n)
+            Some((t, t, 1L))
+          case Some((s, last, n)) => Some((s, math.max(last, t), n + 1))
+          case None => Some((t, t, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.registerTimer(c._2 + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (sess.exists()) {
+        val (s, last, n) = sess.get()
+        // stale timers from earlier batches fire too — only the one at the
+        // session's true end closes it
+        if (info.getExpiryTimeInMs() >= last + gapMs) {
+          sess.clear()
+          Iterator.single(SessionOut(key, s, last + gapMs, n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer-driven session counts via [[SessionGapProcessor]] (requires the
+    * RocksDB state store and an event-time watermark upstream).
+    */
+  def sessionCountsTws(events: Dataset[ShoppingCartEvent], delay: String, gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withWatermark("time", delay)
+      .as[ShoppingCartEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionGapProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Envelope for connect-style co-processing of two differently-typed
     * streams (SURVEY.md §1.4: ConnectedStreams → union of an Either-style
     * envelope + keyed state).

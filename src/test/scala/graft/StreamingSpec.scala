@@ -109,6 +109,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer-driven session processor closes sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ShoppingCartEvent]
+      val q = StreamingOps.sessionCountsTws(input.toDS(), "0 seconds", gapMs = 1000L)
+        .writeStream.format("memory").queryName("tws_sess").outputMode("append").start()
+      try {
+        input.addData(cart("bob", 2.0), cart("bob", 2.5), cart("bob", 10.0))
+        q.processAllAvailable()
+        input.addData(cart("zed", 60.0)) // watermark → 60s, fires bob@11s timer
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_sess")
+        .collect().map(r => (r.getString(0), r.getLong(1) - GamingFixture.base.toEpochMilli,
+          r.getLong(3))).sortBy(_._2)
+      // inline close: {2, 2.5} (gap crossed by 10.0); timer close: {10}
+      assert(got.toSeq === Seq(("bob", 2000L, 2L), ("bob", 10000L, 1L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("coprocess running ratio emits after every element across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
