@@ -41,6 +41,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!byName.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash banding generalizes to other band shapes (16 hashes, 4 rows/band)") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", numHashes = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs collide in every band shape
+  }
+
+  test("sketch-estimated jaccard: identical docs estimate 1.0") {
+    val est = Dedup.minhashEstJaccard(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b", "est_jacc")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est((1L, 2L)) === 1.0)
+  }
+
   test("simhash: identical docs hash identically; near dups closer than unrelated") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

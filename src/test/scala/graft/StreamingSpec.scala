@@ -236,6 +236,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.view.filterKeys(_ < 10).toMap === Map(4L -> 1L, 5L -> 1L)) // event@5 ∈ [4,6) and [5,7)
   }
 
+  test("stateful query resumes from checkpoint with state intact") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[ShoppingCartEvent]
+    val ds = StreamingOps.countTrigger(input.toDS(), 2, purging = false)
+    val fires = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    def start() = ds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.CountFire], _: Long) =>
+        batch.collect().foreach(f => fires.add(f.fire_count))
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try {
+      input.addData((1 to 3).map(i => cart("bob", i.toDouble))) // count → 3, fires at 2
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(fires.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq === Seq(2L))
+
+    // restart against the SAME checkpoint: the per-key counter must resume
+    // at 3, so one more event fires 4 (not 2)
+    val q2 = start()
+    try {
+      input.addData(cart("bob", 4.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(fires.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq.sorted === Seq(2L, 4L))
+  }
+
   test("rate-source generators produce the reference event shapes") {
     val carts = graft.streaming.Generators.shoppingCartEvents(spark, 10)
     assert(carts.isStreaming)
