@@ -42,11 +42,15 @@ object Bench {
     // Two timed runs per query, min reported: the second run measures
     // steady state, and min-of-2 filters co-tenant/GC noise spikes
     // (observed 0.3 s queries spiking to 20 s under external load).
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // operators persist their index frames (LSH bands, shingle index,
         // IVF centroids); drop them so cache memory from one run can't
@@ -58,7 +62,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries are listed explicitly — a planning error must not read
+    // as a near-zero (i.e. improved) timing
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,9 @@ object Explain {
       } catch {
         case e: Throwable => sb.append(s"EXPLAIN FAILED: ${e.getMessage}\n")
       }
+      // a prior query's persist() marks would otherwise substitute
+      // InMemoryRelation into later plans, hiding their real shape
+      spark.catalog.clearCache()
     }
     Files.writeString(Paths.get(outFile), sb.toString)
     println(s"[explain] wrote ${SparkEntry.queries.size} plans to $outFile")

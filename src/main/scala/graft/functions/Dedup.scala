@@ -58,22 +58,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sh = TextAnalysis.shingles(docs, idCol, textCol)
-    val mh = minhashSignatures(sh, idCol, numHashes)
-    val numBands = numHashes / rowsPerBand
-    val bandStructs = (0 until numBands).map { b =>
-      val sig = concat_ws(",", (1 to rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
-    // both self-join sides read the band table → persist (|docs|×bands
-    // rows of hashes — the LSH "index"; production stages it to storage)
-    val bands = mh.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist()
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
-    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    minhashLshPairsFrom(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, rowsPerBand)
   }
 
   val minhashSql: String =
@@ -109,9 +94,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), (agree.cast("double") / numHashes).as("est_jacc"))
   }
 
-  /** Band-join candidate pairs from an existing signature frame. */
+  /** Band-join candidate pairs from an existing signature frame.
+    * Both self-join sides read the band table → persist (|docs|×bands
+    * rows of hashes — the LSH "index"; production stages it to storage).
+    */
   private def minhashLshPairsFrom(mh: DataFrame, idCol: String,
                                   numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
+        "trailing signature slots would silently never band-join")
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       val sig = concat_ws(",", (1 to rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)

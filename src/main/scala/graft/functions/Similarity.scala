@@ -40,10 +40,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Attach the vector and its L2 norm (computed once). */
-  def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Attach the vector and its L2 norm (computed once); `passthrough`
+    * keeps extra columns (bucket/cell ids) so callers don't need a
+    * re-attach self-join.
+    */
+  def withNorm(emb: DataFrame, idCol: String, vecCol: String,
+               passthrough: Seq[String] = Nil): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    emb.select(col(idCol), col(vecCol).as("v"))
+    emb.select(col(idCol) +: col(vecCol).as("v") +: passthrough.map(col): _*)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
@@ -111,18 +115,17 @@ object Similarity {
     * exactly one bucket so probes never duplicate a candidate.
     */
   def knnLsh(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
-             k: Int, numPlanes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+             k: Int, numPlanes: Int = 8, multiProbe: Boolean = true,
+             dim: Int = 64): DataFrame = {
     // the bucket index feeds corpus and query branches → persist
-    val bucketed = lshBuckets(emb, idCol, vecCol, numPlanes).persist()
-    val corpus = withNorm(bucketed, idCol, vecCol)
-      .join(bucketed.select(col(idCol), col("bucket")), Seq(idCol))
+    val bucketed = lshBuckets(emb, idCol, vecCol, numPlanes, dim).persist()
+    val corpus = withNorm(bucketed, idCol, vecCol, passthrough = Seq("bucket"))
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("bucket"))
     val qs = bucketed.filter(queryPred)
     val probeCols =
-      if (multiProbe) col("q_bucket") +: (0 until numPlanes).map(p => col("q_bucket").bitwiseXOR(lit(1L << p)))
-      else Seq(col("q_bucket"))
-    val qn = withNorm(qs, idCol, vecCol)
-      .join(qs.select(col(idCol), col("bucket").as("q_bucket")), Seq(idCol))
+      if (multiProbe) col("bucket") +: (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+      else Seq(col("bucket"))
+    val qn = withNorm(qs, idCol, vecCol, passthrough = Seq("bucket"))
       .select(col(idCol).as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
         explode(array(probeCols: _*)).as("probe"))
     val scored = corpus.join(broadcast(qn), col("bucket") === col("probe") && col("n_id") =!= col("q_id"))
@@ -183,8 +186,7 @@ object Similarity {
     // 4 exchanges / 3 scans). Production builds stage both to storage.
     val centroids = ivfCentroids(emb, idCol, vecCol, numCells).persist()
     val corpus = assignCells(emb, centroids, idCol, vecCol).persist()
-    val cn = withNorm(corpus, idCol, vecCol)
-      .join(corpus.select(col(idCol), col("cell")), Seq(idCol))
+    val cn = withNorm(corpus, idCol, vecCol, passthrough = Seq("cell"))
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
     val qs = emb.filter(queryPred)
     // nprobe nearest cells per query

@@ -30,8 +30,15 @@ object Extended {
                leftId: String, rightId: String): DataFrame = {
     val l = left.select(col(keyCol), col(tsCol).as("t"),
       col(leftId).as("a_id"), lit(null).cast("long").as("b_id"), lit(1).as("side"))
-    val r = right.select(col(keyCol), col(tsCol).as("t"),
-      lit(null).cast("long").as("a_id"), col(rightId).as("b_id"), lit(0).as("side"))
+    // Collapse duplicate (key, ts) right rows to the max id BEFORE the
+    // scan: which row "wins" an exact-timestamp tie is otherwise
+    // engine-defined (DuckDB's ASOF JOIN leaves it unspecified), which
+    // would make the oracle comparison nondeterministic.
+    val dedupW = Window.partitionBy(col(keyCol), col(tsCol)).orderBy(col(rightId).desc)
+    val r = right
+      .withColumn("_rn", row_number().over(dedupW)).filter(col("_rn") === 1).drop("_rn")
+      .select(col(keyCol), col(tsCol).as("t"),
+        lit(null).cast("long").as("a_id"), col(rightId).as("b_id"), lit(0).as("side"))
     // right rows sort before left rows at equal timestamps → "at or before"
     // is inclusive; equal right timestamps tie-break on the larger id.
     val w = Window.partitionBy(col(keyCol))
@@ -112,8 +119,10 @@ object Extended {
       Some(
         """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
           |FROM (SELECT * FROM events WHERE event_type = 'click') a
-          |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-          |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin)),
+          |ASOF JOIN (
+          |  SELECT * FROM events WHERE event_type = 'purchase'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+          |) b ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin)),
     QueryDef(
       "topk_per_key",
       (s, dir) => topKPerKey(Tables.events(s, dir), "user_id", "value", "event_id", 3),

@@ -144,9 +144,17 @@ object Windows {
     * TimeBasedTransformations.scala:36-47 — which itself documents that
     * "multiple runs generate different results"; the nondeterminism is
     * inherent, so these ops have tests but no oracle).
+    *
+    * `current_timestamp()` is a per-QUERY constant in Spark, which would
+    * collapse every row into one window — the stamp must be a
+    * nondeterministic per-row clock read, like Flink's per-record
+    * processing time.
     */
+  private val wallClock =
+    udf(() => new java.sql.Timestamp(System.currentTimeMillis())).asNondeterministic()
+
   def stampProcessingTime(df: DataFrame, as: String = "proc_ts"): DataFrame =
-    df.withColumn(as, current_timestamp())
+    df.withColumn(as, wallClock())
 
   def processingTimeTumblingCount(df: DataFrame, size: String): DataFrame =
     tumblingCount(stampProcessingTime(df), "proc_ts", size)

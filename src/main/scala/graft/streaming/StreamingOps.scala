@@ -189,56 +189,60 @@ object StreamingOps {
   case class SessionOut(key: String, ss_ms: Long, se_ms: Long, cnt: Long)
 
   /** Custom gap-session operator on event-time TIMERS — the full
-    * Flink-trigger machinery on the transformWithState API: sessions
-    * buffer in ValueState, a timer registered at last+gap fires when the
-    * WATERMARK passes it (handleExpiredTimer), emitting the closed
-    * session. Sessions closed by a later same-batch event emit inline.
-    * Built-in `session_window` is the production path; this demonstrates
-    * arbitrary timer-driven window policies the built-ins can't express.
+    * Flink-trigger machinery on the transformWithState API. Sessions live
+    * in state until the WATERMARK passes their gap-extended end (timers via
+    * `registerTimer` → `handleExpiredTimer`); nothing emits early, so a
+    * late-but-legal event can still extend or merge into any buffered
+    * session (including backward start extension — events are not assumed
+    * ordered). Built-in `session_window` is the production path; this
+    * demonstrates arbitrary timer-driven window policies the built-ins
+    * can't express.
     */
   class SessionGapProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, ShoppingCartEvent, SessionOut] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
-    @transient private var sess: ValueState[(Long, Long, Long)] = _ // (start, last, count)
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimeMode, TimerValues, TTLConfig}
+    // buffered sessions: (start, last, count), open or gap-closed — all
+    // held until the watermark passes last+gap
+    @transient private var sessions: ListState[(Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sess = getHandle.getValueState[(Long, Long, Long)](
-        "sess",
+      sessions = getHandle.getListState[(Long, Long, Long)](
+        "sessions",
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)](),
         TTLConfig.NONE)
 
     override def handleInputRows(key: String, rows: Iterator[ShoppingCartEvent],
                                  tv: TimerValues): Iterator[SessionOut] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var cur = if (sess.exists()) Option(sess.get()) else None
-      rows.toSeq.sortBy(_.time.getTime).foreach { e =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      if (sessions.exists()) buf ++= sessions.get()
+      rows.foreach { e =>
         val t = e.time.getTime
-        cur = cur match {
-          case Some((s, last, n)) if t - last > gapMs =>
-            out += SessionOut(key, s, last + gapMs, n)
-            Some((t, t, 1L))
-          case Some((s, last, n)) => Some((s, math.max(last, t), n + 1))
-          case None => Some((t, t, 1L))
+        // merge into every session within gap reach of t, then coalesce
+        val (touching, rest) = buf.partition { case (s, last, _) =>
+          t >= s - gapMs && t <= last + gapMs
         }
+        val merged =
+          if (touching.isEmpty) (t, t, 1L)
+          else (
+            math.min(t, touching.map(_._1).min),
+            math.max(t, touching.map(_._2).max),
+            touching.map(_._3).sum + 1)
+        buf.clear(); buf ++= rest; buf += merged
       }
-      cur.foreach { c =>
-        sess.update(c)
-        getHandle.registerTimer(c._2 + gapMs)
-      }
-      out.iterator
+      buf.foreach { case (_, last, _) => getHandle.registerTimer(last + gapMs) }
+      sessions.put(buf.toArray)
+      Iterator.empty // emission is exclusively watermark-driven
     }
 
     override def handleExpiredTimer(key: String, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[SessionOut] = {
-      if (sess.exists()) {
-        val (s, last, n) = sess.get()
-        // stale timers from earlier batches fire too — only the one at the
-        // session's true end closes it
-        if (info.getExpiryTimeInMs() >= last + gapMs) {
-          sess.clear()
-          Iterator.single(SessionOut(key, s, last + gapMs, n))
-        } else Iterator.empty
-      } else Iterator.empty
+      if (!sessions.exists()) return Iterator.empty
+      val all = sessions.get().toSeq
+      // stale timers fire for since-extended sessions: close only those
+      // whose gap-extended end the expired timer actually covers
+      val (done, open) = all.partition { case (_, last, _) => last + gapMs <= info.getExpiryTimeInMs() }
+      if (open.isEmpty) sessions.clear() else sessions.put(open.toArray)
+      done.sortBy(_._1).iterator.map { case (s, last, n) => SessionOut(key, s, last + gapMs, n) }
     }
   }
 

@@ -138,6 +138,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer-driven sessions handle out-of-order events: backward extension and separate late session") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ShoppingCartEvent]
+      // 60s watermark delay keeps early sessions open for late arrivals
+      val q = StreamingOps.sessionCountsTws(input.toDS(), "60 seconds", gapMs = 2000L)
+        .writeStream.format("memory").queryName("tws_ooo").outputMode("append").start()
+      try {
+        input.addData(cart("bob", 10.0))
+        q.processAllAvailable()
+        // both LATE but within the watermark: 9.0 extends [10,12) backward;
+        // 3.0 is beyond gap reach → its own session
+        input.addData(cart("bob", 9.0), cart("bob", 3.0))
+        q.processAllAvailable()
+        input.addData(cart("zed", 200.0)) // flush watermark far past everything
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_ooo")
+        .collect().map(r => (r.getLong(1) - GamingFixture.base.toEpochMilli,
+          r.getLong(2) - GamingFixture.base.toEpochMilli, r.getLong(3))).sortBy(_._1)
+      assert(got.toSeq === Seq((3000L, 5000L, 1L), (9000L, 12000L, 2L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("coprocess running ratio emits after every element across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
