@@ -16,7 +16,7 @@ import graft.engine.{QueryDef, Tables}
   *    batches at any corpus size, not for all-pairs.
   *  - [[knnLsh]]: sign-random-projection LSH — corpus and queries are
   *    bucketed by the sign bits of `numPlanes` pseudo-random hyperplanes
-  *    (derived deterministically from xxhash64, so no driver-side random
+  *    (derived deterministically from a seeded string hash, so no RNG
   *    state and perfectly reproducible across runs/executors). Candidates
   *    come from an equi-join on bucket, scoring only touches candidates.
   *    This is the 100 TB path: shuffle is bounded by bucket sizes, and
@@ -104,7 +104,12 @@ object Similarity {
       when(VectorExpressions.vectorDot(col(vecCol), typedLit(planes(p).toSeq)) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    emb.withColumn("bucket", bucketExpr)
+    // fail fast on a dim mismatch: VectorDotProduct truncates to the
+    // shorter side, which would silently bucket on a prefix of the vector
+    val guarded = when(size(col(vecCol)) =!= dim,
+      raise_error(concat(lit(s"lshBuckets: expected $dim-dim vectors, got "), size(col(vecCol)))))
+      .otherwise(bucketExpr)
+    emb.withColumn("bucket", guarded)
   }
 
   /** ANN top-k via LSH bucket candidates. Multi-probe (default) also
@@ -148,6 +153,7 @@ object Similarity {
     * embeddings.
     */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String, numCells: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession) // vector_dot used below
     val seeds = emb.orderBy(col(idCol)).limit(numCells)
       .select(col(idCol).as("cell0"), col(vecCol).as("cv"))
     // assign every vector to its nearest seed (broadcast seeds; one pass)
@@ -163,16 +169,20 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: greatest cosine against the broadcast
-    * centroid table (deterministic tie-break on cell id).
+    * centroid table (deterministic tie-break on cell id). Norms are
+    * attached once per vector and once per centroid — not recomputed per
+    * (vector × centroid) pair.
     */
   private def assignCells(emb: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("sim", dot(col(vecCol), col("cv")) /
-        (sqrt(dot(col(vecCol), col(vecCol))) * sqrt(dot(col("cv"), col("cv")))))
+    VectorExpressions.register(emb.sparkSession)
+    val e = withNorm(emb, idCol, vecCol)
+    val c = centroids.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    val scored = e.crossJoin(broadcast(c))
+      .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      .select(col(idCol), col("v").as(vecCol), col("cell"))
   }
 
   /** IVF top-k search: score queries only against their `nprobe` nearest
@@ -188,24 +198,26 @@ object Similarity {
     val corpus = assignCells(emb, centroids, idCol, vecCol).persist()
     val cn = withNorm(corpus, idCol, vecCol, passthrough = Seq("cell"))
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
-    val qs = emb.filter(queryPred)
-    // nprobe nearest cells per query
-    val qcells = qs.crossJoin(broadcast(centroids))
-      .withColumn("sim", dot(col(vecCol), col("cv")) /
-        (sqrt(dot(col(vecCol), col(vecCol))) * sqrt(dot(col("cv"), col("cv")))))
+    // nprobe nearest cells per query: norms attached once per side
+    val qnorm = withNorm(emb.filter(queryPred), idCol, vecCol)
+    val cwithNrm = centroids.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    val qcells = qnorm.crossJoin(broadcast(cwithNrm))
+      .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell").asc)))
       .filter(col("rn") <= nprobe)
       .select(col(idCol).as("q_id"), col("cell"))
-    val qn = withNorm(qs, idCol, vecCol)
+    val qn = qnorm
       .select(col(idCol).as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
       .join(qcells, Seq("q_id"))
     val scored = cn.join(broadcast(qn), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+    // no dedup needed: each corpus vector lives in exactly one cell and
+    // qcells probes distinct cells, so a (q_id, n_id) pair matches once
     val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
-    scored.dropDuplicates("q_id", "n_id")
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), round(col("cs"), 4).as("cos_sim"), col("rank"))

@@ -121,6 +121,35 @@ object Relational {
            |GROUP BY 1""".stripMargin),
     ),
     QueryDef(
+      "q9_profit",
+      // TPC-H Q9 shape (no partsupp table in the test data, so retail
+      // price stands in for supply cost): profit by supplier nation and
+      // order year across a 4-dim star join — all dimensions broadcast,
+      // single fact shuffle.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val part = Tables.part(s, dir).select(col("p_partkey"), col("p_retailprice"))
+        val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        val ord = Tables.orders(s, dir).select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), col("o_year"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity")).as("profit"))
+      },
+      Some(
+        s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           |  ${decSumSql("l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity")} AS profit
+           |FROM lineitem
+           |  JOIN part ON l_partkey = p_partkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1, 2""".stripMargin)),
+    QueryDef(
       "q18_big_orders",
       // TPC-H Q18 shape: HAVING over a fact aggregation, then join back to
       // the order header — the filter reduces the join input to the few

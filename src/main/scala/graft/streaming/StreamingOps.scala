@@ -95,9 +95,13 @@ object StreamingOps {
     */
   def windowJoin(a: DataFrame, b: DataFrame, keyCol: String,
                  aTs: String, bTs: String, delay: String, size: String): DataFrame = {
+    // if the two event-time columns share a name, prefix the right one so
+    // the output schema is selectable by name
+    val (rb, rbTs) = if (aTs == bTs) (b.withColumnRenamed(bTs, s"r_$bTs"), s"r_$bTs") else (b, bTs)
     val l = a.withWatermark(aTs, delay).withColumn("w", window(col(aTs), size))
-    val r = b.withWatermark(bTs, delay).withColumn("w", window(col(bTs), size))
+    val r = rb.withWatermark(rbTs, delay).withColumn("w", window(col(rbTs), size))
     l.join(r, l(keyCol) === r(keyCol) && l("w") === r("w"))
+      .drop(r(keyCol)).drop(l("w")).drop(r("w"))
   }
 
   /** Stream-stream interval join with exclusive bounds (reference:
@@ -107,12 +111,14 @@ object StreamingOps {
     */
   def intervalJoin(a: DataFrame, b: DataFrame, keyCol: String,
                    aTs: String, bTs: String, delay: String, interval: String): DataFrame = {
+    val (rb, rbTs) = if (aTs == bTs) (b.withColumnRenamed(bTs, s"r_$bTs"), s"r_$bTs") else (b, bTs)
     val l = a.withWatermark(aTs, delay)
-    val r = b.withWatermark(bTs, delay)
+    val r = rb.withWatermark(rbTs, delay)
     l.join(r,
-      l(keyCol) === r(keyCol) &&
-        r(bTs) > l(aTs) - expr(s"INTERVAL $interval") &&
-        r(bTs) < l(aTs) + expr(s"INTERVAL $interval"))
+        l(keyCol) === r(keyCol) &&
+          r(rbTs) > l(aTs) - expr(s"INTERVAL $interval") &&
+          r(rbTs) < l(aTs) + expr(s"INTERVAL $interval"))
+      .drop(r(keyCol))
   }
 
   case class CountTriggerState(count: Long)
@@ -124,6 +130,7 @@ object StreamingOps {
     * (reference: Triggers.scala:31-40). `purging` toggles the two.
     */
   def countTrigger(events: Dataset[ShoppingCartEvent], n: Int, purging: Boolean): Dataset[CountFire] = {
+    require(n > 0, s"count trigger requires n > 0 (got $n)")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -177,6 +184,7 @@ object StreamingOps {
   }
 
   def countTriggerTws(events: Dataset[ShoppingCartEvent], n: Int, purging: Boolean): Dataset[CountFire] = {
+    require(n > 0, s"count trigger requires n > 0 (got $n)")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -215,6 +223,7 @@ object StreamingOps {
                                  tv: TimerValues): Iterator[SessionOut] = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       if (sessions.exists()) buf ++= sessions.get()
+      val endsBefore = buf.map(_._2 + gapMs).toSet
       rows.foreach { e =>
         val t = e.time.getTime
         // merge into every session within gap reach of t, then coalesce
@@ -229,7 +238,12 @@ object StreamingOps {
             touching.map(_._3).sum + 1)
         buf.clear(); buf ++= rest; buf += merged
       }
-      buf.foreach { case (_, last, _) => getHandle.registerTimer(last + gapMs) }
+      // timer hygiene: drop timers whose session end moved (extension /
+      // merge), register only the new ends — state and firings stay
+      // proportional to live sessions, not to update count
+      val endsAfter = buf.map(_._2 + gapMs).toSet
+      (endsBefore -- endsAfter).foreach(getHandle.deleteTimer)
+      (endsAfter -- endsBefore).foreach(getHandle.registerTimer)
       sessions.put(buf.toArray)
       Iterator.empty // emission is exclusively watermark-driven
     }

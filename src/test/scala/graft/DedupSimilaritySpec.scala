@@ -128,9 +128,15 @@ class DedupSimilaritySpec extends SparkSpec {
       0L -> Seq(1f, 2f, 3f, 4f),
       1L -> Seq(1f, 2f, 3f, 4f), // identical → identical bucket
       2L -> Seq(-4f, 3f, -2f, 1f))
-    val got = Similarity.knnLsh(df, col("vec_id") === 0, "vec_id", "embedding", 2)
+    val got = Similarity.knnLsh(df, col("vec_id") === 0, "vec_id", "embedding", 2, dim = 4)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
     assert(got.exists(p => p._1 == 1L && math.abs(p._2 - 1.0) < 1e-9))
+    // dim mismatch fails fast instead of silently bucketing on a prefix
+    val err = intercept[Exception] {
+      Similarity.knnLsh(df, col("vec_id") === 0, "vec_id", "embedding", 2, dim = 64).collect()
+    }
+    assert(err.getMessage.contains("expected 64-dim") ||
+      Option(err.getCause).exists(_.getMessage.contains("expected 64-dim")))
   }
 
   test("knnLsh results are consistent with brute force and multiprobe lifts recall") {
