@@ -183,7 +183,52 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1
       |ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin
 
+  /** Deterministic train/validation/test split by content-independent id
+    * hash — the reproducible data-splitting primitive every training
+    * pipeline needs. Hash-based (not random) so the assignment is stable
+    * under reshuffles, re-runs, and incremental corpus growth; md5 keeps
+    * it portable across engines. Split fractions: test = first two hex
+    * chars < '1a' (~10.2%), val < '33' (~19.9% − test), train otherwise.
+    */
+  def dataSplit(docs: DataFrame, idCol: String): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    docs.select(
+      col(idCol),
+      when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("split"))
+  }
+
+  val dataSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM documents""".stripMargin
+
+  /** Mixture sampling: keep each document with a per-source rate
+    * (down-weighting noisy sources, up-weighting scarce ones is the core
+    * corpus-mixing op). Deterministic hash-thresholding again — the kept
+    * set is reproducible and grows monotonically with the rate.
+    */
+  def sourceMix(docs: DataFrame, idCol: String, sourceCol: String,
+                rates: Map[String, String], defaultThreshold: String): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 3, 2)
+    val threshold = rates.foldLeft(lit(defaultThreshold)) { case (acc, (src, thr)) =>
+      when(col(sourceCol) === src, thr).otherwise(acc)
+    }
+    docs.filter(h < threshold).select(col(idCol), col(sourceCol))
+  }
+
+  val sourceMixSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) <
+      |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN '80' ELSE 'cc' END""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("data_split", (s, dir) => dataSplit(Tables.documents(s, dir), "doc_id"), Some(dataSplitSql)),
+    QueryDef("source_mix",
+      (s, dir) => sourceMix(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> "80", "src1" -> "80", "src2" -> "80"), "cc"),
+      Some(sourceMixSql)),
     QueryDef("text_normalize", (s, dir) => normalizedHash(Tables.documents(s, dir), "doc_id", "text"), Some(normalizedHashSql)),
     QueryDef("top_bigrams", (s, dir) => topBigrams(Tables.documents(s, dir), "text", 20), Some(topBigramsSql)),
     QueryDef("lang_id", (s, dir) => langId(Tables.documents(s, dir), "doc_id", "text"), Some(langIdSql)),

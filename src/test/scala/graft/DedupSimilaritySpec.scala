@@ -181,6 +181,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 1L)))
   }
 
+  test("data split is deterministic, covering, and roughly proportioned") {
+    import spark.implicits._
+    val d = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = TextAnalysis.dataSplit(d, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size === 2000) // every doc assigned exactly once
+    val frac = split.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("test") - 0.102) < 0.03)
+    assert(math.abs(frac("val") - 0.098) < 0.03)
+    assert(frac("train") > 0.7)
+    // stability: same ids → same assignment on recompute
+    val again = TextAnalysis.dataSplit(d, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === split)
+  }
+
+  test("source mix keeps per-source rates and is monotone in the threshold") {
+    import spark.implicits._
+    val d = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val low = TextAnalysis.sourceMix(d, "doc_id", "source", Map("src0" -> "40"), "cc")
+      .collect().map(_.getLong(0)).toSet
+    val high = TextAnalysis.sourceMix(d, "doc_id", "source", Map("src0" -> "80"), "cc")
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high)) // raising a rate only adds documents
+    val bySource = TextAnalysis.sourceMix(d, "doc_id", "source", Map("src0" -> "40"), "cc")
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource("src0") < bySource("src1")) // down-weighted source kept less
+  }
+
   test("language id and quality metrics are deterministic over the fixture") {
     val d = docs(1L -> "the cat and the dog", 2L -> "der hund und die katze ist")
     val langs = TextAnalysis.langId(d, "doc_id", "text")
