@@ -30,7 +30,7 @@ object Bench {
     graft.engine.GraftSql.tableNames.foreach { t =>
       try {
         val df = if (t == "events") graft.engine.Tables.events(spark, sfDir)
-        else spark.read.parquet(s"$sfDir/$t.parquet")
+        else graft.engine.Tables(spark, sfDir, t)
         df.write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => }
     }
@@ -44,21 +44,26 @@ object Bench {
     // (observed 0.3 s queries spiking to 20 s under external load).
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // operators persist their index frames (LSH bands, shingle index,
         // IVF centroids); drop them so cache memory from one run can't
         // skew the next
         spark.catalog.clearCache()
-        elapsed
+        (ok, elapsed)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only — a fast failure must not report as a
+      // fast query; if every run failed, report the worst elapsed
+      val good = runs.collect { case (true, t) => t }
+      name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -15,11 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmdir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous round's output FIRST: a failing query must leave
+      // no result behind, or the driver would hash stale (passing) data and
+      // mask the regression
+      rmdir(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmdir(new java.io.File(s"$outDir/$name"))
       }
       spark.catalog.clearCache() // drop per-operator persisted index frames
     }

@@ -22,6 +22,13 @@ object Tables {
     * to TimestampType. Read it as raw nanos (legacy conf, dynamic) and
     * convert to a microsecond TimestampType — the same truncation DuckDB
     * applies, so both engines see identical instants.
+    *
+    * Session-wide side effect, by design: the conf stays set, so OTHER
+    * nanos-parquet reads in this session also come back as LongType
+    * instead of erroring. The conf must stay on for this query's own
+    * execution (it is consulted again at scan time), so it cannot be
+    * safely restored here; callers reading foreign nanos parquet should
+    * convert explicitly as done below.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

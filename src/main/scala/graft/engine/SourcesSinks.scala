@@ -21,9 +21,11 @@ object Sources {
     spark.createDataset(elems)
 
   /** Inclusive-start, inclusive-end like Flink's fromSequence. */
-  def fromSequence(spark: SparkSession, from: Long, to: Long): Dataset[java.lang.Long] =
+  def fromSequence(spark: SparkSession, from: Long, to: Long): Dataset[java.lang.Long] = {
+    require(to < Long.MaxValue, "fromSequence: inclusive end Long.MaxValue would overflow range()")
     spark.range(from, to + 1).toDF("value").as[java.lang.Long](
       org.apache.spark.sql.Encoders.LONG)
+  }
 
   def fromCollection[T: Encoder](spark: SparkSession, elems: Seq[T]): Dataset[T] =
     spark.createDataset(elems)
@@ -42,12 +44,19 @@ object Sources {
   */
 object Sinks {
   /** Row-format text sink; `parallelism` ≙ Flink's setParallelism on the
-    * sink (output file count). Column values are tab-joined.
+    * sink (output file count). Column values are tab-joined; nulls render
+    * as empty fields (concat_ws would otherwise silently DROP null
+    * arguments and shift every later field left).
     */
-  def rowFileSink(df: DataFrame, path: String, parallelism: Int = 1): Unit =
-    df.select(concat_ws("\t", df.columns.map(c => col(c).cast("string")): _*).as("value"))
-      .coalesce(parallelism)
-      .write.mode("overwrite").text(path)
+  def rowFileSink(df: DataFrame, path: String, parallelism: Int = 1): Unit = {
+    val rendered = df.select(
+      concat_ws("\t", df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
+    // coalesce can only shrink; repartition when the caller wants MORE files
+    val sized =
+      if (rendered.rdd.getNumPartitions < parallelism) rendered.repartition(parallelism)
+      else rendered.coalesce(parallelism)
+    sized.write.mode("overwrite").text(path)
+  }
 
   def parquetSink(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -89,7 +89,7 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int): DataFrame = {
     val df = media.toDF()
-    df.filter(col("media_type") === "video")
+    df.filter(col("media_type") === "video" && length(col("payload")) > 0) // empty payload has no frames
       .select(
         col("media_id"),
         explode(sequence(lit(0L), greatest(ceil(length(col("payload")) / frameBytes) - 1, lit(0L)), lit(1L)))

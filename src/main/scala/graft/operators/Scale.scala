@@ -25,6 +25,8 @@ object Scale {
     * no RNG state on executors — re-runs and speculative tasks agree).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin: inputs must not already have a _salt column (it would be clobbered)")
     val saltedBig = big.withColumn(
       "_salt", pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)).cast("int"))
     val salts = small.sparkSession.range(0, buckets).select(col("id").cast("int").as("_salt"))
