@@ -35,19 +35,31 @@ object Dedup {
   val exactSql: String =
     "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1"
 
-  /** MinHash signatures, one wide aggregation: for each of `numHashes`
-    * hash functions j, the signature element is min over shingles of
-    * md5(j || '|' || shingle). All `numHashes` mins are computed as
-    * parallel aggregate expressions over a single pass of the shingle
-    * frame — no row multiplication, one shuffle keyed by doc. md5-as-string
-    * min is engine-portable; swap in xxhash64 for raw speed off the oracle
+  /** MinHash signatures, one wide aggregation: ONE md5 per shingle, and
+    * signature slot j is the min over shingles of an 8-hex-char (32-bit)
+    * slice of that digest at offset (j-1)*3+1. Each slice is itself a
+    * uniform hash of the shingle, so each slot is a valid min-wise hash;
+    * slices overlap (they share digest bits), which only adds estimator
+    * variance, never bias. All `numHashes` mins are computed as parallel
+    * aggregate expressions over a single pass of the shingle frame — no
+    * row multiplication, one shuffle keyed by doc, and 1 hash per shingle
+    * instead of `numHashes` (profiled: the 8× md5 was dedup_minhash's
+    * whole cost center). md5-slice min is engine-portable (DuckDB computes
+    * the identical digest); swap in xxhash64 for raw speed off the oracle
     * path.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 25,
+      s"numHashes ($numHashes) 8-hex-char slices must fit one 32-hex-char md5 digest")
+    // Slice offsets spread across the digest: stride 3 for the default 8
+    // hashes (matching the oracle SQL's (j-1)*3+1), degrading to denser
+    // overlap for larger signature counts.
+    val stride = if (numHashes == 1) 0 else math.max(1, (32 - 8) / (numHashes - 1))
     val mins = (1 to numHashes).map { j =>
-      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh_$j")
+      min(substring(col("d"), (j - 1) * stride + 1, 8)).as(s"mh_$j")
     }
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    sh.select(col(idCol), md5(col("sh")).as("d"))
+      .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over minhash signatures: `numHashes` signature elements in
@@ -57,14 +69,15 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextAnalysis.shingles(docs, idCol, textCol)
+    // min-agg is duplicate-insensitive → non-distinct shingles (no dedup shuffle)
+    val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
     minhashLshPairsFrom(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, rowsPerBand)
   }
 
   val minhashSql: String =
     s"""WITH sh AS (${TextAnalysis.shinglesSql()}),
        |mh AS (
-       |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mv
+       |  SELECT doc_id, j, min(substr(md5(sh), (j-1)*3+1, 8)) AS mv
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) h
        |  GROUP BY 1, 2
        |), bands AS (
@@ -84,7 +97,7 @@ object Dedup {
     */
   def minhashEstJaccard(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextAnalysis.shingles(docs, idCol, textCol)
+    val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
     val mh = minhashSignatures(sh, idCol, numHashes).persist()
     val pairs = minhashLshPairsFrom(mh, idCol, numHashes, rowsPerBand)
     val a = mh.select(col(idCol).as("doc_a") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"a_$j")): _*)
@@ -123,7 +136,7 @@ object Dedup {
     val agree = (1 to 8).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH sh AS (${TextAnalysis.shinglesSql()}),
        |mh AS (
-       |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mv
+       |  SELECT doc_id, j, min(substr(md5(sh), (j-1)*3+1, 8)) AS mv
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) h
        |  GROUP BY 1, 2
        |), wide AS (SELECT doc_id, $maxes FROM mh GROUP BY 1),

@@ -22,16 +22,22 @@ object TextAnalysis {
     * shingle volume to len/stride per document — at 100 TB that factor-4
     * reduction is the difference between a feasible and infeasible
     * inverted index.
+    *
+    * `distinct = false` skips the (doc, shingle) dedup exchange for
+    * consumers whose aggregate is duplicate-insensitive (min-hash
+    * signatures, fingerprints): same result, one full-corpus shuffle
+    * less. Keep the default for anything that counts shingles (Jaccard).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-               width: Int = 8, stride: Int = 4): DataFrame =
-    docs.filter(length(col(textCol)) >= width)
+               width: Int = 8, stride: Int = 4, distinct: Boolean = true): DataFrame = {
+    val raw = docs.filter(length(col(textCol)) >= width)
       .select(
         col(idCol),
         explode(sequence(lit(1L), (length(col(textCol)) - (width - 1)).cast("long"), lit(stride.toLong))).as("i"),
         col(textCol))
       .select(col(idCol), expr(s"substring($textCol, CAST(i AS INT), $width)").as("sh"))
-      .distinct()
+    if (distinct) raw.distinct() else raw
+  }
 
   /** DuckDB twin of [[shingles]] as a CTE body (table must expose
     * doc_id/text).
@@ -134,7 +140,8 @@ object TextAnalysis {
     * min-shingle-hash (stable under small appends, unlike the full hash).
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    // min is duplicate-insensitive → non-distinct shingles, one shuffle less
+    val sh = shingles(docs, idCol, textCol, distinct = false)
     val minSh = sh.groupBy(col(idCol)).agg(min(md5(col("sh"))).as("fp_min"))
     docs.select(col(idCol), md5(col(textCol)).as("fp_full"))
       .join(minSh, Seq(idCol), "left")

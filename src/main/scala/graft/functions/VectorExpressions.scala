@@ -69,11 +69,17 @@ object VectorExpressions {
     org.apache.spark.sql.functions.call_function("vector_dot", a, b)
 
   /** Idempotent registration; also makes `vector_dot(a, b)` available in
-    * spark.sql text queries.
+    * spark.sql text queries. Guarded on an existing entry so repeated
+    * defensive calls from operators don't spam
+    * "replaced a previously registered function" warnings.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", exprs => VectorDotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot")
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vector_dot", exprs => VectorDotProduct(exprs(0), exprs(1)), "built-in")
+    }
+  }
 }
 
 /** SparkSessionExtensions entry point: lets deployments wire the engine's

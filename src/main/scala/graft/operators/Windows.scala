@@ -133,10 +133,12 @@ object Windows {
     * whole window buffered. `collect_list` + `sort_array` keeps it an
     * aggregation (partial lists merge map-side); memory is bounded by
     * window × key cardinality — the same bound Flink's window state has.
+    * The buffer is emitted as a canonical comma-joined string rather than
+    * an array column so the result stays hashable for exact comparison.
     */
   def windowElements(df: DataFrame, tsCol: String, size: String, idCol: String): DataFrame =
     df.groupBy(window(col(tsCol), size))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(concat_ws(",", sort_array(collect_list(col(idCol)))).as("ids"))
       .select(unix_timestamp(col("window.start")).as("ws"), col("ids"))
 
   /** Processing-time windows: stamp arrival time at ingest and window on
@@ -236,7 +238,7 @@ object Windows {
     QueryDef(
       "window_elements",
       (s, dir) => windowElements(evs(s, dir), "ts", "1 hour", "event_id"),
-      Some(s"SELECT ${tumbleSql(3600)} AS ws, list(event_id ORDER BY event_id) AS ids " +
+      Some(s"SELECT ${tumbleSql(3600)} AS ws, string_agg(event_id, ',' ORDER BY event_id) AS ids " +
         "FROM events GROUP BY 1")),
     QueryDef(
       "topk_window",
