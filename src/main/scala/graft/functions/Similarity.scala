@@ -93,6 +93,26 @@ object Similarity {
       }
     }
 
+  /** Deterministic ±1 hyperplanes derived from md5("p_d") — engine-portable:
+    * DuckDB computes the identical digest, so an oracle can reproduce the
+    * exact same planes (sign = parity of the first hex char's ASCII code,
+    * i.e. of the digest's high nibble). Use these when the LSH assignment
+    * itself must be cross-engine reproducible (the [[Dedup.embeddingLshPairs]]
+    * oracle); [[hyperplanes]] (MurmurHash3) stays the cheaper default when
+    * only Spark needs to agree with itself.
+    */
+  def md5Hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      Array.tabulate(dim) { d =>
+        md.reset()
+        val h = md.digest(s"${p}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val firstHexChar = "0123456789abcdef".charAt((h(0) >> 4) & 0xf)
+        if (firstHexChar.toInt % 2 == 0) 1f else -1f
+      }
+    }
+  }
+
   /** Sign-LSH bucket id from `numPlanes` hyperplanes (bit p = sign of
     * projection onto plane p).
     */
