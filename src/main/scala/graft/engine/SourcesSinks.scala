@@ -37,8 +37,9 @@ object Sources {
   *  - `.print` (DataStreams.scala:18 et al.) → [[Sinks.printSink]]
   *    (batch `show`; streaming callers use `writeStream.format("console")`)
   *  - `StreamingFileSink.forRowFormat` + parallelism 1
-  *    (DataStreams.scala:57-62) → [[Sinks.rowFileSink]] — row-format text,
-  *    `parallelism` controls output file count via coalesce
+  *    (DataStreams.scala:57-62) → [[Sinks.rowFileStreamSink]] (streaming,
+  *    checkpointed append) and [[Sinks.rowFileSink]] (bounded batch twin) —
+  *    row-format text, `parallelism` controls output file count via coalesce
   *  - `executeAndCollect` (WindowFunctions.scala:222) → [[Sinks.collectToDriver]]
   *    (bounded results only — the engine never collects inside operators).
   */
@@ -49,14 +50,40 @@ object Sinks {
     * arguments and shift every later field left).
     */
   def rowFileSink(df: DataFrame, path: String, parallelism: Int = 1): Unit = {
-    val rendered = df.select(
-      concat_ws("\t", df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
+    val rendered = renderRows(df)
     // coalesce can only shrink; repartition when the caller wants MORE files
     val sized =
       if (rendered.rdd.getNumPartitions < parallelism) rendered.repartition(parallelism)
       else rendered.coalesce(parallelism)
     sized.write.mode("overwrite").text(path)
   }
+
+  /** Tab-joined row rendering shared by the batch and streaming file sinks;
+    * nulls render as empty fields (concat_ws would otherwise silently DROP
+    * null arguments and shift every later field left).
+    */
+  private def renderRows(df: DataFrame): DataFrame =
+    df.select(
+      concat_ws("\t", df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
+
+  /** Streaming row-format file sink — the `StreamingFileSink.forRowFormat`
+    * + `setParallelism(1)` shape (reference: DataStreams.scala:56-62).
+    * Text files accumulate under `path` in append mode (the only mode the
+    * file sink supports — exactly Flink's row-format semantics: finalized
+    * parts are immutable); `checkpoint` makes output exactly-once across
+    * restarts, the role Flink's checkpointing plays for its file sink.
+    * `parallelism` ≙ sink parallelism = files per micro-batch.
+    */
+  def rowFileStreamSink(df: DataFrame, path: String, checkpoint: String,
+                        parallelism: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    renderRows(df)
+      .coalesce(parallelism)
+      .writeStream
+      .format("text")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 
   def parquetSink(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -51,6 +51,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col("window.end").as("we"), col("cnt"))
 
+  /** Streaming full-window buffer — the unbounded twin of
+    * [[graft.operators.Windows.windowElements]] (reference
+    * `ProcessAllWindowFunction` receiving the whole window's elements,
+    * WindowFunctions.scala:58-63). The buffered `Iterable[T]` is a
+    * `collect_list` aggregation (partial lists merge incrementally in the
+    * state store — no full-window recompute per event), emitted once per
+    * window in append mode as the same canonical sorted comma-joined
+    * string as the batch operator.
+    */
+  def tumblingElements(events: DataFrame, tsCol: String, delay: String,
+                       size: String, idCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size))
+      .agg(concat_ws(",", sort_array(collect_list(col(idCol)))).as("ids"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("ids"))
+
   /** Streaming keyed tumbling count (reference: WindowFunctions.scala:109-121). */
   def keyedTumblingCounts(events: DataFrame, keyCol: String, tsCol: String,
                           delay: String, size: String): DataFrame =

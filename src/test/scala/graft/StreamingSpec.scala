@@ -300,6 +300,57 @@ class StreamingSpec extends SparkSpec {
     assert(fires.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq.sorted === Seq(2L, 4L))
   }
 
+  test("streaming window_elements canonical strings equal the batch result on the reference fixture") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[GamingFixture.ServerEvent]
+    val q = StreamingOps.tumblingElements(input.toDF(), "event_time", "500 milliseconds",
+        "3 seconds", "player_id")
+      .writeStream.format("memory").queryName("elements_out").outputMode("append").start()
+    try {
+      input.addData(GamingFixture.events)
+      // watermark-advancing sentinel closes every fixture window; its own
+      // window never closes, so append mode never emits it
+      input.addData(GamingFixture.ServerEvent(at(100.0), "PlayerOnline", "zed"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("elements_out")
+      .collect().map(r => (r.getLong(0) - GamingFixture.base.getEpochSecond, r.getString(1))).toMap
+    val batch = graft.operators.Windows.windowElements(
+        GamingFixture.events.toDF(), "event_time", "3 seconds", "player_id")
+      .collect().map(r => (r.getLong(0) - GamingFixture.base.getEpochSecond, r.getString(1))).toMap
+    assert(streamed === batch)
+    // reference expectation (WindowFunctions.scala:24-37): offsets 2-10 fill
+    // four 3 s windows; each buffer lists its players in canonical order
+    assert(batch(0L) === "bob")
+    // [3,6): registrations sam@3, rob@4, alice@4 + online bob@3, sam@4, rob@5
+    assert(batch(3L) === "alice,bob,rob,rob,sam,sam")
+    assert(batch.keySet === Set(0L, 3L, 6L, 9L))
+  }
+
+  test("streaming file sink writes row-format text files readable back (reference: DataStreams.scala:56-62)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val input = MemoryStream[(Long, String)]
+    // a null field exercises the null-safe rendering (empty field, no shift)
+    val df = input.toDF().toDF("n", "s")
+      .withColumn("s", when(col("n") === 2L, lit(null: String)).otherwise(col("s")))
+    val q = graft.engine.Sinks.rowFileStreamSink(df, s"$dir/out", s"$dir/ckpt")
+    try {
+      input.addData((1L, "one"), (2L, "two"))
+      q.processAllAvailable()
+      input.addData((3L, "three")) // second micro-batch appends, never rewrites
+      q.processAllAvailable()
+    } finally q.stop()
+    val lines = spark.read.text(s"$dir/out").collect().map(_.getString(0)).toSet
+    assert(lines === Set("1\tone", "2\t", "3\tthree"))
+    // parallelism 1 ≙ Flink setParallelism(1): one part file per micro-batch
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(parts.length === 2, s"expected one file per micro-batch, got ${parts.map(_.getName).toSeq}")
+  }
+
   test("rate-source generators produce the reference event shapes") {
     val carts = graft.streaming.Generators.shoppingCartEvents(spark, 10)
     assert(carts.isStreaming)
