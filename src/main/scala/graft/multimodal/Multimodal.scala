@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * in batches.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, per-partition
-  * iteration) is real and tested; the codec itself is a clearly-marked
-  * deterministic STUB ([[FakeCodec]]) because no image/audio libraries ship
-  * in this environment — swapping in a real decoder touches only
-  * `FakeCodec.decode`.
+  * iteration) is real and tested. IMAGE decode is real too ([[ImageCodec]],
+  * JDK `javax.imageio` — PNG/BMP/GIF/JPEG, zero added dependencies);
+  * audio/video decode remains a clearly-marked deterministic STUB
+  * ([[FakeCodec]]) because no audio/video codecs ship with the JDK —
+  * swapping in a real one touches only `FakeCodec.decode`.
   *
   * Scale notes: media payloads dominate row size, so the pipeline
   * (a) never collects payloads to the driver, (b) processes rows with
@@ -38,9 +39,56 @@ object Multimodal {
       checksum: Long,
       feature: Array[Float])
 
-  /** STUB codec — deterministic fake standing in for image/audio decode.
-    * Replace `decode` with a real library call; everything around it
-    * (schema, batching, partitioning) is production-shaped.
+  /** Real image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG
+    * readers ship with the JDK — zero new dependencies). Returns None when
+    * ImageIO does not recognize the payload, letting the pipeline fall back
+    * to [[FakeCodec]] for opaque bytes. Features: width, height, per-channel
+    * means, luma mean/stddev, pixel count — the moment vector a real
+    * embedding model would replace.
+    */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
+    val FeatureDim = 8
+
+    def decode(payload: Array[Byte]): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        var sr, sg, sb, sl, sl2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toDouble * h).max(1.0)
+        Array(
+          w.toFloat, h.toFloat,
+          (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+          (sl / n / 255.0).toFloat,
+          math.sqrt(math.max(0.0, sl2 / n - (sl / n) * (sl / n))).toFloat,
+          (w.toLong * h).toFloat)
+      }
+    }
+  }
+
+  /** STUB codec — deterministic fake standing in for audio/video decode
+    * (no media containers/codecs ship with the JDK; image decode is REAL,
+    * see [[ImageCodec]]). Replace `decode` with a real library call;
+    * everything around it (schema, batching, partitioning) is
+    * production-shaped.
     */
   object FakeCodec {
     val FeatureDim = 8
@@ -73,12 +121,19 @@ object Multimodal {
       .mapPartitions { rows =>
         // Per-partition init hook: a real codec opens handles/models here.
         rows.map { r =>
+          // images go through the REAL decoder (JDK ImageIO); payloads it
+          // does not recognize — and the audio/video modalities, which have
+          // no JDK codec — use the deterministic fake
+          val feature = r.media_type match {
+            case "image" => ImageCodec.decode(r.payload).getOrElse(FakeCodec.decode(r.payload))
+            case _       => FakeCodec.decode(r.payload)
+          }
           MediaFeatures(
             r.media_id,
             r.media_type,
             r.payload.length.toLong,
             FakeCodec.checksum(r.payload),
-            FakeCodec.decode(r.payload))
+            feature)
         }
       }
   }

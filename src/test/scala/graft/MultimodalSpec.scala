@@ -17,6 +17,49 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.feature.length === Multimodal.FakeCodec.FeatureDim))
   }
 
+  /** A real 2×2 PNG, encoded in-memory by the JDK itself: red, green /
+    * blue, white pixels.
+    */
+  private def png2x2: Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0xff0000); im.setRGB(1, 0, 0x00ff00)
+    im.setRGB(0, 1, 0x0000ff); im.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageCodec decodes a real 2x2 PNG to exact pixel features") {
+    val f = Multimodal.ImageCodec.decode(png2x2).get
+    assert(f.length === Multimodal.ImageCodec.FeatureDim)
+    assert(f(0) === 2f && f(1) === 2f) // width, height
+    // channel means: each channel is 255 in exactly 2 of 4 pixels → 0.5
+    assert(math.abs(f(2) - 0.5f) < 1e-6 && math.abs(f(3) - 0.5f) < 1e-6 && math.abs(f(4) - 0.5f) < 1e-6)
+    // luma mean: (0.299 + 0.587 + 0.114 + 1.0) * 255 / 4 / 255 = 0.5
+    assert(math.abs(f(5) - 0.5f) < 1e-6)
+    // exact stddev of {76.245, 149.685, 29.07, 255} around 127.5
+    val lumas = Seq(0.299, 0.587, 0.114, 1.0).map(_ * 255)
+    val expectedSd = math.sqrt(lumas.map(l => (l - 127.5) * (l - 127.5)).sum / 4)
+    assert(math.abs(f(6) - expectedSd) < 1e-3)
+    assert(f(7) === 4f) // pixel count
+    // garbage bytes are NOT an image → None (pipeline falls back to FakeCodec)
+    assert(Multimodal.ImageCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("extractFeatures routes real PNG payloads through the real decoder") {
+    import spark.implicits._
+    val payload = png2x2
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", payload, Some(2), Some(2), None),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](9, 9, 9), None, None, Some(16000))))
+    val feats = Multimodal.extractFeatures(media, partitions = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    // the image row carries real decoded dimensions in its feature vector
+    assert(feats(1L).feature(0) === 2f && feats(1L).feature(1) === 2f && feats(1L).feature(7) === 4f)
+    // the audio row went through the deterministic fake
+    assert(feats(2L).feature.toSeq === Multimodal.FakeCodec.decode(Array[Byte](9, 9, 9)).toSeq)
+  }
+
   test("frame sampling expands only video rows") {
     val media = Multimodal.syntheticMedia(spark, 9) // ids 2,5,8 are video
     val frames = Multimodal.sampleFrames(media, frameBytes = 16)
