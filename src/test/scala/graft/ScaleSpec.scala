@@ -50,6 +50,27 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("registered bucketed_join qkey: q18 result off bucketed staging, zero hash exchanges") {
+    val sf = "/root/testdata/sf0.001"
+    // broadcast off: at real scale neither side of a fact/fact join fits,
+    // and the assertion is about the bucketed layout, not broadcast luck
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("bucketed_join")(spark, sf)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed q18 still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
+      // physical layout must not change the answer
+      val plain = SparkEntry.queries("q18_big_orders")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === plain)
+      assert(got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("shuffle partition sizing clamps and scales") {
     assert(Scale.shufflePartitionsFor(1L << 20) === 32) // tiny input → floor
     assert(Scale.shufflePartitionsFor(100L * (128L << 20)) === 100)
