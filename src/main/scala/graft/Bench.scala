@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * (a bare .count() would let Catalyst skip projections); one warm-up of
   * the smallest table primes the session so JVM/codegen startup is not
   * charged to the first query.
+  *
+  * EXPECTED warning in the tail: "WindowExec: No Partition Defined ...
+  * single partition" — emitted by the global (non-keyed) window emulations
+  * (count_window, session_count, window_elements...), whose
+  * single-sequence semantics mirror Flink's parallelism-1
+  * GlobalWindows/AllWindowed streams. Deliberate; the keyed twins are the
+  * scale path (see Windows.countWindow).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -40,7 +40,10 @@ object Dedup {
     * slice of that digest at offset (j-1)*3+1. Each slice is itself a
     * uniform hash of the shingle, so each slot is a valid min-wise hash;
     * slices overlap (they share digest bits), which only adds estimator
-    * variance, never bias. All `numHashes` mins are computed as parallel
+    * variance, never bias, PER SLOT — correlated slots in one LSH band
+    * would weaken AND-amplification, which is why banding pairs slots
+    * `numBands` apart (disjoint slices at the default config; see
+    * [[minhashLshPairsFrom]]). All `numHashes` mins are computed as parallel
     * aggregate expressions over a single pass of the shingle frame — no
     * row multiplication, one shuffle keyed by doc, and 1 hash per shingle
     * instead of `numHashes` (profiled: the 8× md5 was dedup_minhash's
@@ -81,7 +84,7 @@ object Dedup {
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) h
        |  GROUP BY 1, 2
        |), bands AS (
-       |  SELECT doc_id, CAST(floor((j-1)/2) AS INT) AS band,
+       |  SELECT doc_id, CAST((j-1) % 4 AS INT) AS band,
        |         string_agg(mv, ',' ORDER BY j) AS sig
        |  FROM mh GROUP BY 1, 2
        |)
@@ -117,8 +120,14 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
         "trailing signature slots would silently never band-join")
     val numBands = numHashes / rowsPerBand
+    // Band slot j with j+numBands (modulo banding), NOT adjacent slots:
+    // adjacent slots are 8-hex-char digest slices `stride` apart, so they
+    // share bits and their band-collision probability exceeds s^rowsPerBand
+    // (weakened AND-amplification → extra false-positive candidates).
+    // Slots numBands apart sit numBands*stride chars apart — fully disjoint
+    // slices for the default 8×stride-3 config (12 ≥ 8).
     val bandStructs = (0 until numBands).map { b =>
-      val sig = concat_ws(",", (1 to rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+      val sig = concat_ws(",", (0 until rowsPerBand).map(r => col(s"mh_${b + 1 + r * numBands}")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
     val bands = mh.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
@@ -141,7 +150,7 @@ object Dedup {
        |  GROUP BY 1, 2
        |), wide AS (SELECT doc_id, $maxes FROM mh GROUP BY 1),
        |bands AS (
-       |  SELECT doc_id, CAST(floor((j-1)/2) AS INT) AS band,
+       |  SELECT doc_id, CAST((j-1) % 4 AS INT) AS band,
        |         string_agg(mv, ',' ORDER BY j) AS sig
        |  FROM mh GROUP BY 1, 2
        |), pairs AS (

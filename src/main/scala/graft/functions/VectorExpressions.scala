@@ -72,6 +72,13 @@ object VectorExpressions {
     * spark.sql text queries. Guarded on an existing entry so repeated
     * defensive calls from operators don't spam
     * "replaced a previously registered function" warnings.
+    *
+    * The guard means register() DEFERS to whatever `vector_dot` is already
+    * in the session registry — fine for the expected cases (this function,
+    * or the identical one injected by [[GraftExtensions]]), but a session
+    * that pre-registered a different `vector_dot` keeps its own semantics;
+    * the engine's operators never re-assert theirs. Callers needing a
+    * guarantee should wire [[GraftExtensions]] at session build.
     */
   def register(spark: SparkSession): Unit = {
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot")

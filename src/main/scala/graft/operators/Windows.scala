@@ -100,6 +100,11 @@ object Windows {
     * GlobalWindows too); [[keyedCountWindow]] is the scale path.
     */
   def countWindow(df: DataFrame, tsCol: String, idCol: String, n: Int): DataFrame = {
+    // EXPECTED at runtime: "WindowExec: No Partition Defined ... single
+    // partition" — the un-partitioned orderBy is the SEMANTICS here, not an
+    // accident: Flink's GlobalWindows is likewise a parallelism-1 operator
+    // (one global element sequence). Jobs that need parallelism use
+    // [[keyedCountWindow]] below.
     val w = Window.orderBy(col(tsCol), col(idCol))
     df.withColumn("rn", row_number().over(w))
       .groupBy(floor((col("rn") - 1) / n).cast("long").as("bucket"))
