@@ -355,6 +355,78 @@ object Dedup {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
+  /** Cluster assignment over the near-dup candidate graph — the step that
+    * turns pairwise dedup output into something a pipeline can act on
+    * (keep one canonical doc per cluster): connected components by
+    * iterative min-label propagation. Every doc starts as its own label;
+    * each round a node adopts the minimum label among itself and its
+    * neighbors; fixpoint when no label drops. The cluster id is therefore
+    * the minimum doc id in the component — deterministic, engine-portable.
+    *
+    * Scale shape: each round is one equi-join of the (symmetrized) edge
+    * list against the label table plus a min-aggregate — all hash
+    * exchanges on ids, no driver-side graph — followed by a pointer-jump
+    * (comp := comp(comp), a self-join of the label table) that halves the
+    * remaining label-chain depth, giving O(log diameter) rounds instead of
+    * O(diameter); rounds are the cost driver both here (per-job overhead)
+    * and on a cluster (per-stage barriers). `localCheckpoint` after each
+    * round truncates the growing lineage so round N's plan doesn't replay
+    * rounds 1..N-1.
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame, idCol: String,
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist() // read once per round
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      // prev rides along so convergence needs no extra join against the
+      // previous round — one filter on the already-cached result instead
+      val stepped = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+      // pointer jump: comp := comp(comp). Every comp value is a node id,
+      // so the self-join hits; min-labels only ever decrease, so jumping
+      // stays within the component.
+      val next = stepped
+        .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
+          stepped("comp") === col("jid"), "left")
+        .select(stepped("id"), coalesce(col("jcomp"), stepped("comp")).as("comp"), stepped("prev"))
+        .localCheckpoint() // eager: one round = one materialization
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
+      iters += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIters rounds — label-chain depth exceeds " +
+          "the cap; raise maxIters")
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** DuckDB twin of [[connectedComponents]] over the [[minhashSql]] pair
+    * graph: a recursive CTE enumerates every (node, reachable-node) pair —
+    * min over the reachable set is the component minimum, the same
+    * cluster id the propagation converges to.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashSql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+       |)
+       |SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+
   /** SimHash bit-vote accumulator: slot b counts set bits of position b,
     * slot 64 counts tokens; a fingerprint bit is set when set-bits form the
     * majority (2·c_b > n ⟺ the ±1 vote sum is positive). Same
@@ -394,5 +466,9 @@ object Dedup {
     QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
     QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),
     QueryDef("dedup_embedding_lsh", (s, dir) => embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingLshSql)),
+    QueryDef("dedup_clusters", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      connectedComponents(docs, minhashLshPairs(docs, "doc_id", "text"), "doc_id")
+    }, Some(dedupClustersSql)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{QueryDef, Tables}
@@ -190,6 +191,49 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1
       |ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin
 
+  /** Top-k terms per document by TF-IDF with RAW idf (score = tf·N/df, no
+    * log): tf·N is an exact integer product, so the score is a single IEEE
+    * division — bit-identical across engines, where log-idf would differ
+    * in the last ulp between libm implementations and break the oracle
+    * hash. Raw idf preserves the tf-idf ranking's monotonicity in tf and
+    * 1/df; ties (equal tf and df) break on the term text.
+    *
+    * Scale shape: tf is one (doc, term) hash aggregation off the token
+    * explosion (map-side combined); df aggregates the tf table again, so
+    * the shuffle carries |vocabulary|, not corpus tokens; N joins in as a
+    * broadcast scalar; the per-doc top-k is a window over doc partitions —
+    * each partition is one document's distinct terms, never the corpus.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    // tf feeds the df aggregation AND the scored join → persist
+    val tf = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("tfidf"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .select(col(idCol), row_number().over(w).cast("long").as("rnk"), col("term"), col("tfidf"))
+      .filter(col("rnk") <= k)
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk,
+      |             term, tfidf
+      |      FROM scored)
+      |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3""".stripMargin
+
   /** Deterministic train/validation/test split by content-independent id
     * hash — the reproducible data-splitting primitive every training
     * pipeline needs. Hash-based (not random) so the assignment is stable
@@ -242,5 +286,6 @@ object TextAnalysis {
     QueryDef("text_quality", (s, dir) => qualityScore(Tables.documents(s, dir), "doc_id", "text"), Some(qualityScoreSql)),
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
     QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
+    QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),
   )
 }

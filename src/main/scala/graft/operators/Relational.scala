@@ -171,6 +171,61 @@ object Relational {
           |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
           |) ON o_orderkey = l_orderkey""".stripMargin)),
     QueryDef(
+      "q4_order_priority",
+      // TPC-H Q4 shape (EXISTS → left-semi join), adapted to this schema:
+      // orders in a one-year window having at least one returned line
+      // (no commit/receipt dates in the test data). The semi join carries
+      // only the order key from lineitem and never multiplies rows (no
+      // dedup of the EXISTS side needed); the priority agg is a 5-group
+      // map-side combine, so the only real shuffle is the key exchange —
+      // at 100× both sides hash-partition on o_orderkey and the shape holds.
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        val returned = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+        ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY 1""".stripMargin)),
+    QueryDef(
+      "q16_supplier_cnt",
+      // TPC-H Q16 shape (NOT IN → left-anti join + count distinct), adapted
+      // to this schema: lineitem is the part↔supplier bridge (no partsupp
+      // table). The excluded-supplier subquery is tiny by construction
+      // (negative balances) → broadcast anti join: the NOT IN costs zero
+      // fact shuffles. part is deliberately NOT hinted — Catalyst
+      // broadcasts it under the threshold and degrades to a shuffled join
+      // at 100× (an explicit broadcast() would OOM there). count(DISTINCT)
+      // plans as the two-phase partial-distinct aggregate, so the shuffle
+      // carries (brand, size, suppkey) triples, not lineitem rows.
+      (s, dir) => {
+        val badSupp = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val parts = Tables.part(s, dir).filter(col("p_brand") =!= "Brand#45")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some(
+        """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM part JOIN lineitem ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#45'
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY 1, 2""".stripMargin)),
+    QueryDef(
       "json_props",
       (s, dir) => jsonPropSum(Tables.events(s, dir)),
       Some(

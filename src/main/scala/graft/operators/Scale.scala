@@ -102,6 +102,28 @@ object Scale {
         col("total_qty"))
   }
 
+  /** Revenue by brand off a salted lineitem⋈part join — [[saltedJoin]] as a
+    * registered, oracle-audited capability. The salt only changes physical
+    * row placement (a hot part key spreads over `buckets` reducers instead
+    * of one); the logical result is the plain join's, so the oracle is the
+    * UNSALTED SQL — "same answer, skew-proof plan" is the contract being
+    * hash-checked. At test scale the replicated part side broadcasts and
+    * the salt is moot; the shape matters at 100× when a skewed mid-size
+    * dimension is broadcast-ineligible and AQE's skew split can't help
+    * (e.g. the skew survives into a required sort-merge join).
+    */
+  def saltedBrandRevenue(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    import Parity._
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    saltedJoin(li, parts, "l_partkey", buckets)
+      .groupBy(col("p_brand"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
   /** Same result contract as q18_big_orders — the oracle doesn't care about
     * physical layout, which is the point: bucketing changes the plan, never
     * the answer.
@@ -114,6 +136,12 @@ object Scale {
           |  SELECT l_orderkey, sum(l_quantity) AS total_qty
           |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
           |) ON o_orderkey = l_orderkey""".stripMargin)),
+    QueryDef("skew_join_salted", (s, dir) => saltedBrandRevenue(s, dir),
+      Some(
+        s"""SELECT p_brand, ${Parity.decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           |  count(*) AS cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY 1""".stripMargin)),
   )
 
   /** Size shuffle partitions to the data: ceil(inputBytes / targetBytes),

@@ -242,4 +242,51 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("doc_id") === 1).collect()(0)
     assert(q.getLong(2) === 5L) // n_tokens
   }
+
+  test("connected components: transitive chains merge, singletons keep their id") {
+    import spark.implicits._
+    // 1-2, 2-3 chain → {1,2,3} labeled 1; 5-6 → labeled 5; 4 and 7 singletons
+    val allDocs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(allDocs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connected components converge on a long path graph (diameter = rounds bound)") {
+    import spark.implicits._
+    // path 1-2-...-12: min label must walk the whole chain
+    val n = 12L
+    val allDocs = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(allDocs, pairs, "doc_id")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq === Seq(1L)) // one component, labeled by the min id
+  }
+
+  test("dedup_clusters end-to-end: minhash near-dups land in one cluster") {
+    val got = Dedup.connectedComponents(
+      corpus, Dedup.minhashLshPairs(corpus, "doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L) // exact dups cluster under the min id
+    assert(got(4L) === 4L) // unrelated doc stays its own cluster
+    assert(got.size === 4)
+    spark.catalog.clearCache()
+  }
+
+  test("tfidf top terms: rarer term outranks common term at equal tf") {
+    import spark.implicits._
+    // 'rare' appears in 1 doc, 'shared' in all 3 → idf 3 vs 1
+    val d = Seq(
+      (1L, "rare shared alpha"),
+      (2L, "shared beta gamma"),
+      (3L, "shared delta epsilon")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    // doc 1: alpha and rare tie at tf=1·N=3/df=1 = 3.0 → term-asc tie-break
+    assert(top((1L, 1L)) === ("alpha", 3.0))
+    assert(top((1L, 2L)) === ("rare", 3.0))
+    assert(top((1L, 3L)) === ("shared", 1.0)) // df=3 → score 1.0, ranked last
+    spark.catalog.clearCache()
+  }
 }

@@ -129,4 +129,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window") || p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction"),
       s"expected a window operator:\n$p")
   }
+
+  test("q4_order_priority plans the EXISTS as a semi join with pushed filters") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed to the scan:\n$p")
+  }
+
+  test("q16_supplier_cnt plans the NOT IN as a broadcast anti join") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), s"NOT IN did not plan as an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"tiny exclusion set not broadcast:\n$p")
+  }
+}
+
+/** Cross-checks of the new relational shapes against Spark SQL's own
+  * subquery planner (EXISTS / NOT IN) over the same parquet — a second,
+  * independent formulation inside the engine, complementing the DuckDB
+  * oracle outside it.
+  */
+class RelationalSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q4_order_priority equals Spark SQL's own EXISTS formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q4_order_priority")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === viaSql)
+    assert(got.size === 5 && got.values.forall(_ > 0))
+  }
+
+  test("q16_supplier_cnt equals Spark SQL's own NOT IN formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = SparkEntry.queries("q16_supplier_cnt")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === viaSql)
+    assert(got.nonEmpty)
+  }
 }

@@ -71,6 +71,21 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("registered skew_join_salted qkey equals the plain (unsalted) join result") {
+    val sf = "/root/testdata/sf0.001"
+    val salted = SparkEntry.queries("skew_join_salted")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val pt = spark.read.parquet(s"$sf/part.parquet")
+    val plain = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(graft.operators.Parity.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
   test("shuffle partition sizing clamps and scales") {
     assert(Scale.shufflePartitionsFor(1L << 20) === 32) // tiny input → floor
     assert(Scale.shufflePartitionsFor(100L * (128L << 20)) === 100)
