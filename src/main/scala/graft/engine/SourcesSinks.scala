@@ -73,17 +73,23 @@ object Sinks {
     * parts are immutable); `checkpoint` makes output exactly-once across
     * restarts, the role Flink's checkpointing plays for its file sink.
     * `parallelism` ≙ sink parallelism = files per micro-batch.
+    *
+    * parallelism 1 (the reference's setting) uses coalesce — no shuffle per
+    * micro-batch; >1 uses repartition so the file count is exact even when
+    * the micro-batch arrives with fewer partitions (coalesce can only
+    * shrink — it would silently write fewer files than requested).
     */
   def rowFileStreamSink(df: DataFrame, path: String, checkpoint: String,
-                        parallelism: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
-    renderRows(df)
-      .coalesce(parallelism)
+                        parallelism: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    val rendered = renderRows(df)
+    (if (parallelism <= 1) rendered.coalesce(1) else rendered.repartition(parallelism))
       .writeStream
       .format("text")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+  }
 
   def parquetSink(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

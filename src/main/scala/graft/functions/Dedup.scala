@@ -369,17 +369,28 @@ object Dedup {
     * (comp := comp(comp), a self-join of the label table) that halves the
     * remaining label-chain depth, giving O(log diameter) rounds instead of
     * O(diameter); rounds are the cost driver both here (per-job overhead)
-    * and on a cluster (per-stage barriers). `localCheckpoint` after each
-    * round truncates the growing lineage so round N's plan doesn't replay
-    * rounds 1..N-1.
+    * and on a cluster (per-stage barriers). Two scale decisions beyond
+    * that: (1) iteration runs over the EDGE-TOUCHED nodes only — a
+    * near-dup graph touches a fraction of the corpus, so rounds cost
+    * O(|V(pairs)|), not O(|docs|); the untouched majority joins back once
+    * at the end as singleton components. (2) `localCheckpoint` after each
+    * round truncates the growing lineage, and the PREVIOUS round's
+    * checkpoint RDD is unpersisted as soon as the new round materializes,
+    * so executor storage stays O(1) rounds, not O(iters).
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame, idCol: String,
                           aCol: String = "doc_a", bCol: String = "doc_b",
                           maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // persist the projected pairs BEFORE symmetrizing: the union's two
+    // branches otherwise each recompute the full candidate-pair plan
+    // (minhash signatures + band join) — 2× the most expensive input step
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist() // read once per round
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    p.unpersist() // edges (materialized by the checkpoint's job) covers it now
+    var prevRound = labels
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -400,6 +411,8 @@ object Dedup {
         .select(stepped("id"), coalesce(col("jcomp"), stepped("comp")).as("comp"), stepped("prev"))
         .localCheckpoint() // eager: one round = one materialization
       converged = next.filter(col("comp") < col("prev")).isEmpty
+      unpersistCheckpoint(prevRound) // next is materialized; round N-1's cache is dead weight
+      prevRound = next
       labels = next.select(col("id"), col("comp"))
       iters += 1
     }
@@ -408,8 +421,25 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIters rounds — label-chain depth exceeds " +
           "the cap; raise maxIters")
-    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    // singletons never enter the iteration; identity-label them here. The
+    // component map is one shuffle join against docs — NOT broadcast: at
+    // corpus scale |V(pairs)| can itself be large, and docs only shuffles
+    // its id column.
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
+
+  /** Drop the persisted RDD backing a `localCheckpoint`ed frame. The
+    * checkpoint caches its materialized rows behind a `LogicalRDD`; plain
+    * `unpersist()` does not reach it (the Dataset was never `.persist()`ed),
+    * so the RDD is unpersisted directly.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** DuckDB twin of [[connectedComponents]] over the [[minhashSql]] pair
     * graph: a recursive CTE enumerates every (node, reachable-node) pair —

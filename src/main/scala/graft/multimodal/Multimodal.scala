@@ -52,9 +52,13 @@ object Multimodal {
     val FeatureDim = 8
 
     def decode(payload: Array[Byte]): Option[Array[Float]] = {
+      // NonFatal, not just IOException: ImageIO readers throw runtime
+      // exceptions (IllegalArgument/IndexOutOfBounds) on payloads whose
+      // header parses but whose body is corrupt — any undecodable payload
+      // must take the documented FakeCodec fallback, not fail the task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         val w = im.getWidth
         val h = im.getHeight

@@ -208,12 +208,19 @@ object Relational {
       // at 100× (an explicit broadcast() would OOM there). count(DISTINCT)
       // plans as the two-phase partial-distinct aggregate, so the shuffle
       // carries (brand, size, suppkey) triples, not lineitem rows.
+      // NULL-key note: anti-join ≡ NOT IN only for non-null keys (a NULL
+      // s_suppkey would empty the NOT IN result; a NULL l_suppkey row is
+      // dropped by NOT IN but kept by the anti join). Both sides are
+      // filtered non-null so the equivalence is guaranteed, not incidental
+      // on the current data; suppkeys are PK/FK so the filters are free.
       (s, dir) => {
         val badSupp = Tables.supplier(s, dir)
-          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+          .filter(col("s_acctbal") < 0 && col("s_suppkey").isNotNull)
+          .select(col("s_suppkey"))
         val parts = Tables.part(s, dir).filter(col("p_brand") =!= "Brand#45")
           .select(col("p_partkey"), col("p_brand"), col("p_size"))
         Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+          .filter(col("l_suppkey").isNotNull)
           .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
           .join(parts, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), col("p_size"))

@@ -55,17 +55,23 @@ object Scale {
   /** Stage `df` as a bucketed table exactly once per session: skipped when
     * the table is already registered, and a stale warehouse directory left
     * by an interrupted run is removed first (it would otherwise block the
-    * managed-table CREATE).
+    * managed-table CREATE). The location is resolved through the Hadoop
+    * Path/FileSystem APIs, so `file:`, `file://`, URI-encoded characters
+    * and non-local warehouses all clean up correctly.
+    *
+    * Same-session staleness: if the underlying sf-dir's parquet is
+    * regenerated WITHIN one session, the already-registered table keeps
+    * serving the earlier staging (the table-name sf-dir fingerprint only
+    * isolates different paths, not rewrites of the same path) — acceptable
+    * because testdata dirs are immutable per driver run.
     */
   def stageBucketedOnce(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     if (spark.catalog.tableExists(table)) return
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
-      rm(loc)
-    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     writeBucketed(df, table, key, buckets)
   }
 
