@@ -369,27 +369,95 @@ object Dedup {
     * (comp := comp(comp), a self-join of the label table) that halves the
     * remaining label-chain depth, giving O(log diameter) rounds instead of
     * O(diameter); rounds are the cost driver both here (per-job overhead)
-    * and on a cluster (per-stage barriers). Two scale decisions beyond
-    * that: (1) iteration runs over the EDGE-TOUCHED nodes only — a
-    * near-dup graph touches a fraction of the corpus, so rounds cost
+    * and on a cluster (per-stage barriers). Three scale decisions beyond
+    * that: (1) the computation runs over the EDGE-TOUCHED nodes only — a
+    * near-dup graph touches a fraction of the corpus, so it costs
     * O(|V(pairs)|), not O(|docs|); the untouched majority joins back once
-    * at the end as singleton components. (2) `localCheckpoint` after each
-    * round truncates the growing lineage, and the PREVIOUS round's
-    * checkpoint RDD is unpersisted as soon as the new round materializes,
-    * so executor storage stays O(1) rounds, not O(iters).
+    * at the end as singleton components. (2) ADAPTIVE ENDGAME: when the
+    * candidate graph fits one task (`localMaxEdges`, ~80 MB of long
+    * pairs — the common case after banded dedup at ANY corpus scale,
+    * because near-dup pairs are rare by construction), the components are
+    * finished by an in-task union-find in a single `mapPartitions` job:
+    * one shuffle-free pass instead of 5+ iterative rounds of joins. This
+    * is the same small-subgraph cutoff every distributed CC implementation
+    * uses; work stays on an executor, nothing is collected to the driver.
+    * (3) on the iterative path, `localCheckpoint` after each round
+    * truncates the growing lineage, and the PREVIOUS round's checkpoint
+    * RDD is unpersisted as soon as the new round materializes, so executor
+    * storage stays O(1) rounds, not O(iters).
+    *
+    * The union-find endgame needs an ordered primitive id (cluster id =
+    * component minimum); non-long id columns always take the iterative
+    * path, which orders through Catalyst's `min`/`least`.
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame, idCol: String,
                           aCol: String = "doc_a", bCol: String = "doc_b",
-                          maxIters: Int = 50): DataFrame = {
-    // persist the projected pairs BEFORE symmetrizing: the union's two
-    // branches otherwise each recompute the full candidate-pair plan
-    // (minhash signatures + band join) — 2× the most expensive input step
+                          maxIters: Int = 50,
+                          localMaxEdges: Long = 5000000L): DataFrame = {
+    // persist the projected pairs BEFORE any multi-consumer use: the
+    // candidate-pair plan (minhash signatures + band join) is the most
+    // expensive input step and must run exactly once
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
+    val nEdges = p.count()
+    val idIsLong =
+      p.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val (labels, labelsSmall) =
+      if (idIsLong && nEdges <= localMaxEdges) (unionFindLocal(p), true)
+      else (propagateIteratively(p, maxIters), false)
+    p.unpersist() // both paths have materialized their own copy by now
+    // singletons never enter the component computation; identity-label
+    // them here. The component map joins against docs broadcast when it is
+    // known-small (union-find path), one shuffle join otherwise (at corpus
+    // scale |V(pairs)| can itself be large, and docs only shuffles its id
+    // column).
+    val bc: DataFrame => DataFrame = if (labelsSmall) broadcast else identity
+    docs.select(col(idCol).as("doc_id"))
+      .join(bc(labels), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Endgame path: the whole (small) edge list flows into one task; a
+    * union-find with path compression and union-by-min labels every
+    * touched node with its component minimum in one pass. Runs as a
+    * normal executor task — no driver collect — and the result is
+    * `localCheckpoint`ed so the persisted pair input can be released.
+    */
+  private def unionFindLocal(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    p.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+        var cur = x // path-compress the walked chain
+        while (parent.getOrDefault(cur, cur) != cur) {
+          val nxt = parent.get(cur); parent.put(cur, root); cur = nxt
+        }
+        root
+      }
+      val seen = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { case (a, b) =>
+        seen.add(a); seen.add(b)
+        val ra = find(a); val rb = find(b)
+        // union-by-min keeps the invariant root == component minimum
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = Iterator.newBuilder[(Long, Long)]
+      seen.forEach(x => out += ((x.longValue, find(x.longValue))))
+      out.result()
+    }.toDF("id", "comp").localCheckpoint()
+  }
+
+  /** Iterative path for graphs too large for [[unionFindLocal]]:
+    * min-label propagation with pointer jumping, one checkpointed
+    * materialization per round.
+    */
+  private def propagateIteratively(p: DataFrame, maxIters: Int): DataFrame = {
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist() // read once per round
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
-    p.unpersist() // edges (materialized by the checkpoint's job) covers it now
     var prevRound = labels
     var converged = false
     var iters = 0
@@ -421,13 +489,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIters rounds — label-chain depth exceeds " +
           "the cap; raise maxIters")
-    // singletons never enter the iteration; identity-label them here. The
-    // component map is one shuffle join against docs — NOT broadcast: at
-    // corpus scale |V(pairs)| can itself be large, and docs only shuffles
-    // its id column.
-    docs.select(col(idCol).as("doc_id"))
-      .join(labels, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    labels
   }
 
   /** Drop the persisted RDD backing a `localCheckpoint`ed frame. The

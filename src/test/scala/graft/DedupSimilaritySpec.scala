@@ -264,6 +264,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq(1L)) // one component, labeled by the min id
   }
 
+  test("connected components: iterative path matches union-find endgame") {
+    import spark.implicits._
+    // localMaxEdges = 0 forces the iterative min-label rounds; both paths
+    // must label identically (chain + pair + singletons)
+    val allDocs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val iterative = Dedup.connectedComponents(allDocs, pairs, "doc_id", localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // long path: pointer jumping must converge within the round cap
+    val n = 12L
+    val chainDocs = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chainDocs, chain, "doc_id", localMaxEdges = 0L)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labels.toSeq === Seq(1L))
+  }
+
   test("dedup_clusters end-to-end: minhash near-dups land in one cluster") {
     val got = Dedup.connectedComponents(
       corpus, Dedup.minhashLshPairs(corpus, "doc_id", "text"), "doc_id")
