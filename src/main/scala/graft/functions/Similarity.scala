@@ -243,7 +243,40 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cs"), 4).as("cos_sim"), col("rank"))
   }
 
+  /** Per-label embedding centroids, one row per (label, dimension) — the
+    * class-prototype computation behind IVF cell training, cluster
+    * labeling, and embedding-drift monitoring. posexplode turns each
+    * vector into (dim, value) rows; the aggregation is map-side combined,
+    * so the shuffle carries |labels|×dim partial sums, never vectors.
+    * Each element is quantized as floor(v·10⁶) — float→double cast,
+    * multiply, and floor are all exactly-specified IEEE ops that agree
+    * bit-for-bit across engines (unlike float→decimal casts, whose
+    * rounding is implementation-defined and was measured to differ at the
+    * 9th decimal between Spark and DuckDB) — then summed as exact
+    * integers (merge-order independent) and divided once. The 1e-6
+    * quantization is far below embedding noise; a raw float sum would
+    * drift in the last ulp under shuffle reordering.
+    */
+  def embeddingCentroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg((sum(floor(col("v").cast("double") * lit(1000000.0))).cast("double")
+        / (lit(1000000.0) * count(lit(1)))).as("centroid"))
+
+  val embeddingCentroidsSql: String =
+    """SELECT label, CAST(dim AS INT) AS dim,
+      |  CAST(CAST(sum(floor(CAST(v AS DOUBLE) * 1000000.0)) AS BIGINT) AS DOUBLE)
+      |    / (1000000.0 * count(*)) AS centroid
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             unnest(generate_series(0, len(embedding)-1)) AS dim
+      |      FROM embeddings)
+      |GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "embedding_centroids",
+      (s, dir) => embeddingCentroids(Tables.embeddings(s, dir), "label", "embedding"),
+      Some(embeddingCentroidsSql)),
     QueryDef(
       "knn_ivf",
       (s, dir) => knnIvf(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),

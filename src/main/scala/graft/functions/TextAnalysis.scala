@@ -274,6 +274,88 @@ object TextAnalysis {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) <
       |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN '80' ELSE 'cc' END""".stripMargin
 
+  /** Gopher-style repetition signals per document: word count, distinct-
+    * word ratio, and the fraction of the document occupied by its single
+    * most frequent word-bigram. High top-bigram fraction / low distinct
+    * ratio flag boilerplate and degenerate generations — the standard
+    * repetition filters a pretraining pipeline applies after dedup.
+    *
+    * Scale shape: the distinct ratio is per-row map work (array_distinct
+    * inside the row, no shuffle); the bigram mode needs one (doc, bigram)
+    * hash aggregation (map-side combined — duplicate bigrams collapse
+    * before the exchange) and a per-doc max. Both shuffles carry counts,
+    * never text. Divisions are single IEEE ops on exact integers —
+    * engine-portable.
+    */
+  def docRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol), split(col(textCol), " ").as("w"))
+    val bigramTop = ws.filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+        .as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(max(col("cnt")).as("top_cnt"))
+      .withColumnRenamed(idCol, "t_id")
+    ws.select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("distinct_ratio"))
+      .join(bigramTop, col(idCol) === col("t_id"), "left")
+      .select(col(idCol),
+        col("n_words"),
+        col("distinct_ratio"),
+        coalesce(col("top_cnt").cast("double") / (col("n_words") - 1), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  val docRepetitionSql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |       FROM ws WHERE len(w) >= 2),
+      |bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |tp AS (SELECT doc_id AS t_id, max(cnt) AS top_cnt FROM bc GROUP BY 1)
+      |SELECT ws.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+      |  coalesce(CAST(tp.top_cnt AS DOUBLE) / (len(w) - 1), 0.0) AS top_bigram_frac
+      |FROM ws LEFT JOIN tp ON ws.doc_id = tp.t_id""".stripMargin
+
+  // PII/sensitive-term scrubbing patterns. ASCII-only constructs (\b,
+  // character classes, bounded repeats, alternation) behave identically
+  // under Java regex (Spark) and RE2 (DuckDB) — the oracle depends on it.
+  val emailPattern = "[a-z0-9.]+@[a-z0-9.]+"
+  val longNumPattern = "[0-9]{6,}"
+  val dictPattern = "\\b(customer|order|supplier|part)\\b"
+
+  /** PII / sensitive-term scrubbing: count and redact email-shaped spans,
+    * long digit runs (phone/account-number-shaped), and a dictionary of
+    * sensitive terms, then fingerprint the scrubbed form. Pure per-row
+    * regex map work — codegen'd, no shuffle, embarrassingly parallel; the
+    * replacement ORDER is part of the contract (emails first, then digit
+    * runs, then dictionary terms) so downstream hashes are reproducible.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        longNumPattern, "<NUM>"),
+      dictPattern, "<ENT>")
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(emailPattern)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(longNumPattern)).cast("long").as("n_num"),
+      regexp_count(col(textCol), lit(dictPattern)).cast("long").as("n_dict"),
+      md5(scrubbed).as("scrub_hash"))
+  }
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailPattern')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$longNumPattern')) AS BIGINT) AS n_num,
+       |  CAST(len(regexp_extract_all(text, '$dictPattern')) AS BIGINT) AS n_dict,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$emailPattern', '<EMAIL>', 'g'),
+       |      '$longNumPattern', '<NUM>', 'g'),
+       |      '$dictPattern', '<ENT>', 'g')) AS scrub_hash
+       |FROM documents""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("data_split", (s, dir) => dataSplit(Tables.documents(s, dir), "doc_id"), Some(dataSplitSql)),
     QueryDef("source_mix",
@@ -287,5 +369,7 @@ object TextAnalysis {
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
     QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
     QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),
+    QueryDef("doc_repetition", (s, dir) => docRepetition(Tables.documents(s, dir), "doc_id", "text"), Some(docRepetitionSql)),
+    QueryDef("pii_scrub", (s, dir) => piiScrub(Tables.documents(s, dir), "doc_id", "text"), Some(piiScrubSql)),
   )
 }

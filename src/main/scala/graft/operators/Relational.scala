@@ -239,5 +239,111 @@ object Relational {
         "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
           "count(*) AS cnt FROM events GROUP BY 1"),
     ),
+    QueryDef(
+      "q7_nation_volume",
+      // TPC-H Q7 shape: shipping volume between nation pairs by year.
+      // The nation dimension joins TWICE (supplier side and customer
+      // side) under different aliases; both nation copies and supplier
+      // broadcast unconditionally (tiny), customer broadcasts under the
+      // threshold and degrades to a shuffled join at 100×. The date
+      // filter is pushed to the lineitem scan; the pair-inequality filter
+      // runs as soon as both names are bound, before the aggregation.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).filter(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+            col("l_extendedprice"), col("l_discount"))
+        val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val nat = Tables.nation(s, dir)
+        val suppNat = nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custNat = nat.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") < col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      },
+      Some(
+        s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |  CAST(year(l_shipdate) AS INT) AS l_year,
+           |  ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND sn.n_name < cn.n_name
+           |GROUP BY 1, 2, 3""".stripMargin)),
+    QueryDef(
+      "q10_returned",
+      // TPC-H Q10 shape: top customers by revenue from returned items in
+      // one quarter. Aggregate-then-join: revenue reduces to one row per
+      // customer BEFORE touching the customer dimension, so the wide
+      // customer attributes join against the small aggregate (broadcast),
+      // never against lineitem rows. The orders quarter-filter makes the
+      // fact⋈fact join input small; AQE picks the strategy at runtime.
+      (s, dir) => {
+        val ord = Tables.orders(s, dir).filter(
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        Tables.customer(s, dir)
+          .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some(
+        s"""SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+           |FROM customer
+           |  JOIN (SELECT o_custkey, ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |        WHERE l_returnflag = 'R'
+           |          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           |        GROUP BY 1) r ON c_custkey = r.o_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |ORDER BY revenue DESC, c_custkey ASC
+           |LIMIT 20""".stripMargin)),
+    QueryDef(
+      "q14_promo",
+      // TPC-H Q14 shape: promo revenue share over one year. Both sums are
+      // exact decimal accumulations (merge-order independent); the share
+      // is then a single IEEE multiply+divide on identical operands in
+      // both engines — bit-reproducible, where summing doubles directly
+      // would drift in the last ulp. One broadcast dim join, one 1-row agg.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).filter(
+          col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        val part = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) * decSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+            / decSum(rev)).as("promo_share"))
+      },
+      Some(
+        s"""SELECT 100.0 * ${decSumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+           |  / ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS promo_share
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin)),
   )
 }

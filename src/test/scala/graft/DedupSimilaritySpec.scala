@@ -292,6 +292,49 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("doc repetition: degenerate doc scores high top-bigram fraction, varied doc low") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a b"),          // 5 words, 2 distinct; "a a" is 3 of 4 bigrams
+      (2L, "v w x y z"),          // all distinct, every bigram unique
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.docRepetition(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((5L, 0.4, 0.75)))
+    assert(got(2L) === ((5L, 1.0, 0.25)))
+    assert(got(3L) === ((1L, 1.0, 0.0))) // no bigrams → fraction 0 by definition
+  }
+
+  test("pii scrub counts and redacts emails, digit runs, and dictionary terms") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me@x.com id 1234567 dear customer"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L)._1 === 1L && got(1L)._2 === 1L && got(1L)._3 === 1L)
+    val expectedHash = java.security.MessageDigest.getInstance("MD5")
+      .digest("mail <EMAIL> id <NUM> dear <ENT>".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L)._4 === expectedHash)
+    assert(got(2L) === ((0L, 0L, 0L, java.security.MessageDigest.getInstance("MD5")
+      .digest("nothing sensitive here".getBytes("UTF-8")).map("%02x".format(_)).mkString)))
+  }
+
+  test("embedding centroids: exact quantized mean per label and dimension") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, -2.0f), "a"),
+      (2L, Array(3.0f, 4.0f), "a"),
+      (3L, Array(0.5f, 0.5f), "b")).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingCentroids(e, "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", 0)) === 2.0)
+    assert(got(("a", 1)) === 1.0)
+    assert(got(("b", 0)) === 0.5)
+    assert(got(("b", 1)) === 0.5)
+  }
+
   test("tfidf top terms: rarer term outranks common term at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc, 'shared' in all 3 → idf 3 vs 1

@@ -142,6 +142,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"tiny exclusion set not broadcast:\n$p")
   }
+
+  test("q7_nation_volume pushes the ship-date range to the scan and broadcasts dims") {
+    val p = plan("q7_nation_volume")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      s"date range not pushed to the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation/supplier dims not broadcast:\n$p")
+  }
+
+  test("q10_returned takes ordered top-k and aggregates before the customer join") {
+    val p = plan("q10_returned")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed to the scan:\n$p")
+  }
 }
 
 /** Cross-checks of the new relational shapes against Spark SQL's own
@@ -181,5 +194,43 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(got === viaSql)
     assert(got.nonEmpty)
+  }
+
+  test("q7_nation_volume equals Spark SQL's double-nation-alias formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND sn.n_name < cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    val got = SparkEntry.queries("q7_nation_volume")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got === viaSql)
+    assert(got.nonEmpty)
+  }
+
+  test("q14_promo equals Spark SQL's conditional-aggregate formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin)
+      .collect()(0).getDouble(0)
+    val got = SparkEntry.queries("q14_promo")(spark, sf).collect()(0).getDouble(0)
+    assert(got === viaSql)
+    assert(got > 0.0 && got < 100.0)
   }
 }
