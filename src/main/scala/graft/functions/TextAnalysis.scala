@@ -356,6 +356,27 @@ object TextAnalysis {
        |      '$dictPattern', '<ENT>', 'g')) AS scrub_hash
        |FROM documents""".stripMargin
 
+  /** Per-source corpus length statistics — the profile a pipeline checks
+    * before setting mixture rates and length filters: document count,
+    * total characters, and exact interpolated length percentiles. One
+    * partial+final aggregation; the percentile state is per-group sorted
+    * values, bounded here by docs-per-source (for an approximate variant
+    * at extreme cardinality, `approx_percentile` drops in).
+    */
+  def docLenStats(docs: DataFrame, sourceCol: String, lenCol: String): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(lenCol)).as("total_chars"),
+        round(expr(s"percentile($lenCol, 0.5)"), 6).as("p50_chars"),
+        round(expr(s"percentile($lenCol, 0.9)"), 6).as("p90_chars"))
+
+  val docLenStatsSql: String =
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("data_split", (s, dir) => dataSplit(Tables.documents(s, dir), "doc_id"), Some(dataSplitSql)),
     QueryDef("source_mix",
@@ -371,5 +392,6 @@ object TextAnalysis {
     QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),
     QueryDef("doc_repetition", (s, dir) => docRepetition(Tables.documents(s, dir), "doc_id", "text"), Some(docRepetitionSql)),
     QueryDef("pii_scrub", (s, dir) => piiScrub(Tables.documents(s, dir), "doc_id", "text"), Some(piiScrubSql)),
+    QueryDef("doc_len_stats", (s, dir) => docLenStats(Tables.documents(s, dir), "source", "n_chars"), Some(docLenStatsSql)),
   )
 }

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * in batches.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, per-partition
-  * iteration) is real and tested. IMAGE decode is real too ([[ImageCodec]],
-  * JDK `javax.imageio` — PNG/BMP/GIF/JPEG, zero added dependencies);
-  * audio/video decode remains a clearly-marked deterministic STUB
-  * ([[FakeCodec]]) because no audio/video codecs ship with the JDK —
+  * iteration) is real and tested. IMAGE decode is real ([[ImageCodec]], JDK
+  * `javax.imageio` — PNG/BMP/GIF/JPEG) and so is PCM AUDIO decode
+  * ([[WavCodec]], JDK `javax.sound.sampled` — WAV/AIFF/AU), both zero added
+  * dependencies; video decode remains a clearly-marked deterministic STUB
+  * ([[FakeCodec]]) because no video container parser ships with the JDK —
   * swapping in a real one touches only `FakeCodec.decode`.
   *
   * Scale notes: media payloads dominate row size, so the pipeline
@@ -88,11 +89,72 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic fake standing in for audio/video decode
-    * (no media containers/codecs ship with the JDK; image decode is REAL,
-    * see [[ImageCodec]]). Replace `decode` with a real library call;
-    * everything around it (schema, batching, partitioning) is
-    * production-shaped.
+  /** Real audio decode for the formats the JDK ships readers for
+    * (WAV/AIFF/AU PCM via `javax.sound.sampled` — zero new dependencies).
+    * Handles 16-bit signed and 8-bit unsigned PCM; anything else returns
+    * None and the pipeline falls back to [[FakeCodec]]. Features: frame
+    * count, channels, sample rate, first-channel mean amplitude, RMS,
+    * zero-crossing rate, peak, bit depth — the waveform-moment vector a
+    * real embedding model would replace.
+    */
+  object WavCodec {
+    val FeatureDim = 8
+
+    def decode(payload: Array[Byte]): Option[Array[Float]] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (ais == null) return None
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val supported =
+          (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+            (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+        if (!supported || fmt.getChannels < 1 || fmt.getFrameSize < 1) None
+        else {
+          val bytes = ais.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val n = bytes.length / frameSize
+          var sum, sum2, peak = 0.0
+          var zc = 0
+          var prevSign = 0
+          var i = 0
+          while (i < n) {
+            val off = i * frameSize // first channel carries the features
+            val s =
+              if (bits == 16) {
+                // sign-extend the high byte, mask the low — byte order per header
+                val v =
+                  if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+                  else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+                v / 32768.0
+              } else ((bytes(off) & 0xff) - 128) / 128.0
+            sum += s; sum2 += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+            if (prevSign != 0 && sign != 0 && sign != prevSign) zc += 1
+            if (sign != 0) prevSign = sign
+            i += 1
+          }
+          val nn = math.max(n, 1).toDouble
+          Some(Array(
+            n.toFloat, fmt.getChannels.toFloat, fmt.getSampleRate,
+            (sum / nn).toFloat, math.sqrt(sum2 / nn).toFloat,
+            (zc / nn).toFloat, peak.toFloat, bits.toFloat))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally ais.close()
+    }
+  }
+
+  /** STUB codec — deterministic fake standing in for video decode and for
+    * audio formats outside the JDK's readers (no video container parser
+    * ships with the JDK; image and WAV/AIFF/AU-PCM audio decode are REAL,
+    * see [[ImageCodec]] / [[WavCodec]]). Replace `decode` with a real
+    * library call; everything around it (schema, batching, partitioning)
+    * is production-shaped.
     */
   object FakeCodec {
     val FeatureDim = 8
@@ -125,11 +187,12 @@ object Multimodal {
       .mapPartitions { rows =>
         // Per-partition init hook: a real codec opens handles/models here.
         rows.map { r =>
-          // images go through the REAL decoder (JDK ImageIO); payloads it
-          // does not recognize — and the audio/video modalities, which have
-          // no JDK codec — use the deterministic fake
+          // images and WAV/AIFF/AU-PCM audio go through REAL JDK decoders;
+          // payloads they do not recognize — and video, which has no JDK
+          // container parser — use the deterministic fake
           val feature = r.media_type match {
             case "image" => ImageCodec.decode(r.payload).getOrElse(FakeCodec.decode(r.payload))
+            case "audio" => WavCodec.decode(r.payload).getOrElse(FakeCodec.decode(r.payload))
             case _       => FakeCodec.decode(r.payload)
           }
           MediaFeatures(

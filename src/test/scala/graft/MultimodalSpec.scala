@@ -60,6 +60,52 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).feature.toSeq === Multimodal.FakeCodec.decode(Array[Byte](9, 9, 9)).toSeq)
   }
 
+  /** A real 16-bit mono WAV, encoded in-memory by the JDK itself: a
+    * ±16384 square wave (8 periods of [0, +A, 0, −A]) at 8 kHz.
+    */
+  private def wavSquare: Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = 32
+    val pcm = new Array[Byte](2 * n)
+    (0 until n).foreach { i =>
+      val s: Int = (i % 4) match { case 1 => 16384; case 3 => -16384; case _ => 0 }
+      pcm(2 * i) = (s & 0xff).toByte        // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavCodec decodes a real 16-bit PCM WAV to exact waveform features") {
+    val f = Multimodal.WavCodec.decode(wavSquare).get
+    assert(f.length === Multimodal.WavCodec.FeatureDim)
+    assert(f(0) === 32f && f(1) === 1f && f(2) === 8000f) // frames, channels, rate
+    assert(math.abs(f(3)) < 1e-6) // square wave symmetric → mean 0
+    // rms of {0, .5, 0, -.5} pattern = sqrt(0.125)
+    assert(math.abs(f(4) - math.sqrt(0.125)) < 1e-6)
+    assert(f(6) === 0.5f && f(7) === 16f) // peak, bit depth
+    // each +A→−A transition is one zero crossing (zeros keep the prior sign)
+    assert(f(5) > 0f)
+    // garbage bytes are NOT audio → None (pipeline falls back to FakeCodec)
+    assert(Multimodal.WavCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("extractFeatures routes real WAV payloads through the real decoder") {
+    import spark.implicits._
+    val payload = wavSquare
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "audio", payload, None, None, Some(8000)),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](9, 9, 9), None, None, Some(16000))))
+    val feats = Multimodal.extractFeatures(media, partitions = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature(0) === 32f && feats(1L).feature(2) === 8000f)
+    // undecodable payload takes the deterministic fake path
+    assert(feats(2L).feature.toSeq === Multimodal.FakeCodec.decode(Array[Byte](9, 9, 9)).toSeq)
+  }
+
   test("frame sampling expands only video rows") {
     val media = Multimodal.syntheticMedia(spark, 9) // ids 2,5,8 are video
     val frames = Multimodal.sampleFrames(media, frameBytes = 16)
