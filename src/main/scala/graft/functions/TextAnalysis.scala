@@ -356,6 +356,51 @@ object TextAnalysis {
        |      '$dictPattern', '<ENT>', 'g')) AS scrub_hash
        |FROM documents""".stripMargin
 
+  /** The [[langId]] argmax as a single inline Column (marker counts as
+    * subexpressions instead of materialized c_* columns) — for composition
+    * into wider per-doc projections.
+    */
+  private def langPred(textCol: Column): Column = {
+    val counts = langMarkers.map { case (l, m) => l -> markerCount(textCol, m) }.toMap
+    val langs = langMarkers.map(_._1)
+    langs.init.foldRight(lit(langs.last): Column) { (lang, els) =>
+      val others = langs.filterNot(_ == lang).map(counts)
+      when(counts(lang) >= greatest(others: _*), lang).otherwise(els)
+    }
+  }
+
+  /** Composite C4/Gopher-style keep/drop decision: language, length, and
+    * repetition thresholds combined into one boolean per document — the
+    * filter stage a pretraining pipeline runs after dedup, with the
+    * signals kept alongside the verdict for threshold audits.
+    *
+    * Composition stays columnar: language and length are per-row map work
+    * in a single projection over the scan; only the repetition signals
+    * (one map-side-combined bigram aggregation) need a join back on the
+    * document id. Two shuffles total at any corpus size, both carrying
+    * per-doc scalars.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rep = docRepetition(docs, idCol, textCol)
+      .select(col(idCol).as("r_id"), col("n_words"), col("distinct_ratio"), col("top_bigram_frac"))
+    docs.select(col(idCol), langPred(col(textCol)).as("lang_pred"))
+      .join(rep, col(idCol) === col("r_id"))
+      .select(col(idCol), col("n_words"), col("distinct_ratio"), col("top_bigram_frac"), col("lang_pred"),
+        (col("n_words") >= 30 && col("distinct_ratio") >= 0.4 &&
+          col("top_bigram_frac") <= 0.08 && col("lang_pred") === "en").as("keep"))
+  }
+
+  val qualityFilterSql: String = {
+    // langIdSql / docRepetitionSql reused verbatim as nested CTEs so the
+    // oracle can never drift from the single-signal definitions
+    s"""WITH rep AS ($docRepetitionSql),
+       |lang AS ($langIdSql)
+       |SELECT rep.doc_id, rep.n_words, rep.distinct_ratio, rep.top_bigram_frac, lang.lang_pred,
+       |  (rep.n_words >= 30 AND rep.distinct_ratio >= 0.4
+       |   AND rep.top_bigram_frac <= 0.08 AND lang.lang_pred = 'en') AS keep
+       |FROM rep JOIN lang ON rep.doc_id = lang.doc_id""".stripMargin
+  }
+
   /** Per-source corpus length statistics — the profile a pipeline checks
     * before setting mixture rates and length filters: document count,
     * total characters, and exact interpolated length percentiles. One
@@ -393,5 +438,6 @@ object TextAnalysis {
     QueryDef("doc_repetition", (s, dir) => docRepetition(Tables.documents(s, dir), "doc_id", "text"), Some(docRepetitionSql)),
     QueryDef("pii_scrub", (s, dir) => piiScrub(Tables.documents(s, dir), "doc_id", "text"), Some(piiScrubSql)),
     QueryDef("doc_len_stats", (s, dir) => docLenStats(Tables.documents(s, dir), "source", "n_chars"), Some(docLenStatsSql)),
+    QueryDef("quality_filter", (s, dir) => qualityFilter(Tables.documents(s, dir), "doc_id", "text"), Some(qualityFilterSql)),
   )
 }

@@ -68,6 +68,23 @@ object Extended {
     li.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
 
+  /** Full CUBE with GROUPING-id disambiguation: a group whose key VALUE is
+    * null and the roll-up row aggregating across that key are identical in
+    * the output columns — `grouping()` is the only thing that tells them
+    * apart, so any consumer of cube output needs it. Same expand-based
+    * single-shuffle plan as ROLLUP (each input row fans out to its 4
+    * grouping sets map-side, partial aggregation collapses before the
+    * exchange).
+    */
+  def cubeCounts(li: DataFrame): DataFrame =
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("cnt"), col("sum_qty"))
+
   /** Pivot: one column per event type, zero-filled. The value set is
     * declared explicitly — at scale an undeclared pivot forces an extra
     * distinct-collect pass on the driver.
@@ -137,6 +154,13 @@ object Extended {
       (s, dir) => rollupCounts(Tables.lineitem(s, dir)),
       Some("SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")),
+    QueryDef(
+      "cube_counts",
+      (s, dir) => cubeCounts(Tables.lineitem(s, dir)),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(grouping(l_returnflag) + 2*grouping(l_linestatus) AS BIGINT) AS gid, " +
+        "count(*) AS cnt, sum(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")),
     QueryDef(
       "pivot_counts",
       (s, dir) => pivotCounts(Tables.events(s, dir), eventTypes),

@@ -321,6 +321,23 @@ object StreamingOps {
           out.iterator
         })
   }
+
+  /** Streaming exact dedup — the unbounded twin of the batch
+    * `dedup_exact` path: first occurrence of each key passes, repeats are
+    * dropped. `dropDuplicatesWithinWatermark` keys the dedup state by
+    * `keyCols` and EXPIRES each key's state once the watermark passes its
+    * event time + delay — the property that makes streaming dedup viable
+    * at 100 TB/day: state is bounded by the watermark horizon, not by the
+    * all-time key cardinality (plain `dropDuplicates` on a stream grows
+    * state forever). Within the horizon the guarantee is exact; a
+    * duplicate arriving later than `delay` after the original is a
+    * documented miss — the same trade Flink makes with state TTL.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, delay: String,
+                  keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }
 
 /** Rate-source ports of the reference's custom SourceFunction generators

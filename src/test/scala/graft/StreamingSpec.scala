@@ -357,4 +357,28 @@ class StreamingSpec extends SparkSpec {
     assert(carts.schema.fieldNames.toSeq ===
       Seq("user_id", "sku", "quantity", "time", "event_type"))
   }
+
+  test("streaming dedup keeps first occurrence; state expires past the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ShoppingCartEvent]
+    val q = StreamingOps.dedupStream(input.toDF(), "time", "2 seconds", Seq("user_id", "sku"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // bob/s1 twice within the horizon → second dropped; sam distinct
+      input.addData(cart("bob", 1.0), cart("bob", 1.5), cart("sam", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past bob's state (1.0 + 2s horizon)...
+      input.addData(cart("flush", 60.0))
+      q.processAllAvailable()
+      // ...so a re-arrival of bob/s1 counts as NEW (state was expired)
+      input.addData(cart("bob", 61.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out")
+      .collect().map(r => (r.getString(0), r.getTimestamp(3).getTime - GamingFixture.base.toEpochMilli))
+    assert(got.count(_._1 == "bob") === 2) // 1.0 kept, 1.5 dropped, 61.0 kept (expired state)
+    assert(got.count(_._1 == "sam") === 1)
+    assert(got.toSet.contains(("bob", 1000L)) && !got.toSet.contains(("bob", 1500L)))
+  }
 }
