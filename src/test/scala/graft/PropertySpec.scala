@@ -133,4 +133,26 @@ class PropertySpec extends SparkSpec {
       .agg(sum("cnt")).collect()(0).getLong(0)
     assert(total === 50)
   }
+
+  test("connected components: union-find endgame ≡ iterative rounds on random graphs") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val nNodes = 40 + trial * 20
+      val nEdges = 30 + trial * 25
+      val docs = (1L to nNodes.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = (1 to nEdges).map { _ =>
+        val a = rnd.nextInt(nNodes).toLong + 1
+        val b = rnd.nextInt(nNodes).toLong + 1
+        if (a <= b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      val local = graft.functions.Dedup.connectedComponents(docs, pairs, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val iterative = graft.functions.Dedup
+        .connectedComponents(docs, pairs, "doc_id", localMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === iterative, s"paths disagree on trial $trial")
+      // labels are component minima: every cluster id labels itself
+      assert(local.values.toSet.forall(c => local(c) == c))
+    }
+  }
 }
