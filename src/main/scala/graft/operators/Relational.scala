@@ -322,6 +322,34 @@ object Relational {
            |ORDER BY revenue DESC, c_custkey ASC
            |LIMIT 20""".stripMargin)),
     QueryDef(
+      "q17_small_qty",
+      // TPC-H Q17 shape: revenue from small-quantity lineitems, "small"
+      // defined relative to the per-part average — the correlated scalar
+      // subquery pattern. Planned as aggregate-then-join-back: the
+      // per-part averages reduce to one row per part BEFORE rejoining the
+      // fact (never a per-row subquery execution); at test scale the avg
+      // table broadcasts, at 100× both sides hash-partition on l_partkey
+      // and the shape holds. The threshold comparison (0.5 * avg) is one
+      // IEEE multiply on an exact decimal-accumulated mean — the same
+      // value in both engines, so the row set is identical.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val avgQty = li.groupBy(col("l_partkey"))
+          .agg((decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+          .select(col("l_partkey").as("a_partkey"), col("avg_qty"))
+        li.join(avgQty, col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(decSum(col("l_extendedprice")).as("small_qty_revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(
+        s"""SELECT ${decSumSql("l_extendedprice")} AS small_qty_revenue, count(*) AS n_lines
+           |FROM lineitem JOIN (
+           |  SELECT l_partkey AS a_partkey, ${decSumSql("l_quantity")} / count(*) AS avg_qty
+           |  FROM lineitem GROUP BY 1) a ON l_partkey = a_partkey
+           |WHERE l_quantity < 0.5 * avg_qty""".stripMargin)),
+    QueryDef(
       "q14_promo",
       // TPC-H Q14 shape: promo revenue share over one year. Both sums are
       // exact decimal accumulations (merge-order independent); the share

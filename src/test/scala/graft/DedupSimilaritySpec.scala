@@ -264,6 +264,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq(1L)) // one component, labeled by the min id
   }
 
+  test("connected components: zero pairs yields all-singleton clusters on both paths") {
+    import spark.implicits._
+    val allDocs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    for (localMax <- Seq(5000000L, 0L)) {
+      val got = Dedup.connectedComponents(allDocs, noPairs, "doc_id", localMaxEdges = localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === (1L to 5L).map(i => i -> i).toMap)
+    }
+  }
+
   test("connected components: iterative path matches union-find endgame") {
     import spark.implicits._
     // localMaxEdges = 0 forces the iterative min-label rounds; both paths

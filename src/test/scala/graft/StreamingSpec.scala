@@ -358,6 +358,34 @@ class StreamingSpec extends SparkSpec {
       Seq("user_id", "sku", "quantity", "time", "event_type"))
   }
 
+  test("map-only text pipeline ops run unchanged on a stream and match batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // stateless Column-expression operators are streaming-compatible as-is:
+    // the same builder runs on a MemoryStream and must emit batch results
+    val fixture = Seq(
+      (1L, "mail me@x.com id 1234567 dear customer"),
+      (2L, "the cat and the dog sat"),
+      (3L, "der hund und die katze ist"))
+    val input = MemoryStream[(Long, String)]
+    val streamed = graft.functions.TextAnalysis.piiScrub(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.format("memory").queryName("pii_stream_out")
+      .outputMode("append").start()
+    try { input.addData(fixture: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("pii_stream_out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val batch = graft.functions.TextAnalysis.piiScrub(
+      fixture.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got === batch)
+    // langId composes the same way (pure projection)
+    val langStream = graft.functions.TextAnalysis.langId(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    assert(langStream.isStreaming)
+  }
+
   test("streaming dedup keeps first occurrence; state expires past the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
