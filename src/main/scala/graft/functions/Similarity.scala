@@ -272,11 +272,50 @@ object Similarity {
       |      FROM embeddings)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-label embedding norm statistics — the vector-QA profile (count,
+    * total/min/max squared norm) a pipeline checks for degenerate
+    * embeddings (all-zero vectors, unnormalized batches, broken encoder
+    * shards) before building an ANN index.
+    *
+    * Parity: components quantize to integers via floor(v * 1e3) — the
+    * 1e3 scale keeps the squared-norm sum under 2^53 at any realistic
+    * corpus size (|q| <= ~1e3 ⇒ q² <= ~1e6; × dim 64 × 600 k vectors
+    * ≈ 4e13), so BIGINT accumulation is exact in both engines (DuckDB's
+    * HUGEINT sum casts back losslessly). The per-row HOF fold is
+    * interpreted (no codegen) but runs once per vector — not in a join
+    * hot path, so the ~µs/row interpreter cost never dominates.
+    */
+  def embeddingNormStats(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val qnorm = aggregate(
+      transform(col(vecCol), v => floor(v.cast("double") * lit(1000.0)).cast("long")),
+      lit(0L), (acc, q) => acc + q * q)
+    emb.select(col(labelCol), qnorm.as("qnorm"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qnorm")).as("sum_sq"),
+        min(col("qnorm")).as("min_sq"), max(col("qnorm")).as("max_sq"))
+  }
+
+  val embeddingNormStatsSql: String =
+    """SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(qnorm) AS BIGINT) AS sum_sq,
+      |  CAST(min(qnorm) AS BIGINT) AS min_sq,
+      |  CAST(max(qnorm) AS BIGINT) AS max_sq
+      |FROM (SELECT label,
+      |        list_sum(list_transform(embedding,
+      |          v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)
+      |             * CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))) AS qnorm
+      |      FROM embeddings)
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "embedding_centroids",
       (s, dir) => embeddingCentroids(Tables.embeddings(s, dir), "label", "embedding"),
       Some(embeddingCentroidsSql)),
+    QueryDef(
+      "embedding_norm_stats",
+      (s, dir) => embeddingNormStats(Tables.embeddings(s, dir), "label", "embedding"),
+      Some(embeddingNormStatsSql)),
     QueryDef(
       "knn_ivf",
       (s, dir) => knnIvf(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),

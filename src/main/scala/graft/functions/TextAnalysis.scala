@@ -422,6 +422,135 @@ object TextAnalysis {
       |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Balanced stratified sampling: per-stratum keep rates computed IN the
+    * plan so every stratum downsamples to (approximately) the size of the
+    * smallest one — the corpus-balancing op behind "equalize languages /
+    * sources before training". Rates are hash-thresholded like
+    * [[sourceMix]] (reproducible, monotone under corpus growth) but
+    * derived from the data: rate_s = min_count / count_s, quantized to
+    * 1/65536 granularity as a 4-hex-digit threshold over an md5 slice
+    * (capped at 65535/65536, so the smallest stratum keeps all but the
+    * 1-in-65536 'ffff' docs — the cap is the price of a pure string
+    * compare that behaves identically in every engine).
+    *
+    * Scale shape: the stratum census is one map-side-combined aggregation
+    * (|strata| rows), the target a 1-row aggregate of that; both broadcast
+    * back onto the scan, so the sample itself is a single filtered pass —
+    * no per-doc shuffle at any corpus size.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    // counts feeds BOTH the min-target aggregate and the threshold rows —
+    // persist the |strata|-row census or the full corpus scan runs twice
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("cnt")).persist()
+    val target = counts.agg(min(col("cnt")).as("tgt"))
+    val thr = counts.crossJoin(broadcast(target))
+      .select(col(stratumCol).as("t_stratum"),
+        format_string("%04x",
+          least(floor(col("tgt") * lit(65536.0) / col("cnt")), lit(65535.0)).cast("int")).as("h"))
+    docs.join(broadcast(thr), col(stratumCol) === col("t_stratum"))
+      .filter(substring(md5(col(idCol).cast("string")), 5, 4) < col("h"))
+      .select(col(idCol), col(stratumCol))
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+      |t AS (SELECT min(cnt) AS tgt FROM c),
+      |thr AS (SELECT lang AS t_stratum,
+      |          printf('%04x', CAST(least(floor(tgt * 65536.0 / cnt), 65535.0) AS INT)) AS h
+      |        FROM c CROSS JOIN t)
+      |SELECT doc_id, lang FROM documents JOIN thr ON lang = t_stratum
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 5, 4) < h""".stripMargin
+
+  /** Representative selection after exact dedup: group documents by
+    * normalized-text hash and keep the best row per group (longest
+    * original text, doc_id tie-break), reporting the group size. This is
+    * the "which copy survives" half of dedup — pipelines keep the longest
+    * (least-truncated) variant of each duplicate cluster.
+    *
+    * Scale shape: the window partitions by the 32-char md5 of the
+    * normalized text, NOT the text itself — the shuffle carries
+    * (hash, length, id) triples, never document bodies. Each window
+    * partition is one duplicate group (tiny); no global sort anywhere.
+    */
+  def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val slim = docs.select(col(idCol), md5(normalize(col(textCol))).as("nh"),
+      length(col(textCol)).cast("long").as("doc_len"))
+    val grp = Window.partitionBy(col("nh"))
+    val pick = grp.orderBy(col("doc_len").desc, col(idCol).asc)
+    slim.select(col(idCol), col("doc_len"),
+        row_number().over(pick).as("rn"), count(lit(1)).over(grp).as("n_dups"))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("doc_len"), col("n_dups"))
+  }
+
+  val dedupKeepBestSql: String =
+    """WITH n AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh,
+      |    CAST(length(text) AS BIGINT) AS doc_len
+      |  FROM documents),
+      |r AS (SELECT doc_id, doc_len,
+      |        row_number() OVER (PARTITION BY nh ORDER BY doc_len DESC, doc_id ASC) AS rn,
+      |        count(*) OVER (PARTITION BY nh) AS n_dups
+      |      FROM n)
+      |SELECT doc_id, doc_len, n_dups FROM r WHERE rn = 1""".stripMargin
+
+  /** Zipf profile: the top-k corpus tokens with their frequency rank —
+    * the vocabulary sanity check (stopword head, rank/frequency curve)
+    * run before tokenizer training. Token counting is one map-side-
+    * combined aggregation (shuffle carries |vocabulary|); the top-k is
+    * TakeOrderedAndProject (distributed partial top-k, no global sort);
+    * only the final k rows pass through the single-partition ranking
+    * window — 50 rows by construction, so the WindowExec
+    * single-partition path is the right plan, not an accident.
+    */
+  def zipfTokens(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val top = docs.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+    top.select(
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)).cast("long").as("rnk"),
+      col("token"), col("freq"))
+  }
+
+  val zipfTokensSql: String =
+    """WITH f AS (SELECT token, count(*) AS freq
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |           WHERE token <> '' GROUP BY 1),
+      |t AS (SELECT token, freq FROM f ORDER BY freq DESC, token ASC LIMIT 50)
+      |SELECT row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk, token, freq FROM t""".stripMargin
+
+  /** Benchmark-contamination check: for every corpus document outside the
+    * benchmark set, count how many of its distinct stride-sampled
+    * character shingles also appear in the benchmark set — the standard
+    * "is my training data contaminated with eval data" n-gram overlap
+    * scan (docs with high n_shared get quarantined).
+    *
+    * Scale shape: both sides reuse [[shingles]] (stride-bounded volume);
+    * the benchmark side collapses to its DISTINCT shingle set — benchmark
+    * suites are tiny relative to a 100 TB corpus, so that set broadcasts
+    * (AQE decides; no hint, so a huge benchmark degrades to a shuffled
+    * join instead of an OOM). The per-doc count aggregates map-side.
+    */
+  def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
+                         benchPred: Column, width: Int = 8, stride: Int = 4): DataFrame = {
+    val bench = shingles(docs.filter(benchPred), idCol, textCol, width, stride)
+      .select(col("sh")).distinct()
+    val cand = shingles(docs.filter(!benchPred), idCol, textCol, width, stride)
+    cand.join(bench, Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  val contaminationCheckSql: String =
+    """WITH bsh AS (SELECT DISTINCT substr(text, CAST(i AS INT), 8) AS sh
+      |             FROM (SELECT text, unnest(generate_series(1, CAST(length(text)-7 AS BIGINT), 4)) AS i
+      |                   FROM documents WHERE source = 'src0' AND length(text) >= 8)),
+      |csh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS sh
+      |        FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(length(text)-7 AS BIGINT), 4)) AS i
+      |              FROM documents WHERE source <> 'src0' AND length(text) >= 8))
+      |SELECT doc_id, count(*) AS n_shared FROM csh JOIN bsh USING (sh) GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("data_split", (s, dir) => dataSplit(Tables.documents(s, dir), "doc_id"), Some(dataSplitSql)),
     QueryDef("source_mix",
@@ -439,5 +568,18 @@ object TextAnalysis {
     QueryDef("pii_scrub", (s, dir) => piiScrub(Tables.documents(s, dir), "doc_id", "text"), Some(piiScrubSql)),
     QueryDef("doc_len_stats", (s, dir) => docLenStats(Tables.documents(s, dir), "source", "n_chars"), Some(docLenStatsSql)),
     QueryDef("quality_filter", (s, dir) => qualityFilter(Tables.documents(s, dir), "doc_id", "text"), Some(qualityFilterSql)),
+    QueryDef("stratified_sample",
+      (s, dir) => stratifiedSample(Tables.documents(s, dir), "doc_id", "lang"),
+      Some(stratifiedSampleSql)),
+    QueryDef("dedup_keep_best",
+      (s, dir) => dedupKeepBest(Tables.documents(s, dir), "doc_id", "text"),
+      Some(dedupKeepBestSql)),
+    QueryDef("zipf_tokens",
+      (s, dir) => zipfTokens(Tables.documents(s, dir), "text"),
+      Some(zipfTokensSql)),
+    QueryDef("contamination_check",
+      (s, dir) => contaminationCheck(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0"),
+      Some(contaminationCheckSql)),
   )
 }

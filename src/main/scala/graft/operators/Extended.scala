@@ -216,6 +216,22 @@ object Extended {
       (s, dir) => approxDistinct(Tables.events(s, dir)),
       None), // sketch values are engine-specific; exact twin: distinct_users
     QueryDef(
+      "approx_percentiles",
+      // approx_percentile = mergeable quantile sketch (Spark's GK-style
+      // summary): per-partition summaries merge on the reduce side, so
+      // memory is O(1/accuracy) per group regardless of group size —
+      // the 100 TB drop-in for value_percentiles' exact sort-based state.
+      // Sketch outputs are engine-specific (DuckDB uses t-digest) →
+      // rows-only; the exact twin value_percentiles is the oracle-backed
+      // counterpart, and the sketch error is asserted against it in
+      // OperatorsSpec.
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(value, 0.9, 10000)").as("p90")),
+      None), // sketch values are engine-specific; exact twin: value_percentiles
+    QueryDef(
       "event_gaps",
       // lead/lag analytic: per-user inter-event gap in µs — the
       // sessionization primitive underlying gap-based windows

@@ -373,5 +373,147 @@ object Relational {
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin)),
+    QueryDef(
+      "q6_forecast",
+      // TPC-H Q6 shape: pure scan + filter + 1-row aggregate, no join.
+      // The whole predicate (date range, discount band, quantity cap) is
+      // pushable — at any scale this is the cheapest possible plan: a
+      // filtered columnar scan whose partial aggregates collapse to one
+      // row per split before a few-bytes shuffle. Double comparisons on
+      // l_discount are exact binary comparisons in both engines (no
+      // arithmetic before the compare), so the row set is identical.
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines")),
+      Some(
+        s"""SELECT ${decSumSql("l_extendedprice * l_discount")} AS revenue, count(*) AS n_lines
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_discount >= 0.03 AND l_discount <= 0.07
+           |  AND l_quantity < 24""".stripMargin)),
+    QueryDef(
+      "q13_cust_orders",
+      // TPC-H Q13 shape: distribution of customers by order count,
+      // including zero-order customers (the left join is the point).
+      // Planned aggregate-first: orders reduces to one (custkey, count)
+      // row per customer BEFORE the join — Catalyst cannot push an
+      // aggregate through an outer join itself, so declaring it this way
+      // turns a |orders|-row join into a |customers|-row join. The final
+      // histogram groups ~tens of distinct counts: a few-KB shuffle.
+      (s, dir) => {
+        val perCust = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+        Tables.customer(s, dir).select(col("c_custkey"))
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n_ord"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      },
+      Some(
+        """SELECT c_count, count(*) AS custdist
+          |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |      GROUP BY 1)
+          |GROUP BY 1""".stripMargin)),
+    QueryDef(
+      "q15_top_supplier",
+      // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+      // the scalar-max-subquery pattern. The revenue view reduces the fact
+      // to one row per supplier; the max is a 1-row aggregate of that view
+      // broadcast back as a cross join (never a per-row subquery). The
+      // equality compare is safe cross-engine because revenue goes through
+      // the exact decimal accumulation: both engines derive bit-identical
+      // doubles, so `revenue = max(revenue)` selects the same rows.
+      (s, dir) => {
+        // rev feeds BOTH the supplier join and the scalar max — persist it
+        // or the filtered lineitem scan + aggregation execute twice
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+          .persist()
+        val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+        Tables.supplier(s, dir)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(maxRev))
+          .filter(col("total_revenue") === col("mr"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      },
+      Some(
+        s"""WITH revenue AS (
+           |  SELECT l_suppkey, ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+           |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin)),
+    QueryDef(
+      "q19_disjunct",
+      // TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+      // predicate groups. The part-side conjuncts (brand, size) and the
+      // lineitem-side quantity band each appear in every branch's
+      // residual, but the common super-range (l_quantity <= 30, p_size
+      // >= 1) is factored into the scans as a pushed filter; the full
+      // disjunction evaluates post-join inside codegen. part broadcasts;
+      // no fact shuffle at all — the aggregate is 1-row.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        val part = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(
+        s"""SELECT ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, count(*) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+    QueryDef(
+      "q22_idle_custs",
+      // TPC-H Q22 shape: well-funded customers gone idle — the scalar-avg
+      // subquery + NOT EXISTS pattern (grouped by market segment; the
+      // test schema has no phone country codes, and every customer has at
+      // least one order, so "idle" = no orders in the data's final ~18
+      // months — a non-vacuous anti-join). The average is a 1-row
+      // broadcast; NOT EXISTS plans as a left-anti join whose right side
+      // is pre-filtered by the pushed date predicate, shuffling only
+      // (custkey) pairs. The avg is decimal-exact then one IEEE division,
+      // so the threshold compare selects identical rows in both engines.
+      // Anti-join ≡ NOT EXISTS here even under NULL keys (both keep an
+      // unmatched left row), unlike NOT IN — no null filter needed.
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg((decSum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+        val recent = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"), decSum(col("c_acctbal")).as("totacctbal"))
+      },
+      Some(
+        s"""SELECT c_mktsegment, count(*) AS numcust, ${decSumSql("c_acctbal")} AS totacctbal
+           |FROM customer
+           |WHERE c_acctbal > (SELECT ${decSumSql("c_acctbal")} / count(*)
+           |                   FROM customer WHERE c_acctbal > 0.0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+           |GROUP BY 1""".stripMargin)),
   )
 }

@@ -361,4 +361,72 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top((1L, 3L)) === ("shared", 1.0)) // df=3 → score 1.0, ranked last
     spark.catalog.clearCache()
   }
+
+  test("stratified sample balances a skewed stratum down to ~min-stratum size") {
+    import spark.implicits._
+    val docs = ((1L to 2000L).map(i => (i, "big")) ++ (9001L to 9050L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    val got = TextAnalysis.stratifiedSample(docs, "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byStratum = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // big stratum: rate 50/2000 quantized to 1638/65536 ≈ 0.025 → ~50 kept
+    assert(byStratum("big") > 15 && byStratum("big") < 100,
+      s"big stratum not downsampled to ~50: $byStratum")
+    // smallest stratum keeps everything except md5-slice 'ffff' (1/65536)
+    assert(byStratum("small") >= 49, s"min stratum lost docs: $byStratum")
+    // determinism: hash thresholding, not RNG
+    val again = TextAnalysis.stratifiedSample(docs, "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("dedup keep-best picks the longest variant per normalized group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), // norm "hello world", len 13 → group winner
+      (2L, "hello world"),
+      (3L, "HELLO WORLD"),
+      (4L, "something else")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupKeepBest(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(1L, 4L))
+    assert(got(1L) === ((13L, 3L))) // longest original survives, group of 3
+    assert(got(4L) === ((14L, 1L)))
+  }
+
+  test("zipf tokens ranks by frequency with token tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfTokens(docs, "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L)))
+  }
+
+  test("contamination check counts shared shingles against the benchmark set only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it", "bench"),
+      (2L, "the quick brown fox jumps over it", "web"), // full overlap
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "web")) // no overlap
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.contaminationCheck(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("source") === "bench")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(2L)) // benchmark doc itself excluded; disjoint doc absent
+    assert(got(2L) >= 5L) // every stride-sampled shingle of doc 2 is in the bench set
+  }
+
+  test("embedding norm stats: exact quantized squared norms per label") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(0.5f, -0.5f), "a"),  // q = (500, -500) → 500000
+      (2L, Array(1.0f, 0.0f), "a"),   // q = (1000, 0)  → 1000000
+      (3L, Array(0.1f, 0.2f), "b"))   // floats 0.1f/0.2f widen slightly above .1/.2
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingNormStats(e, "label", "embedding")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") === ((2L, 1500000L, 500000L, 1000000L)))
+    // 0.1f = 0.100000001490… → floor(100.0000014)=100; 0.2f → floor(200.0000029)=200
+    assert(got("b") === ((1L, 50000L, 50000L, 50000L)))
+  }
 }

@@ -128,6 +128,14 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Formatted pre-execution plan: full PushedFilters lists (the executed
+    * plan's one-line scan rendering truncates long metadata) and the
+    * static exchange count (no AQE shuffle-read wrappers double-counting).
+    */
+  private def fullPlan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
   test("filter_eq pushes the predicate into the parquet scan") {
     val p = plan("filter_eq")
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
@@ -200,6 +208,43 @@ class PlanSpec extends SparkSpec {
     val p = plan("q10_returned")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$p")
     assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed to the scan:\n$p")
+  }
+
+  test("q6_forecast pushes every predicate into one scan, no join") {
+    val p = fullPlan("q6_forecast")
+    assert(!p.contains("Join"), s"Q6 should be scan+aggregate only:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.03)") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"discount/quantity band not pushed to the scan:\n$p")
+  }
+
+  test("q13_cust_orders aggregates orders per customer BEFORE the outer join") {
+    val p = plan("q13_cust_orders")
+    assert(p.contains("LeftOuter"), s"zero-order customers need an outer join:\n$p")
+    // the aggregate-first shape: per-custkey counts are built under the
+    // broadcast side of the join, so the join input is |customers|-sized
+    assert(p.contains("partial_count"), s"no pre-join partial aggregation:\n$p")
+  }
+
+  test("q19_disjunct factors the OR groups into pushed per-scan filters") {
+    val p = fullPlan("q19_disjunct")
+    // Catalyst extracts each side's disjunction: lineitem gets the quantity
+    // bands, part gets the brand/size bands — both as parquet PushedFilters
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity disjunction not pushed to the lineitem scan:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      s"brand/size disjunction not pushed to the part scan:\n$p")
+  }
+
+  test("dedup_keep_best shuffles hashes once and shares one window partitioning") {
+    val p = fullPlan("dedup_keep_best")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected a single hash exchange on nh, got $exchanges:\n$p")
+    // the shuffled projection carries (id, hash, length) — never the text
+    val exchangeInputs = """\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(exchangeInputs.nonEmpty && !exchangeInputs.contains("text#"),
+      s"window shuffle must carry hashes, not document text: [$exchangeInputs]\n$p")
   }
 }
 
@@ -278,5 +323,90 @@ class RelationalSpec extends SparkSpec {
     val got = SparkEntry.queries("q14_promo")(spark, sf).collect()(0).getDouble(0)
     assert(got === viaSql)
     assert(got > 0.0 && got < 100.0)
+  }
+
+  test("q6_forecast equals Spark SQL's filter-aggregate formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin).collect()(0)
+    val got = SparkEntry.queries("q6_forecast")(spark, sf).collect()(0)
+    assert(got.getDouble(0) === viaSql.getDouble(0))
+    assert(got.getLong(1) === viaSql.getLong(1) && got.getLong(1) > 0)
+  }
+
+  test("q13_cust_orders (aggregate-first) equals Spark SQL's join-then-aggregate") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q13_cust_orders")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === viaSql)
+    assert(got.values.sum === spark.sql("SELECT count(*) FROM customer").collect()(0).getLong(0))
+  }
+
+  test("q15_top_supplier equals Spark SQL's scalar-max-subquery formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val got = SparkEntry.queries("q15_top_supplier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === viaSql)
+    assert(got.nonEmpty)
+  }
+
+  test("q19_disjunct equals Spark SQL's OR-predicate formulation") {
+    // sf0.01: the three brand/size/quantity bands match zero rows at sf0.001
+    val sf = "/root/testdata/sf0.01"
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+      .collect()(0)
+    val got = SparkEntry.queries("q19_disjunct")(spark, sf).collect()(0)
+    assert(got.getDouble(0) === viaSql.getDouble(0))
+    assert(got.getLong(1) === viaSql.getLong(1) && got.getLong(1) > 0)
+  }
+
+  test("q22_idle_custs equals Spark SQL's scalar-avg + NOT EXISTS formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = SparkEntry.queries("q22_idle_custs")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === viaSql)
+    assert(got.nonEmpty)
   }
 }

@@ -102,4 +102,22 @@ class MultiStreamSpec extends SparkSpec {
     val got = MultiStream.coProcessRatio(u, "event_type", "click", "purchase").collect()(0).getDouble(0)
     assert(math.abs(got - 200.0 / 3.0) < 1e-12)
   }
+
+  test("approx_percentiles tracks the exact sketch-free percentiles") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("value_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = SparkEntry.queries("approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy=10000 ⇒ rank error ≤ n/10000; at sf0.001 (~2k rows/group)
+    // the sketch returns an element within a handful of ranks of the true
+    // percentile — assert a loose value envelope, not bit equality
+    approx.foreach { case (k, (p50, p90)) =>
+      val (e50, e90) = exact(k)
+      assert(math.abs(p50 - e50) <= math.abs(e50) * 0.05 + 0.1, s"$k p50 $p50 vs $e50")
+      assert(math.abs(p90 - e90) <= math.abs(e90) * 0.05 + 0.1, s"$k p90 $p90 vs $e90")
+      assert(p50 <= p90)
+    }
+  }
 }
