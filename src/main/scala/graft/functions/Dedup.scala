@@ -519,6 +519,48 @@ object Dedup {
        |)
        |SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1""".stripMargin
 
+  /** End-to-end near-dup dedup pipeline: MinHash-LSH candidate pairs →
+    * connected components → one surviving representative per cluster
+    * (longest text, doc_id tie-break) with the cluster size — the full
+    * "dedup the corpus, keep the best copy" composition a pretraining
+    * pipeline actually runs, as one registered plan.
+    *
+    * Scale shape: everything upstream is the audited dedup_clusters plan
+    * (banded equi-join candidates, pointer-jumping components with a
+    * union-find endgame); the representative pick adds one window over
+    * cluster partitions whose shuffle carries (id, cluster, length)
+    * triples — document text never moves.
+    */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clusters = connectedComponents(docs, minhashLshPairs(docs, idCol, textCol), idCol)
+    val slim = docs.select(col(idCol).as("d_id"), length(col(textCol)).cast("long").as("doc_len"))
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    clusters.join(slim, col(idCol) === col("d_id"))
+      .select(col(idCol), col("cluster_id"), col("doc_len"))
+      .withColumn("rn", row_number().over(grp.orderBy(col("doc_len").desc, col(idCol).asc)))
+      .withColumn("n_members", count(lit(1)).over(grp))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cluster_id"), col("doc_len"), col("n_members"))
+  }
+
+  val dedupPipelineSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashSql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+       |),
+       |clusters AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1),
+       |m AS (SELECT d.doc_id, c.cluster_id, CAST(length(d.text) AS BIGINT) AS doc_len
+       |      FROM documents d JOIN clusters c ON d.doc_id = c.doc_id),
+       |r2 AS (SELECT doc_id, cluster_id, doc_len,
+       |        row_number() OVER (PARTITION BY cluster_id ORDER BY doc_len DESC, doc_id ASC) AS rn,
+       |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |      FROM m)
+       |SELECT doc_id, cluster_id, doc_len, n_members FROM r2 WHERE rn = 1""".stripMargin
+
   /** SimHash bit-vote accumulator: slot b counts set bits of position b,
     * slot 64 counts tokens; a fingerprint bit is set when set-bits form the
     * majority (2·c_b > n ⟺ the ±1 vote sum is positive). Same
@@ -562,5 +604,8 @@ object Dedup {
       val docs = Tables.documents(s, dir)
       connectedComponents(docs, minhashLshPairs(docs, "doc_id", "text"), "doc_id")
     }, Some(dedupClustersSql)),
+    QueryDef("dedup_pipeline",
+      (s, dir) => dedupPipeline(Tables.documents(s, dir), "doc_id", "text"),
+      Some(dedupPipelineSql)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{QueryDef, Tables}
@@ -515,5 +516,156 @@ object Relational {
            |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
            |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
            |GROUP BY 1""".stripMargin)),
+    QueryDef(
+      "q2_min_cost_supp",
+      // TPC-H Q2 shape: cheapest supplier per part — the correlated-min
+      // subquery, planned as argmin-per-group: one (part, supplier)
+      // aggregation, then a row_number window over part partitions picks
+      // the winner (avg-price tie broken on suppkey, so the row set is
+      // deterministic). No per-part subquery execution ever happens; the
+      // window partitions are per-part supplier lists (bounded), and both
+      // dimension joins happen AFTER the argmin reduced the fact to one
+      // row per part. The avg is an exact decimal sum and one IEEE
+      // division — identical doubles in both engines, so the argmin picks
+      // identical winners. (lineitem price stands in for partsupp supply
+      // cost — the test schema has no partsupp table.)
+      (s, dir) => {
+        val ap = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg((decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("avg_price").asc, col("l_suppkey").asc)
+        val best = ap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val parts = Tables.part(s, dir).filter(col("p_size") <= 5)
+          .select(col("p_partkey"), col("p_brand"))
+        best.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_brand"), col("s_name"), col("avg_price"))
+      },
+      Some(
+        s"""WITH ap AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    ${decSumSql("l_extendedprice")} / count(*) AS avg_price
+           |  FROM lineitem GROUP BY 1, 2),
+           |r AS (SELECT l_partkey, l_suppkey, avg_price,
+           |        row_number() OVER (PARTITION BY l_partkey ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+           |      FROM ap)
+           |SELECT p_partkey, p_brand, s_name, avg_price
+           |FROM r JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey
+           |WHERE rn = 1 AND p_size <= 5""".stripMargin)),
+    QueryDef(
+      "q11_important_parts",
+      // TPC-H Q11 shape: parts whose inventory value exceeds a fraction
+      // of the total — the scalar-fraction HAVING pattern. The threshold
+      // is 1.6× the mean part value (Q11's fixed fraction is
+      // scale-variant: at 10× the parts it selects nothing), derived from
+      // the SAME aggregate via a 1-row broadcast. Parity subtlety: the
+      // corpus total is the sum of per-part DECIMAL sums — summed as
+      // decimals, so it stays exact under any merge order; only the final
+      // threshold compare happens in (identical) doubles. The per-part
+      // frame persists because it feeds both the scalar and the output.
+      (s, dir) => {
+        val value = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * col("l_quantity"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("dec_value"))
+          .persist()
+        val total = value.agg(sum(col("dec_value")).as("dec_total"), count(lit(1)).as("n_parts"))
+        value.crossJoin(broadcast(total))
+          .filter(col("dec_value").cast("double") >
+            lit(1.6) * col("dec_total").cast("double") / col("n_parts"))
+          .select(col("l_partkey"), col("dec_value").cast("double").as("part_value"))
+      },
+      Some(
+        """WITH v AS (SELECT l_partkey,
+          |    sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS dec_value
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l_partkey, CAST(dec_value AS DOUBLE) AS part_value FROM v
+          |WHERE CAST(dec_value AS DOUBLE) >
+          |  1.6 * CAST((SELECT sum(dec_value) FROM v) AS DOUBLE) / (SELECT count(*) FROM v)""".stripMargin)),
+    QueryDef(
+      "q20_excess_suppliers",
+      // TPC-H Q20 shape: suppliers who dominate the supply of some
+      // watched part — the nested-semi-join chain. Inner level: per
+      // (part, supplier) shipped quantity in one year vs 20% of the
+      // part's total (aggregate-then-self-join threshold, like Q17);
+      // outer level: the qualifying supplier set semi-joins supplier.
+      // Quantities are integral doubles — exact under plain sum in both
+      // engines, so the 0.2× threshold compare is engine-identical. The
+      // watched-part filter (name prefix) broadcasts into the inner agg,
+      // shrinking it before the per-part total join.
+      (s, dir) => {
+        val sq = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("red%"))
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("supp_qty"))
+          .persist() // feeds the per-part total AND the threshold join
+        val pt = sq.groupBy(col("l_partkey")).agg(sum(col("supp_qty")).as("total_qty"))
+          .select(col("l_partkey").as("t_partkey"), col("total_qty"))
+        val qual = sq.join(pt, col("l_partkey") === col("t_partkey"))
+          .filter(col("supp_qty") > lit(0.2) * col("total_qty"))
+          .select(col("l_suppkey"))
+        Tables.supplier(s, dir)
+          .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+      },
+      Some(
+        """WITH sq AS (
+          |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |    AND p_name LIKE 'red%'
+          |  GROUP BY 1, 2),
+          |pt AS (SELECT l_partkey AS t_partkey, sum(supp_qty) AS total_qty FROM sq GROUP BY 1)
+          |SELECT s_suppkey, s_name FROM supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM sq JOIN pt ON l_partkey = t_partkey
+          |  WHERE supp_qty > 0.2 * total_qty)""".stripMargin)),
+    QueryDef(
+      "q21_waiting",
+      // TPC-H Q21 shape: the EXISTS + NOT EXISTS double correlation
+      // ("another supplier on the order / no other failing supplier"),
+      // planned as one per-order aggregation instead of two correlated
+      // subqueries: count distinct suppliers and distinct
+      // returned-line suppliers per order, then join the returned pairs
+      // back and keep orders with >1 supplier where exactly one supplier
+      // returned — that supplier is the sole laggard, Q21's semantics.
+      // Shuffles carry (orderkey, suppkey) pairs and per-order counts;
+      // the top-k is TakeOrderedAndProject. (No commit/receipt dates in
+      // the test schema — returnflag R stands in for "kept waiting".)
+      (s, dir) => {
+        val lo = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val perOrder = lo.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"))
+          .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+          .select(col("l_orderkey").as("o_key"))
+        val rPairs = lo.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val waits = rPairs.join(perOrder, col("l_orderkey") === col("o_key"))
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        Tables.supplier(s, dir)
+          .join(waits, col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(20)
+      },
+      Some(
+        """WITH po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+          |         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+          |       FROM lineitem GROUP BY 1),
+          |rl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+          |w AS (SELECT rl.l_suppkey, count(*) AS numwait
+          |      FROM rl JOIN po ON rl.l_orderkey = po.l_orderkey
+          |      WHERE po.n_supp > 1 AND po.n_r_supp = 1
+          |      GROUP BY 1)
+          |SELECT s_name, numwait FROM supplier JOIN w ON s_suppkey = l_suppkey
+          |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin)),
   )
 }

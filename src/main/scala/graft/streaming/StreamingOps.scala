@@ -338,6 +338,35 @@ object StreamingOps {
     events
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static contamination scan — the streaming twin of the batch
+    * `contamination_check`: incoming documents shingle in-flight and join
+    * against a STATIC benchmark shingle set (the stream-static join:
+    * Spark broadcasts/rescans the static side per micro-batch, no state,
+    * no watermark requirement — the static side is the ingestion-time
+    * "eval suite" every arriving training document is screened against).
+    * The per-doc shared-shingle count aggregates in update/complete mode;
+    * (doc, shingle) repeats are collapsed by dropDuplicates BEFORE the
+    * count, mirroring the batch path's distinct shingles.
+    *
+    * At 100 TB/day the static side is the small one (benchmark suites,
+    * not the corpus) — exactly the side Spark keeps in memory; the
+    * streaming side stays unbounded and stateless until the final
+    * bounded-cardinality (doc, count) aggregation.
+    */
+  def contaminationStream(docs: DataFrame, idCol: String, textCol: String,
+                          benchShingles: DataFrame, width: Int = 8, stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sh = docs.filter(length(col(textCol)) >= width)
+      .select(
+        col(idCol),
+        explode(sequence(lit(1L), (length(col(textCol)) - (width - 1)).cast("long"), lit(stride.toLong))).as("i"),
+        col(textCol))
+      .select(col(idCol), expr(s"substring($textCol, CAST(i AS INT), $width)").as("sh"))
+    sh.join(benchShingles, Seq("sh")) // stream-static inner join: stateless
+      .dropDuplicates(idCol, "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
 }
 
 /** Rate-source ports of the reference's custom SourceFunction generators

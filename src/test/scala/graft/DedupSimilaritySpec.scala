@@ -416,6 +416,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(2L) >= 5L) // every stride-sampled shingle of doc 2 is in the bench set
   }
 
+  test("dedup pipeline keeps the longest member of each minhash cluster") {
+    import spark.implicits._
+    // docs 1/2 are near-identical (one cluster), doc 3 is unrelated
+    val text1 = "the quick brown fox jumps over the lazy dog again and again and again"
+    val docs = Seq(
+      (1L, text1),
+      (2L, text1 + " extended"), // same shingle prefix → same cluster, longer
+      (3L, "completely different content with no overlap whatsoever in here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupPipeline(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got.keySet === Set(2L, 3L)) // 2 wins its cluster on length
+    assert(got(2L) === ((1L, 2L)))     // cluster labeled by min id, 2 members
+    assert(got(3L) === ((3L, 1L)))
+    spark.catalog.clearCache()
+  }
+
   test("embedding norm stats: exact quantized squared norms per label") {
     import spark.implicits._
     val e = Seq(

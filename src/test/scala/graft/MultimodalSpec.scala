@@ -392,6 +392,85 @@ class RelationalSpec extends SparkSpec {
     assert(got.getLong(1) === viaSql.getLong(1) && got.getLong(1) > 0)
   }
 
+  test("q2_min_cost_supp equals Spark SQL's correlated-min-subquery formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    // the classic Q2 correlated form — Spark plans it as its own
+    // aggregate+join; our registry plans argmin-per-group. Same rows.
+    val viaSql = spark.sql(
+      """WITH ap AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, p_brand, s_name, avg_price
+        |FROM ap JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size <= 5
+        |  AND (avg_price, l_suppkey) = (SELECT min(struct(i.avg_price, i.l_suppkey))
+        |                                FROM ap i WHERE i.l_partkey = ap.l_partkey)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    val got = SparkEntry.queries("q2_min_cost_supp")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got === viaSql)
+    assert(got.nonEmpty)
+  }
+
+  test("q11_important_parts equals Spark SQL's scalar-fraction formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """WITH v AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS dec_value
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(dec_value AS DOUBLE) AS part_value FROM v
+        |WHERE CAST(dec_value AS DOUBLE) >
+        |  1.6 * CAST((SELECT sum(dec_value) FROM v) AS DOUBLE) / (SELECT count(*) FROM v)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = SparkEntry.queries("q11_important_parts")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === viaSql)
+    assert(got.nonEmpty)
+  }
+
+  test("q20_excess_suppliers equals Spark SQL's nested-IN formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND p_name LIKE 'red%'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS t_partkey, sum(supp_qty) AS total_qty FROM sq GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM sq JOIN pt ON l_partkey = t_partkey
+        |  WHERE supp_qty > 0.2 * total_qty)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = SparkEntry.queries("q20_excess_suppliers")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === viaSql)
+    assert(got.nonEmpty)
+  }
+
+  test("q21_waiting equals Spark SQL's per-order aggregate formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """WITH po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+        |       FROM lineitem GROUP BY 1),
+        |rl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |w AS (SELECT rl.l_suppkey, count(*) AS numwait
+        |      FROM rl JOIN po ON rl.l_orderkey = po.l_orderkey
+        |      WHERE po.n_supp > 1 AND po.n_r_supp = 1
+        |      GROUP BY 1)
+        |SELECT s_name, numwait FROM supplier JOIN w ON s_suppkey = l_suppkey
+        |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = SparkEntry.queries("q21_waiting")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === viaSql)
+    assert(got.nonEmpty)
+  }
+
   test("q22_idle_custs equals Spark SQL's scalar-avg + NOT EXISTS formulation") {
     graft.engine.GraftSql.registerTables(spark, sf)
     val viaSql = spark.sql(

@@ -409,4 +409,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._1 == "sam") === 1)
     assert(got.toSet.contains(("bob", 1000L)) && !got.toSet.contains(("bob", 1500L)))
   }
+
+  test("stream-static contamination matches the batch twin per micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val bench = Seq((10L, "the quick brown fox jumps over it", "bench")).toDF("doc_id", "text", "source")
+    val benchShingles = graft.functions.TextAnalysis
+      .shingles(bench, "doc_id", "text").select(col("sh")).distinct()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.contaminationStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", benchShingles)
+      .writeStream.format("memory").queryName("contam_out").outputMode("complete").start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over it")) // contaminated
+      input.addData((2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")) // clean
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("contam_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin over the union of benchmark + streamed docs
+    val batchDocs = bench.select(col("doc_id"), col("text"), col("source"))
+      .union(Seq((1L, "the quick brown fox jumps over it", "web"),
+        (2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "web")).toDF("doc_id", "text", "source"))
+    val batch = graft.functions.TextAnalysis.contaminationCheck(
+        batchDocs, "doc_id", "text", col("source") === "bench")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === batch)
+    assert(got.keySet === Set(1L) && got(1L) >= 5L)
+  }
 }
