@@ -128,6 +128,89 @@ object Extended {
 
   val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
+  /** Funnel analysis: per-user first-hit chain through `steps` event
+    * types, each step converting only within `winUs` µs of the previous
+    * step's first hit (strict '>' — a same-instant pair is not a
+    * conversion). Returns one (step, n_users) row per step.
+    *
+    * Each step is an aggregate-then-join on the user key: step N's
+    * per-user first-hit table joins step N-1's — all stages
+    * hash-partition on user_id, so the partitioning is established once.
+    * The per-user tables feed both their own count and the next step →
+    * persisted (else the events scan re-executes per step). Ordering
+    * compares epoch MICROSECONDS explicitly: the events source is nanos
+    * parquet and engines truncate differently below µs.
+    */
+  def funnelSteps(events: DataFrame, steps: Seq[(String, String)], winUs: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstHits = steps.map(_._1).zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (evType, i)) =>
+        val hits = ev.filter(col("event_type") === evType)
+        val gated = acc match {
+          case Nil => hits
+          case prev :: _ =>
+            hits.join(prev.select(col("user_id").as("pu"), col("t").as("pt")),
+                col("user_id") === col("pu"))
+              .filter(col("us") > col("pt") && col("us") <= col("pt") + winUs)
+        }
+        gated.groupBy(col("user_id")).agg(min(col("us")).as("t")).persist() :: acc
+    }.reverse
+    steps.zip(firstHits).map { case ((_, label), hits) =>
+      hits.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Cohort retention: day-granularity cohort (first-seen day) ×
+    * day-offset matrix of distinct active users — the "D1/D7 retention"
+    * report. One user_id aggregation for first-seen, a same-key join
+    * back, and a distinct count shuffling (cohort, offset, user) triples.
+    * Day boundaries are epoch-second integers (cross-engine timestamp
+    * parity); µs-vs-ns truncation cannot move an event across a day.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day_s")).as("cohort_day"))
+      .select(col("user_id").as("fu"), col("cohort_day"))
+    ev.join(first, col("user_id") === col("fu"))
+      .groupBy(col("cohort_day"),
+        // `/` on longs is double division; diffs are exact 86400 multiples
+        // (< 2^53), so the quotient is exact and the cast is a no-op floor
+        ((col("day_s") - col("cohort_day")) / 86400L).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  /** Hourly-grid resampling with last-observation-carried-forward — the
+    * align/fill primitive for sensor and metric series. The grid comes
+    * from each key's own [first, last] hour bounds via sequence() (no
+    * driver loop, no global-calendar cross join); the fill reuses the
+    * as-of union-scan idiom: tag grid and event rows, ONE hash shuffle on
+    * the key, running last(ignoreNulls) — never a grid×events join. Grid
+    * points before a key's first event are dropped (ASOF inner-join
+    * semantics). Event rows sort before grid rows at the same instant, so
+    * an on-the-hour event is visible to that hour's point.
+    */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String, valCol: String): DataFrame = {
+    val ev = events.select(col(keyCol), unix_micros(col(tsCol)).as("us"), col(valCol).as("v"))
+    val bounds = ev.groupBy(col(keyCol)).agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
+    // `div`, not `/`: Column./ on longs is DOUBLE division — the quotient
+    // would round-trip back to us0 instead of flooring to the hour
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(
+        expr("(us0 div 3600000000) * 3600000000"),
+        expr("(us1 div 3600000000) * 3600000000"),
+        lit(3600000000L))).as("us"))
+    val tagged = ev.select(col(keyCol), col("us"), col("v"), lit(0).as("is_grid"))
+      .unionAll(grid.select(col(keyCol), col("us"), lit(null).cast("double").as("v"), lit(1).as("is_grid")))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("us").asc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("locf_value", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1 && col("locf_value").isNotNull)
+      .select(col(keyCol), expr("us div 1000000").as("gts_s"), col("locf_value"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "asof_join",
@@ -252,6 +335,75 @@ object Extended {
       },
       Some("SELECT user_id, event_id, CAST(ntile(4) OVER " +
         "(PARTITION BY user_id ORDER BY value, event_id) AS INT) AS quartile FROM events")),
+    QueryDef(
+      "funnel_steps",
+      // Funnel analysis: view → click → purchase with a 2-day conversion
+      // window per step — the product-analytics staple. Each step is an
+      // aggregate-then-join on user_id: step N's per-user first-hit table
+      // joins step N-1's (same key ⇒ the partitioning established by the
+      // first aggregation is reusable; at 100 TB all three steps
+      // hash-partition on user_id once). Ordering compares epoch
+      // MICROSECONDS explicitly — the events source is nanos parquet and
+      // the two engines truncate differently at sub-µs, so the contract
+      // is µs everywhere. Strict '>' between steps: a same-instant
+      // view+click is NOT a conversion.
+      (s, dir) => funnelSteps(Tables.events(s, dir),
+        Seq("view" -> "step1_view", "click" -> "step2_click", "purchase" -> "step3_purchase"),
+        2L * 86400L * 1000000L),
+      Some(
+        """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+          |            WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(epoch_us(ts)) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE event_type = 'click' AND epoch_us(ts) > t1
+          |         AND epoch_us(ts) <= t1 + 172800000000 GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(epoch_us(ts)) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+          |         AND epoch_us(ts) <= t2 + 172800000000 GROUP BY 1)
+          |SELECT 'step1_view' AS step, count(*) AS n_users FROM s1
+          |UNION ALL SELECT 'step2_click', count(*) FROM s2
+          |UNION ALL SELECT 'step3_purchase', count(*) FROM s3""".stripMargin)),
+    QueryDef(
+      "retention_cohorts",
+      // Cohort retention: day-granularity cohort (first-seen day) ×
+      // day-offset activity matrix of distinct active users — the
+      // engagement report behind every "D1/D7 retention" metric. The
+      // first-seen table is one user_id aggregation; the join back is on
+      // the same key; the distinct count shuffles (cohort, offset, user)
+      // triples. Day boundaries are epoch-integer outputs (the recipe for
+      // cross-engine timestamp parity); µs truncation cannot move a
+      // timestamp across a DAY boundary, so nanos-vs-µs is moot here.
+      (s, dir) => retentionCohorts(Tables.events(s, dir)),
+      Some(
+        """WITH f AS (SELECT user_id, CAST(floor(epoch(date_trunc('day', min(ts)))) AS BIGINT) AS cohort_day
+          |           FROM events GROUP BY 1)
+          |SELECT cohort_day,
+          |  CAST((CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) - cohort_day) / 86400 AS BIGINT) AS day_offset,
+          |  count(DISTINCT e.user_id) AS n_active
+          |FROM events e JOIN f ON e.user_id = f.user_id
+          |GROUP BY 1, 2""".stripMargin)),
+    QueryDef(
+      "resample_locf",
+      // Time-series resampling to an hourly grid with last-observation-
+      // carried-forward — the align-sensors/fill-gaps primitive. The grid
+      // is generated per user from its own [first, last] hour bounds
+      // (sequence() — no driver loop, no cross join with a global
+      // calendar); the fill reuses the as-of union-scan idiom: tag grid
+      // and event rows, ONE hash shuffle on user_id, running
+      // last(ignoreNulls) window — never a per-grid-point subquery or a
+      // grid×events join. Grid points before a user's first event have
+      // nothing to carry forward and are dropped (ASOF inner-join
+      // semantics in the oracle). Comparisons are in epoch µs; event rows
+      // sort before grid rows at the same instant so an on-the-hour
+      // event is visible to that hour's grid point.
+      (s, dir) => resampleLocf(Tables.events(s, dir), "user_id", "ts", "value"),
+      Some(
+        """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+          |b AS (SELECT user_id, (min(us) // 3600000000) * 3600000000 AS us0,
+          |             (max(us) // 3600000000) * 3600000000 AS us1
+          |      FROM ev GROUP BY 1),
+          |grid AS (SELECT user_id, unnest(generate_series(us0, us1, 3600000000)) AS gus FROM b)
+          |SELECT g.user_id, CAST(g.gus / 1000000 AS BIGINT) AS gts_s, e.value AS locf_value
+          |FROM grid g ASOF JOIN ev e ON g.user_id = e.user_id AND g.gus >= e.us""".stripMargin)),
     QueryDef(
       "orders_by_month",
       (s, dir) => Tables.orders(s, dir)

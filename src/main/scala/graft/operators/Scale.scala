@@ -108,6 +108,54 @@ object Scale {
         col("total_qty"))
   }
 
+  /** Write a table hive-partitioned by a column — the 100 TB layout lever
+    * complementary to [[writeBucketed]]: bucketing co-locates JOIN keys,
+    * directory partitioning lets predicate-bearing scans skip whole
+    * partitions at FILE LISTING time (partition pruning — the scan never
+    * opens, or even lists, non-matching directories). Partition by
+    * low-cardinality scan predicates (date, language, source); bucket by
+    * high-cardinality join keys.
+    */
+  def writePartitioned(df: DataFrame, table: String, partCol: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Once-per-session partitioned staging; same contract and stale-dir
+    * handling as [[stageBucketedOnce]].
+    */
+  def stagePartitionedOnce(df: DataFrame, table: String, partCol: String): Unit = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) return
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    writePartitioned(df, table, partCol)
+  }
+
+  /** Per-source counts of English documents off language-partitioned
+    * staging — partition pruning as a registered, oracle-audited
+    * capability. The `lang = 'en'` predicate resolves against the
+    * partition COLUMN: the scan lists only the lang=en directory (the
+    * executed plan shows it as a PartitionFilter, not a data filter), so
+    * at 100 TB a one-language query reads one language's bytes. The
+    * oracle runs the same query on the unpartitioned parquet — layout
+    * changes the plan, never the answer (same contract as
+    * [[q18Bucketed]]).
+    */
+  def prunedLangCounts(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val docT = s"graft_part_documents_$tag"
+    stagePartitionedOnce(Tables.documents(spark, dir).select("doc_id", "source", "lang"),
+      docT, "lang")
+    spark.table(docT)
+      .filter(col("lang") === "en")
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Revenue by brand off a salted lineitem⋈part join — [[saltedJoin]] as a
     * registered, oracle-audited capability. The salt only changes physical
     * row placement (a hot part key spreads over `buckets` reducers instead
@@ -148,6 +196,8 @@ object Scale {
            |  count(*) AS cnt
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |GROUP BY 1""".stripMargin)),
+    QueryDef("partition_pruned_scan", (s, dir) => prunedLangCounts(s, dir),
+      Some("SELECT source, count(*) AS cnt FROM documents WHERE lang = 'en' GROUP BY 1")),
   )
 
   /** Size shuffle partitions to the data: ceil(inputBytes / targetBytes),

@@ -91,4 +91,25 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.shufflePartitionsFor(100L * (128L << 20)) === 100)
     assert(Scale.shufflePartitionsFor(Long.MaxValue) === 20000) // ceiling
   }
+
+  test("partition_pruned_scan resolves the lang predicate as a partition filter") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("partition_pruned_scan")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate prunes directories at listing time — it must appear as
+    // a PartitionFilter on the scan, NOT as a post-scan data Filter
+    assert(plan.contains("PartitionFilters:") && plan.contains("(lang#"),
+      s"lang predicate did not become a partition filter:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang predicate leaked into the data filters:\n$plan")
+    // result equals the unpartitioned formulation
+    val plain = graft.engine.Tables.documents(spark, sf)
+      .filter(col("lang") === "en")
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === plain)
+    assert(got.nonEmpty)
+  }
 }
