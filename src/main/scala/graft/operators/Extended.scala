@@ -405,6 +405,33 @@ object Extended {
           |SELECT g.user_id, CAST(g.gus / 1000000 AS BIGINT) AS gts_s, e.value AS locf_value
           |FROM grid g ASOF JOIN ev e ON g.user_id = e.user_id AND g.gus >= e.us""".stripMargin)),
     QueryDef(
+      "sql_surface",
+      // The SQL text surface as a registered capability: the same engine
+      // through `spark.sql(...)` over GraftSql's temp views, INCLUDING the
+      // engine's own codegen vector_dot function in the SQL dialect — what
+      // a user arriving from a SQL-speaking system runs on day one. The
+      // query self-joins embeddings on the first label's vectors and
+      // scores pairs with the custom expression; plan and performance are
+      // identical to the DataFrame path (same Catalyst plan underneath).
+      // `+ 0.0` normalizes IEEE negative zero: round() of a tiny negative
+      // dot yields -0.0 in DuckDB but 0.0 in Spark — same value, different
+      // bytes, and the hash compare is byte-level.
+      (s, dir) => {
+        graft.engine.GraftSql.registerTables(s, dir)
+        s.sql(
+          """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  round(vector_dot(a.embedding, b.embedding), 4) + 0.0 AS dot
+            |FROM embeddings a JOIN embeddings b
+            |  ON a.label = b.label AND a.vec_id < b.vec_id
+            |WHERE a.label = 0 AND a.vec_id < 200 AND b.vec_id < 200""".stripMargin)
+      },
+      Some(
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS dot
+          |FROM embeddings a JOIN embeddings b
+          |  ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE a.label = 0 AND a.vec_id < 200 AND b.vec_id < 200""".stripMargin)),
+    QueryDef(
       "orders_by_month",
       (s, dir) => Tables.orders(s, dir)
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
