@@ -639,16 +639,24 @@ object Relational {
       // the top-k is TakeOrderedAndProject. (No commit/receipt dates in
       // the test schema — returnflag R stands in for "kept waiting".)
       (s, dir) => {
-        val lo = Tables.lineitem(s, dir)
+        // One (orderkey, suppkey) aggregation replaces BOTH countDistincts
+        // AND the distinct R-pair scan: n_supp = count of pair groups,
+        // n_r_supp = sum of per-pair has-R flags, and the R pairs are the
+        // same frame filtered — the raw fact is read and shuffled ONCE
+        // (countDistinct would Expand the fact 2× pre-shuffle). pairAgg
+        // feeds two consumers → persisted; the filtered per-order set is
+        // tiny → AQE broadcasts the join back.
+        val pairAgg = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-        val perOrder = lo.groupBy(col("l_orderkey"))
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+          .persist()
+        val perOrder = pairAgg.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
           .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
           .select(col("l_orderkey").as("o_key"))
-        val rPairs = lo.filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val waits = rPairs.join(perOrder, col("l_orderkey") === col("o_key"))
+        val waits = pairAgg.filter(col("has_r") === 1)
+          .join(perOrder, col("l_orderkey") === col("o_key"))
           .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
         Tables.supplier(s, dir)
           .join(waits, col("s_suppkey") === col("l_suppkey"))

@@ -121,6 +121,25 @@ object StreamingOps {
       .drop(r(keyCol)).drop(l("w")).drop(r("w"))
   }
 
+  /** Stream-stream LEFT OUTER window join: same window-equality constraint
+    * as [[windowJoin]], but an unmatched left row still emits (with null
+    * right columns) — ONCE the watermark has closed its window, which is
+    * when the symmetric hash join can prove no future right match exists.
+    * This is the streaming "enrich if present" join; the inner variant
+    * silently drops unenriched rows. State stays watermark-bounded on both
+    * sides (outer-ness changes emission, not retention).
+    */
+  def windowJoinOuter(a: DataFrame, b: DataFrame, keyCol: String,
+                      aTs: String, bTs: String, delay: String, size: String): DataFrame = {
+    val (rb, rbTs) = if (aTs == bTs) (b.withColumnRenamed(bTs, s"r_$bTs"), s"r_$bTs") else (b, bTs)
+    val rk = s"r_$keyCol"
+    val l = a.withWatermark(aTs, delay).withColumn("w", window(col(aTs), size))
+    val r = rb.withColumnRenamed(keyCol, rk)
+      .withWatermark(rbTs, delay).withColumn("w", window(col(rbTs), size))
+    l.join(r, l(keyCol) === r(rk) && l("w") === r("w"), "left_outer")
+      .drop(rk).drop(l("w")).drop(r("w"))
+  }
+
   /** Stream-stream interval join with exclusive bounds (reference:
     * MultipleStreams.scala:61-103): equi-key + time-range condition plans a
     * StreamingSymmetricHashJoin; watermarks bound each side's state

@@ -155,4 +155,68 @@ class PropertySpec extends SparkSpec {
       assert(local.values.toSet.forall(c => local(c) == c))
     }
   }
+
+  private def randomTypedEvents(n: Int, types: Seq[String]) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong, types(rnd.nextInt(types.size)),
+        at(rnd.nextInt(7 * 86400) + rnd.nextDouble()))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+  }
+
+  test("funnel counts are monotone nonincreasing for any event set") {
+    for (trial <- 1 to 3) {
+      val df = randomTypedEvents(300, Seq("view", "click", "purchase"))
+      val counts = graft.operators.Extended
+        .funnelSteps(df, Seq("view" -> "s1", "click" -> "s2", "purchase" -> "s3"),
+          2L * 86400L * 1000000L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("s1") >= counts("s2") && counts("s2") >= counts("s3"),
+        s"funnel widened on trial $trial: $counts")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("retention: day-0 actives per cohort sum to the distinct user count") {
+    for (_ <- 1 to 3) {
+      val df = randomTypedEvents(250, Seq("view", "click"))
+      val ret = graft.operators.Extended.retentionCohorts(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // every user is active on their own first-seen day, exactly once
+      val day0 = ret.collect { case ((_, 0L), n) => n }.sum
+      val users = df.select("user_id").distinct().count()
+      assert(day0 === users)
+      // offsets are never negative — nothing is active before its cohort day
+      assert(ret.keys.forall(_._2 >= 0L))
+    }
+  }
+
+  test("resample LOCF equals the brute-force latest-at-or-before on random series") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val rows = (1 to 120).map { i =>
+        (rnd.nextInt(4).toLong, at(rnd.nextInt(10 * 3600) + rnd.nextDouble()), rnd.nextDouble())
+      }
+      val df = rows.toDF("user_id", "ts", "value")
+      val got = graft.operators.Extended.resampleLocf(df, "user_id", "ts", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val ev = rows.map { case (u, t, v) => (u, t.getTime * 1000L, v) } // ms → µs
+      got.foreach { case ((u, g), v) =>
+        val expected = ev.filter(e => e._1 == u && e._2 <= g * 1000000L).maxBy(_._2)._3
+        assert(v === expected, s"trial $trial user $u grid $g")
+      }
+      // grid density: one point per hour from the first point AT OR AFTER
+      // the user's first event (the floor-hour point before it has nothing
+      // to carry forward and is dropped) through the last-event hour
+      val byUser = ev.groupBy(_._1)
+      byUser.foreach { case (u, es) =>
+        val h = 3600000000L
+        val us0 = es.map(_._2).min
+        val hi = es.map(_._2).max / h
+        val firstKept = (us0 + h - 1) / h // ceil: first grid point with history
+        val gridPts = got.keys.count(_._1 == u)
+        assert(gridPts === (hi - firstKept + 1), s"trial $trial user $u grid size")
+      }
+    }
+  }
 }

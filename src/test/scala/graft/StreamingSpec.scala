@@ -233,6 +233,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq("same_bucket"))
   }
 
+  test("stream-stream LEFT OUTER window join emits unmatched carts with nulls after the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val carts = MemoryStream[ShoppingCartEvent]
+    val views = MemoryStream[CatalogEvent]
+    val joined = StreamingOps.windowJoinOuter(
+      carts.toDF(), views.toDF(), "user_id", "time", "time", "1 second", "5 seconds")
+      .select(col("sku"), col("product_id"))
+    val q = joined.writeStream.format("memory").queryName("wjo_out").outputMode("append").start()
+    try {
+      carts.addData(cart("bob", 1.0, "matched_sku"))
+      views.addData(CatalogEvent("bob", at(3.0), "same_bucket")) // matches bob's cart
+      carts.addData(cart("sam", 2.0, "lonely_sku"))              // no view ever
+      // flush both sides far past the [0,5) window so the join can prove
+      // sam's cart is unmatched and emit its null-extended row
+      carts.addData(cart("zed", 60.0, "flush"))
+      views.addData(CatalogEvent("zed", at(60.0), "flush_view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wjo_out")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got.contains(("matched_sku", Some("same_bucket")))) // inner-join behavior preserved
+    assert(got.contains(("lonely_sku", None)),                 // outer-ness: null-extended emit
+      s"unmatched left row never emitted: $got")
+    assert(!got.contains(("matched_sku", None)))               // matched rows are not ALSO null-emitted
+  }
+
   test("streaming session windows finalize when the watermark passes the gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
