@@ -236,6 +236,23 @@ class PlanSpec extends SparkSpec {
       s"brand/size disjunction not pushed to the part scan:\n$p")
   }
 
+  test("q2_min_cost_supp pushes the rn=1 argmin into WindowGroupLimit") {
+    val p = fullPlan("q2_min_cost_supp")
+    assert(p.contains("WindowGroupLimit"),
+      s"argmin filter not pushed into the window (full per-part sort of losers):\n$p")
+  }
+
+  test("q21_waiting plans without Expand (no countDistinct row blowup)") {
+    val p = fullPlan("q21_waiting")
+    assert(!p.contains("Expand"), s"pair-aggregation rewrite regressed to Expand:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$p")
+  }
+
+  test("q20_excess_suppliers plans the supplier filter as a semi join") {
+    val p = fullPlan("q20_excess_suppliers")
+    assert(p.contains("LeftSemi"), s"IN subquery did not plan as a semi join:\n$p")
+  }
+
   test("dedup_keep_best shuffles hashes once and shares one window partitioning") {
     val p = fullPlan("dedup_keep_best")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
