@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * in batches.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, per-partition
-  * iteration) is real and tested. IMAGE decode is real ([[ImageCodec]], JDK
-  * `javax.imageio` — PNG/BMP/GIF/JPEG) and so is PCM AUDIO decode
-  * ([[WavCodec]], JDK `javax.sound.sampled` — WAV/AIFF/AU), both zero added
-  * dependencies; video decode remains a clearly-marked deterministic STUB
-  * ([[FakeCodec]]) because no video container parser ships with the JDK —
-  * swapping in a real one touches only `FakeCodec.decode`.
+  * iteration) is real and tested, and so are all three modality decoders —
+  * zero added dependencies: IMAGE via [[ImageCodec]] (JDK `javax.imageio`,
+  * PNG/BMP/GIF/JPEG), PCM AUDIO via [[WavCodec]] (JDK `javax.sound.sampled`,
+  * WAV/AIFF/AU), and MJPEG-AVI VIDEO via [[AviCodec]] (a minimal RIFF walker
+  * whose frames are JPEGs ImageIO already reads). Payloads outside those
+  * formats fall back to the clearly-marked deterministic [[FakeCodec]];
+  * swapping in a broader codec library touches only the `decode` seams.
   *
   * Scale notes: media payloads dominate row size, so the pipeline
   * (a) never collects payloads to the driver, (b) processes rows with
@@ -149,12 +150,91 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic fake standing in for video decode and for
-    * audio formats outside the JDK's readers (no video container parser
-    * ships with the JDK; image and WAV/AIFF/AU-PCM audio decode are REAL,
-    * see [[ImageCodec]] / [[WavCodec]]). Replace `decode` with a real
-    * library call; everything around it (schema, batching, partitioning)
-    * is production-shaped.
+  /** Real video decode for MJPEG-in-AVI — the one video format decodable
+    * with zero added dependencies, because its frames are plain JPEGs the
+    * JDK's ImageIO already reads. A minimal RIFF walker (RIFF/LIST
+    * recursion, chunk-id + little-endian size, even-byte padding) collects
+    * the `avih` header (frame interval → fps) and every `..dc`/`..db`
+    * chunk whose payload starts with the JPEG SOI marker; each frame
+    * decodes through the same ImageIO path as [[ImageCodec]]. Anything
+    * else (other codecs, other containers, truncated RIFF) returns None →
+    * [[FakeCodec]] fallback, same contract as the image/audio decoders.
+    *
+    * Features: frame count, width, height, fps, mean luma across frames,
+    * stddev of per-frame luma (scene-change signal), mean frame bytes,
+    * total pixels — the clip-moment vector a real video embedding model
+    * would replace.
+    */
+  object AviCodec {
+    val FeatureDim = 8
+
+    private def u32le(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fourCC(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def decode(payload: Array[Byte]): Option[Array[Float]] =
+      try {
+        if (payload.length < 12 || fourCC(payload, 0) != "RIFF" ||
+          fourCC(payload, 8) != "AVI ") return None
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var microSecPerFrame = 0L
+        def walk(off: Int, end: Int): Unit = {
+          var p = off
+          while (p + 8 <= end) {
+            val id = fourCC(payload, p)
+            val size = u32le(payload, p + 4).toInt
+            val body = p + 8
+            if (size < 0 || body + size > end) return // truncated: stop cleanly
+            if (id == "RIFF" || id == "LIST") {
+              walk(body + 4, body + size) // skip the 4-byte form/list type
+            } else {
+              if (id == "avih" && size >= 4) microSecPerFrame = u32le(payload, body)
+              // stream-data chunks: '00dc' (compressed video), '00db' (uncompressed)
+              if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+                size >= 2 && (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8)
+                frames += java.util.Arrays.copyOfRange(payload, body, body + size)
+            }
+            p = body + size + (size & 1) // chunks pad to even byte boundaries
+          }
+        }
+        walk(12, payload.length)
+        if (frames.isEmpty) return None
+        var w, h = 0
+        var sumLuma, sumLuma2 = 0.0
+        var sumBytes = 0L
+        var decoded = 0
+        frames.foreach { fb =>
+          ImageCodec.decode(fb).foreach { f =>
+            if (decoded == 0) { w = f(0).toInt; h = f(1).toInt }
+            val luma = f(5) // ImageCodec feature 5 = mean luma in [0,1]
+            sumLuma += luma; sumLuma2 += luma.toDouble * luma
+            sumBytes += fb.length
+            decoded += 1
+          }
+        }
+        if (decoded == 0) None
+        else {
+          val n = decoded.toDouble
+          val fps = if (microSecPerFrame > 0) (1000000.0 / microSecPerFrame).toFloat else 0f
+          Some(Array(
+            decoded.toFloat, w.toFloat, h.toFloat, fps,
+            (sumLuma / n).toFloat,
+            math.sqrt(math.max(0.0, sumLuma2 / n - (sumLuma / n) * (sumLuma / n))).toFloat,
+            (sumBytes / n).toFloat,
+            decoded.toFloat * w * h))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB codec — deterministic fake standing in for media the real
+    * decoders do not recognize (non-MJPEG video, exotic audio encodings,
+    * corrupt payloads; image, WAV/AIFF/AU-PCM audio, and MJPEG-AVI video
+    * decode are REAL — see [[ImageCodec]] / [[WavCodec]] / [[AviCodec]]).
+    * Replace `decode` with a real library call; everything around it
+    * (schema, batching, partitioning) is production-shaped.
     */
   object FakeCodec {
     val FeatureDim = 8
@@ -187,12 +267,13 @@ object Multimodal {
       .mapPartitions { rows =>
         // Per-partition init hook: a real codec opens handles/models here.
         rows.map { r =>
-          // images and WAV/AIFF/AU-PCM audio go through REAL JDK decoders;
-          // payloads they do not recognize — and video, which has no JDK
-          // container parser — use the deterministic fake
+          // images, WAV/AIFF/AU-PCM audio, and MJPEG-AVI video all go
+          // through REAL JDK decoders; payloads they do not recognize use
+          // the deterministic fake
           val feature = r.media_type match {
             case "image" => ImageCodec.decode(r.payload).getOrElse(FakeCodec.decode(r.payload))
             case "audio" => WavCodec.decode(r.payload).getOrElse(FakeCodec.decode(r.payload))
+            case "video" => AviCodec.decode(r.payload).getOrElse(FakeCodec.decode(r.payload))
             case _       => FakeCodec.decode(r.payload)
           }
           MediaFeatures(

@@ -106,6 +106,62 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).feature.toSeq === Multimodal.FakeCodec.decode(Array[Byte](9, 9, 9)).toSeq)
   }
 
+  /** A real MJPEG AVI assembled in-memory: RIFF('AVI ' LIST('hdrl' avih)
+    * LIST('movi' 00dc 00dc)) with two JDK-encoded JPEG frames (one dark,
+    * one bright) at 25 fps (avih dwMicroSecPerFrame = 40000).
+    */
+  private def mjpegAvi: Array[Byte] = {
+    def jpegFrame(gray: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 4; x <- 0 until 4) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(formType: String, contents: Array[Byte]): Array[Byte] =
+      chunk("LIST", formType.getBytes("US-ASCII") ++ contents)
+    val avih = chunk("avih", le32(40000) ++ new Array[Byte](52)) // 25 fps, rest zeroed
+    val movi = list("movi", chunk("00dc", jpegFrame(32)) ++ chunk("00dc", jpegFrame(224)))
+    val inner = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(inner.length) ++ inner
+  }
+
+  test("AviCodec decodes a real MJPEG AVI to frame and luma features") {
+    val f = Multimodal.AviCodec.decode(mjpegAvi).get
+    assert(f.length === Multimodal.AviCodec.FeatureDim)
+    assert(f(0) === 2f)               // two frames
+    assert(f(1) === 4f && f(2) === 4f) // frame dimensions
+    assert(math.abs(f(3) - 25f) < 1e-3) // fps from avih
+    // mean luma ≈ mean of the two gray levels (JPEG is lossy → loose bound)
+    assert(math.abs(f(4) - (32 + 224) / 2.0 / 255.0) < 0.05)
+    assert(f(5) > 0.2f)               // dark→bright = large per-frame luma spread
+    assert(f(7) === 2f * 4 * 4)       // total pixels
+    // non-AVI payloads are rejected → None (pipeline falls back to FakeCodec)
+    assert(Multimodal.AviCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.AviCodec.decode(png2x2).isEmpty) // wrong container
+    // a truncated AVI (header cut mid-chunk) must not throw
+    assert(Multimodal.AviCodec.decode(mjpegAvi.take(40)).isEmpty)
+  }
+
+  test("extractFeatures routes real MJPEG-AVI payloads through the real decoder") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "video", mjpegAvi, None, None, None),
+      Multimodal.MediaRecord(2L, "video", Array[Byte](9, 9, 9), None, None, None)))
+    val feats = Multimodal.extractFeatures(media, partitions = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature(0) === 2f && feats(1L).feature(3) === 25f)
+    // undecodable payload takes the deterministic fake path
+    assert(feats(2L).feature.toSeq === Multimodal.FakeCodec.decode(Array[Byte](9, 9, 9)).toSeq)
+  }
+
   test("frame sampling expands only video rows") {
     val media = Multimodal.syntheticMedia(spark, 9) // ids 2,5,8 are video
     val frames = Multimodal.sampleFrames(media, frameBytes = 16)

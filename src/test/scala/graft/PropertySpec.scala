@@ -156,6 +156,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("json extraction is total on malformed, null, and key-missing props") {
+    import spark.implicits._
+    val df = Seq(
+      ("click", """{"k": 7}"""),
+      ("click", """{"k": "not-a-number"}"""), // type mismatch → null field
+      ("click", """{nope"""),                 // malformed JSON → null struct
+      ("click", """{"other": 1}"""),          // key missing → null field
+      ("click", null.asInstanceOf[String]))   // null document
+      .toDF("event_type", "props")
+    val got = graft.operators.Relational.jsonPropSum(df)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // no row is dropped or throws; only the one valid k contributes to the sum
+    assert(got.toSeq === Seq(("click", 7L, 5L)))
+  }
+
   private def randomTypedEvents(n: Int, types: Seq[String]) = {
     import spark.implicits._
     (1 to n).map { i =>
