@@ -18,7 +18,12 @@ object Verify {
     def rmdir(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the dump (unset → all).
+    // The driver runs without it, so the full registry is always gated.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // drop any previous round's output FIRST: a failing query must leave
       // no result behind, or the driver would hash stale (passing) data and
       // mask the regression

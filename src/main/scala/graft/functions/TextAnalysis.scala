@@ -551,6 +551,98 @@ object TextAnalysis {
       |              FROM documents WHERE source <> 'src0' AND length(text) >= 8))
       |SELECT doc_id, count(*) AS n_shared FROM csh JOIN bsh USING (sh) GROUP BY 1""".stripMargin
 
+  /** Per-document mean token rarity — the log-free "perplexity proxy"
+    * quality gate: score = mean over token occurrences of N/count(token)
+    * (inverse unigram probability). Rare-vocabulary documents score high;
+    * boilerplate scores ~1/p(top tokens). A real unigram LM would take
+    * -log p; raw 1/p preserves the ranking and stays bit-reproducible
+    * across engines (libm log implementations differ in the last ulp —
+    * same reasoning as tf-idf's raw idf).
+    *
+    * Parity: each per-term rarity is quantized ONCE —
+    * floor(N/cnt · 1e6) — a chain of exactly-specified IEEE ops, then
+    * summed as exact integers (max N/cnt = N ⇒ quantized ≤ N·1e6; at
+    * sf0.1's ~6M tokens that is 6e12 ≪ 2^53, and a 100 TB corpus would
+    * switch the sum to decimal). The mean is one double division at the
+    * end.
+    *
+    * Scale shape: tf is the same (doc, term) hash aggregation tf-idf
+    * uses (map-side combined, persisted — it feeds the global counts AND
+    * the scored join); the corpus frequency table aggregates tf again, so
+    * that shuffle carries |vocabulary|; N broadcasts as a scalar; the
+    * final per-doc aggregation is map-side combinable. No text on any
+    * shuffle.
+    */
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val n = freq.agg(sum(col("cnt")).as("n_tok")) // one row
+    val rarityQ = floor(col("n_tok").cast("double") / col("cnt") * lit(1e6)).cast("long")
+    tf.join(freq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * rarityQ).as("rarity_q"))
+      .select(col(idCol), col("n_tokens"), col("rarity_q"),
+        (col("rarity_q").cast("double") / col("n_tokens")).as("mean_rarity"))
+  }
+
+  val tokenRaritySql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |freq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM freq)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(sum(tf * CAST(floor(CAST(n_tok AS DOUBLE) / cnt * 1e6) AS BIGINT)) AS BIGINT) AS rarity_q,
+      |  CAST(sum(tf * CAST(floor(CAST(n_tok AS DOUBLE) / cnt * 1e6) AS BIGINT)) AS DOUBLE)
+      |    / CAST(sum(tf) AS BIGINT) AS mean_rarity
+      |FROM tf JOIN freq USING (term) CROSS JOIN n
+      |GROUP BY 1""".stripMargin
+
+  /** Per-source duplication rate: the fraction of each source's documents
+    * whose normalized text occurs more than once corpus-wide — the
+    * curation dashboard number that decides which crawl/source gets a
+    * harsher dedup pass. Composes [[normalize]]'s canonical form with a
+    * corpus-wide occurrence count.
+    *
+    * Scale shape: occurrence counts are a hash aggregation on the 32-byte
+    * md5 (map-side combined, |distinct hashes| on the wire); the join
+    * back to per-doc rows is on the same hash (AQE picks broadcast only
+    * if the distinct-hash table is small — at corpus scale it stays a
+    * co-partitioned shuffled join); the per-source rollup carries a
+    * handful of rows. Text itself never shuffles — only hashes.
+    */
+  def dupRatioBySource(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame = {
+    // Aggregate to (hash, source) counts BEFORE anything is consumed
+    // twice: the persisted frame holds 32-byte hashes and counts, never
+    // text, and the corpus scan runs exactly once.
+    val g = docs.select(col(sourceCol), md5(normalize(col(textCol))).as("h"))
+      .groupBy(col("h"), col(sourceCol)).agg(count(lit(1)).as("c_src"))
+      .persist()
+    val tot = g.groupBy(col("h")).agg(sum(col("c_src")).as("c"))
+    g.join(tot, Seq("h"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("c_src")).as("n_docs"),
+        sum(when(col("c") > 1, col("c_src")).otherwise(0L)).as("n_dup"))
+      .select(col(sourceCol), col("n_docs"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_ratio"))
+  }
+
+  val dupRatioBySourceSql: String =
+    """WITH hashed AS (
+      |  SELECT source, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+      |  FROM documents),
+      |counts AS (SELECT h, count(*) AS c FROM hashed GROUP BY 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) / CAST(count(*) AS DOUBLE) AS dup_ratio
+      |FROM hashed JOIN counts USING (h)
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("data_split", (s, dir) => dataSplit(Tables.documents(s, dir), "doc_id"), Some(dataSplitSql)),
     QueryDef("source_mix",
@@ -577,6 +669,12 @@ object TextAnalysis {
     QueryDef("zipf_tokens",
       (s, dir) => zipfTokens(Tables.documents(s, dir), "text"),
       Some(zipfTokensSql)),
+    QueryDef("token_rarity",
+      (s, dir) => tokenRarity(Tables.documents(s, dir), "doc_id", "text"),
+      Some(tokenRaritySql)),
+    QueryDef("dup_ratio_by_source",
+      (s, dir) => dupRatioBySource(Tables.documents(s, dir), "doc_id", "text", "source"),
+      Some(dupRatioBySourceSql)),
     QueryDef("contamination_check",
       (s, dir) => contaminationCheck(Tables.documents(s, dir), "doc_id", "text",
         col("source") === "src0"),

@@ -675,5 +675,90 @@ object Relational {
           |      GROUP BY 1)
           |SELECT s_name, numwait FROM supplier JOIN w ON s_suppkey = l_suppkey
           |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin)),
+    QueryDef(
+      "q8_market_share",
+      // TPC-H Q8 shape: one supplier nation's share of yearly revenue for
+      // one part type sold into one region. The widest star in the suite —
+      // lineitem joins part, supplier, nation (twice: supplier side for
+      // the share flag, customer side for the region restriction), orders,
+      // customer, region. Every dimension chain broadcasts (part is
+      // pre-filtered to one type, nation/region are tiny, supplier and the
+      // filtered customer set sit under the threshold and degrade to
+      // shuffled joins at 100×); orders⋈lineitem is the single fact
+      // shuffle, on l_orderkey. The share is two exact decimal sums
+      // followed by one IEEE division on identical operands in both
+      // engines (the q14 idiom), grouped by order year.
+      (s, dir) => {
+        val pt = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val suppNat = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val amNat = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(amNat), col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"))
+        val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg((decSum(when(col("supp_nation") === "NATION_6", vol).otherwise(lit(0.0)))
+            / decSum(vol)).as("mkt_share"))
+      },
+      Some(
+        s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           |  ${decSumSql("CASE WHEN sn.n_name = 'NATION_6' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+           |  / ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+           |FROM lineitem
+           |  JOIN part ON l_partkey = p_partkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN region ON cn.n_regionkey = r_regionkey
+           |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+           |GROUP BY 1""".stripMargin)),
+    QueryDef(
+      "q12_priority_class",
+      // TPC-H Q12 shape: order-priority class counts per ship mode over a
+      // one-year window. The test schema has no l_shipmode/l_commitdate/
+      // l_receiptdate, so l_returnflag stands in for the mode and the
+      // late-delivery predicate becomes the ship-year window — the PLAN
+      // shape is Q12's: a date-filtered fact⋈fact join on the order key
+      // feeding a conditional (CASE-summed) aggregation over a handful of
+      // groups. The shipdate range is pushed to the lineitem scan; the
+      // only shuffle carries (orderkey, flag, priority) pairs; partial
+      // aggregation collapses each split to ≤3 rows before exchange.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_returnflag"))
+        val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+        val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY 1""".stripMargin)),
   )
 }

@@ -402,6 +402,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L)))
   }
 
+  test("token rarity: rare-vocabulary doc outscores boilerplate; hand-computed means") {
+    import spark.implicits._
+    // corpus tokens: a×4 (docs 1,2), b×2 (doc 1), z×2 (doc 3); N = 8
+    val docs = Seq((1L, "a a b b"), (2L, "a a"), (3L, "z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenRarity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // rarity(a) = 8/4 = 2.0 → 2e6; rarity(b) = 8/2 = 4.0 → 4e6; rarity(z) = 4e6
+    assert(got(1L) === ((4L, 2L * 2000000L + 2L * 4000000L, 3e6)))
+    assert(got(2L) === ((2L, 2L * 2000000L, 2e6)))
+    assert(got(3L) === ((2L, 2L * 4000000L, 4e6)))
+    assert(got(3L)._3 > got(2L)._3) // rare vocabulary ranks above boilerplate
+  }
+
+  test("dup ratio by source: corpus-wide duplicates attributed per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Same text!", "web"),   // dup of 2 after normalization (case/punct)
+      (2L, "same text", "books"),
+      (3L, "unique alpha", "web"),
+      (4L, "unique beta", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dupRatioBySource(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("web") === ((3L, 1L, 1.0 / 3)))   // cross-source dup counts for BOTH sources
+    assert(got("books") === ((1L, 1L, 1.0)))
+  }
+
   test("contamination check counts shared shingles against the benchmark set only") {
     import spark.implicits._
     val docs = Seq(

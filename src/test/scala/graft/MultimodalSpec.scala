@@ -561,4 +561,54 @@ class RelationalSpec extends SparkSpec {
     assert(got === viaSql)
     assert(got.nonEmpty)
   }
+
+  test("q8_market_share equals Spark SQL's nested-subquery formulation") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    // the classic Q8 form: all-nations volume table in a subquery, share
+    // as a conditional-sum ratio over it
+    val viaSql = spark.sql(
+      """SELECT o_year,
+        |  CAST(sum(CAST(CASE WHEN nation = 'NATION_6' THEN volume ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |  / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |        l_extendedprice * (1.0 - l_discount) AS volume,
+        |        sn.n_name AS nation
+        |      FROM lineitem
+        |        JOIN part ON l_partkey = p_partkey
+        |        JOIN supplier ON l_suppkey = s_suppkey
+        |        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |        JOIN orders ON l_orderkey = o_orderkey
+        |        JOIN customer ON o_custkey = c_custkey
+        |        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |        JOIN region ON cn.n_regionkey = r_regionkey
+        |      WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA') v
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val got = SparkEntry.queries("q8_market_share")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got === viaSql)
+    assert(got.nonEmpty && got.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("q12_priority_class: high+low counts partition the joined rows") {
+    graft.engine.GraftSql.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = SparkEntry.queries("q12_priority_class")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === viaSql)
+    // every joined row lands in exactly one class
+    val joined = spark.sql(
+      """SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin).collect()(0).getLong(0)
+    assert(got.values.map(v => v._1 + v._2).sum === joined)
+  }
 }
