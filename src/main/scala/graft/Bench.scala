@@ -62,9 +62,9 @@ object Bench {
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // operators persist their index frames (LSH bands, shingle index,
-        // IVF centroids); drop them so cache memory from one run can't
-        // skew the next
-        spark.catalog.clearCache()
+        // IVF centroids) and localCheckpoint their CC labels; drop both
+        // kinds so cache memory from one run can't skew the next
+        graft.engine.Scoped.releaseAll(spark)
         (ok, elapsed)
       }
       // min over SUCCESSFUL runs only — a fast failure must not report as a

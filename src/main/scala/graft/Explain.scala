@@ -24,6 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
 
     val sb = new StringBuilder
+    var nFailed = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       sb.append(s"\n${"=" * 78}\n== $name\n${"=" * 78}\n")
       try {
@@ -31,14 +32,20 @@ object Explain {
         sb.append(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       } catch {
-        case e: Throwable => sb.append(s"EXPLAIN FAILED: ${e.getMessage}\n")
+        case e: Throwable =>
+          nFailed += 1
+          sb.append(s"EXPLAIN FAILED: ${e.getMessage}\n")
       }
       // a prior query's persist() marks would otherwise substitute
       // InMemoryRelation into later plans, hiding their real shape
-      spark.catalog.clearCache()
+      graft.engine.Scoped.releaseAll(spark)
     }
     Files.writeString(Paths.get(outFile), sb.toString)
-    println(s"[explain] wrote ${SparkEntry.queries.size} plans to $outFile")
+    println(s"[explain] wrote ${SparkEntry.queries.size} plans to $outFile" +
+      (if (nFailed > 0) s" ($nFailed FAILED)" else ""))
     spark.stop()
+    // a failed explain must fail the run — PlanAuditSpec separately pins
+    // the committed PLANS.txt to the registry key set
+    if (nFailed > 0) sys.exit(1)
   }
 }

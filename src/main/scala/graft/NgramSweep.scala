@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only parameter sweep for the n-gram Jaccard shingle sampling
   * (NOTES.md open thread 1): times `Dedup.ngramJaccardPairs` across
   * (width, stride) settings at one scale factor and prints a table.
-  * The registered `dedup_ngram` stays at (8, 4) — its oracle SQL is
-  * derived from the same constants; this main only measures what the
-  * alternatives would buy.
+  * The registered `dedup_ngram` runs at (8, Dedup.NgramStride=6) — the
+  * registration, the Scala default, and ngramJaccardSql all read that
+  * one constant; this main only measures what the alternatives would buy.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.NgramSweep
   */

@@ -34,7 +34,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         rmdir(new java.io.File(s"$outDir/$name"))
       }
-      spark.catalog.clearCache() // drop per-operator persisted index frames
+      // drop per-operator persisted index frames AND localCheckpoint
+      // blocks (clearCache alone misses RDD-level persists)
+      graft.engine.Scoped.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

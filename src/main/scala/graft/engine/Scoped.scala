@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persist/unpersist discipline for multi-consumer frames.
+  *
+  * Two lifetimes exist in this engine:
+  *
+  *  1. EAGER scopes — the frame's consumers all run inside one function
+  *     (e.g. a parameter sweep, a spec): use [[withPersisted]], which
+  *     unpersists on the way out, exception or not.
+  *
+  *  2. QUERY-LIFETIME persists — a registered query returns a LAZY
+  *     DataFrame whose plan reads a persisted intermediate from two
+  *     subtrees (q11/q15/q20/q21, the dedup indexes). The function that
+  *     created the persist cannot unpersist it (the caller has not
+  *     executed anything yet), so the contract is: the RUNNER releases
+  *     everything after the query's action completes — [[releaseAll]]
+  *     in Verify/Bench/specs, once per query. This also reclaims
+  *     `localCheckpoint` blocks (RDD-level persists that
+  *     `spark.catalog.clearCache()` alone cannot see), which the
+  *     connected-components rounds leave behind by design.
+  *
+  * A long-lived session embedding this library should do the same:
+  * `Scoped.releaseAll(spark)` at query boundaries, exactly like the
+  * bundled runners.
+  */
+object Scoped {
+
+  /** Persist `dfs`, run `f` (which must CONSUME them — materialization
+    * happens at f's own actions), then unpersist, exception-safe.
+    */
+  def withPersisted[T](dfs: DataFrame*)(f: => T): T = {
+    dfs.foreach(_.persist())
+    try f
+    finally dfs.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Release every cached/persisted block in the session: cached plans
+    * (CacheManager) AND raw RDD blocks, which covers `localCheckpoint`
+    * data. Safe at query boundaries — re-executing a checkpointed frame
+    * released here would fail, so call it only after the query's result
+    * has been fully consumed.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+}

@@ -197,13 +197,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing stride shared by [[ngramJaccardPairs]]'s default, the
+    * `dedup_ngram` registration, and [[ngramJaccardSql]] — ONE constant so
+    * the Scala default and the oracle can never silently diverge. 6 won
+    * the round-4 NgramSweep (identical pair output to stride 4 at sf0.01,
+    * ~40% less shingle volume).
+    */
+  val NgramStride: Int = 6
+
   /** n-gram Jaccard near-dup: inverted-index self-join on stride-sampled
     * character shingles, document frequency capped at `maxDf`, Jaccard
     * over the df-filtered shingle universe, thresholded.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Int = 100, threshold: Double = 0.8,
-                        width: Int = 8, stride: Int = 4): DataFrame = {
+                        width: Int = 8, stride: Int = NgramStride): DataFrame = {
     // sh feeds the df-filter AND the index join → persist to stop the
     // scan→explode→distinct lineage running twice.
     val sh = TextAnalysis.shingles(docs, idCol, textCol, width, stride).persist()
@@ -228,7 +236,7 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH sh AS (${TextAnalysis.shinglesSql(stride = 6)}),
+    s"""WITH sh AS (${TextAnalysis.shinglesSql(stride = NgramStride)}),
        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
        |fsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY 1),
@@ -407,11 +415,15 @@ object Dedup {
       else (propagateIteratively(p, maxIters), false)
     p.unpersist() // both paths have materialized their own copy by now
     // singletons never enter the component computation; identity-label
-    // them here. The component map joins against docs broadcast when it is
-    // known-small (union-find path), one shuffle join otherwise (at corpus
-    // scale |V(pairs)| can itself be large, and docs only shuffles its id
-    // column).
-    val bc: DataFrame => DataFrame = if (labelsSmall) broadcast else identity
+    // them here. The component map broadcasts only when a MEASURED row
+    // count says it is genuinely small: the union-find path alone bounds
+    // labels by 2×localMaxEdges ≈ 10M rows (hundreds of MB — a legal but
+    // nasty driver/executor spike), so "took the local path" is not
+    // sufficient. The count is cheap (labels is already localCheckpointed)
+    // and everything above the cap takes a shuffle join, where docs only
+    // shuffles its id column.
+    val bc: DataFrame => DataFrame =
+      if (labelsSmall && labels.count() <= 2000000L) broadcast else identity
     docs.select(col(idCol).as("doc_id"))
       .join(bc(labels), col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
@@ -598,12 +610,12 @@ object Dedup {
     QueryDef("dedup_minhash", (s, dir) => minhashLshPairs(Tables.documents(s, dir), "doc_id", "text"), Some(minhashSql)),
     QueryDef("dedup_minhash_est", (s, dir) => minhashEstJaccard(Tables.documents(s, dir), "doc_id", "text"), Some(minhashEstJaccardSql)),
     QueryDef("dedup_simhash", (s, dir) => simhashPairs(Tables.documents(s, dir), "doc_id", "text"), None),
-    // stride 6 (vs the shingles default 4): the round-4 sweep (NgramSweep)
-    // measured 3.0 s vs 5.8 s at sf0.1 with an IDENTICAL pair set at both
-    // strides (sym-diff 0 at sf0.01) — sparser winnowing, same recall at
-    // the 0.8 threshold. Oracle uses the same stride (invariant: both
-    // sides in lockstep).
-    QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", stride = 6), Some(ngramJaccardSql)),
+    // NgramStride (6, vs the shingles default 4): the round-4 sweep
+    // (NgramSweep) measured 3.0 s vs 5.8 s at sf0.1 with an IDENTICAL
+    // pair set at both strides (sym-diff 0 at sf0.01) — sparser
+    // winnowing, same recall at the 0.8 threshold. Registration, Scala
+    // default, and oracle all read the one constant.
+    QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
     QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),
     QueryDef("dedup_embedding_lsh", (s, dir) => embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingLshSql)),
     QueryDef("dedup_clusters", (s, dir) => {

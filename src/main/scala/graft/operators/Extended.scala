@@ -140,6 +140,12 @@ object Extended {
     * persisted (else the events scan re-executes per step). Ordering
     * compares epoch MICROSECONDS explicitly: the events source is nanos
     * parquet and engines truncate differently below µs.
+    *
+    * The per-step counts run EAGERLY (the result is one long per step)
+    * so every persisted frame can be unpersisted before returning —
+    * self-cleaning in a long-lived session, no runner cooperation
+    * needed. Counting in step order means step N's count materializes
+    * its cache right before step N+1's count consumes it.
     */
   def funnelSteps(events: DataFrame, steps: Seq[(String, String)], winUs: Long): DataFrame = {
     val ev = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
@@ -155,9 +161,12 @@ object Extended {
         }
         gated.groupBy(col("user_id")).agg(min(col("us")).as("t")).persist() :: acc
     }.reverse
-    steps.zip(firstHits).map { case ((_, label), hits) =>
-      hits.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
-    }.reduce(_.unionAll(_))
+    val counts =
+      try steps.zip(firstHits).map { case ((_, label), hits) => (label, hits.count()) }
+      finally firstHits.foreach(_.unpersist(blocking = false))
+    val spark = events.sparkSession
+    import spark.implicits._
+    counts.toDF("step", "n_users")
   }
 
   /** Cohort retention: day-granularity cohort (first-seen day) ×
@@ -189,9 +198,17 @@ object Extended {
     * points before a key's first event are dropped (ASOF inner-join
     * semantics). Event rows sort before grid rows at the same instant, so
     * an on-the-hour event is visible to that hour's point.
+    *
+    * Null-valued events are dropped up front: Spark's
+    * last(ignoreNulls=true) would skip them (carrying the OLDER value
+    * forward) while an ASOF-join oracle returns the latest row's null —
+    * divergent semantics. Filtering them before the bounds computation
+    * makes "last observation" mean "last non-null observation" in both
+    * engines, and keys whose events are all null produce no grid.
     */
   def resampleLocf(events: DataFrame, keyCol: String, tsCol: String, valCol: String): DataFrame = {
-    val ev = events.select(col(keyCol), unix_micros(col(tsCol)).as("us"), col(valCol).as("v"))
+    val ev = events.filter(col(valCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("us"), col(valCol).as("v"))
     val bounds = ev.groupBy(col(keyCol)).agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
     // `div`, not `/`: Column./ on longs is DOUBLE division — the quotient
     // would round-trip back to us0 instead of flooring to the hour
@@ -397,7 +414,8 @@ object Extended {
       // event is visible to that hour's grid point.
       (s, dir) => resampleLocf(Tables.events(s, dir), "user_id", "ts", "value"),
       Some(
-        """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+          |           WHERE value IS NOT NULL),
           |b AS (SELECT user_id, (min(us) // 3600000000) * 3600000000 AS us0,
           |             (max(us) // 3600000000) * 3600000000 AS us1
           |      FROM ev GROUP BY 1),

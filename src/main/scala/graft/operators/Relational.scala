@@ -15,11 +15,22 @@ import Parity._
   * Scale posture per query:
   *  - q1_pricing: pure scan + partial/final agg, 6 groups — shuffle is a
   *    few KB regardless of input size.
-  *  - q3_top_orders: dimension (customer) is explicitly broadcast; the
-  *    orders⋈lineitem fact join shuffles on the join key; top-k is
+  *  - q3_top_orders: the filtered customer dimension joins un-hinted —
+  *    Catalyst broadcasts it under autoBroadcastJoinThreshold and AQE
+  *    degrades to a shuffled join at scale; top-k is
   *    TakeOrderedAndProject (no global sort materialization).
-  *  - q5_region_revenue: all dimensions broadcast, one fact shuffle.
+  *  - q5_region_revenue: fixed-cardinality dims (nation, region) carry
+  *    explicit broadcast() hints; SF-scaling dims (customer, supplier)
+  *    never do — the threshold/AQE decide, so at 100× the plan degrades
+  *    to shuffled joins instead of OOMing.
   *  - json_props: get_json_object is codegen'd, stays in the scan stage.
+  *
+  * Broadcast-hint policy (applies to every query in this file): an
+  * explicit broadcast() OVERRIDES the size threshold — Spark attempts it
+  * at ANY size — so hints are reserved for frames whose cardinality is
+  * fixed by the schema (nation=25, region=5, 1-row scalar aggregates).
+  * Anything that grows with SF (customer, supplier, part, per-key
+  * aggregates) is left to autoBroadcastJoinThreshold + AQE.
   */
 object Relational {
 
@@ -38,7 +49,7 @@ object Relational {
   def topOrdersByRevenue(cust: DataFrame, ord: DataFrame, li: DataFrame,
                          segment: String, k: Int): DataFrame = {
     val c = cust.filter(col("c_mktsegment") === segment).select(col("c_custkey"))
-    ord.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    ord.join(c, col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -59,9 +70,9 @@ object Relational {
     val c = cust.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_nationkey").as("cn_key"), col("n_name"))
     val s = supp.select(col("s_suppkey"), col("s_nationkey"))
-    ord.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    ord.join(c, col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("cn_key"))
+      .join(s, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("cn_key"))
       .groupBy(col("n_name"))
       .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
@@ -125,16 +136,18 @@ object Relational {
       "q9_profit",
       // TPC-H Q9 shape (no partsupp table in the test data, so retail
       // price stands in for supply cost): profit by supplier nation and
-      // order year across a 4-dim star join — all dimensions broadcast,
-      // single fact shuffle.
+      // order year across a 4-dim star join — nation (fixed 25 rows)
+      // broadcasts by hint; part and supplier grow with SF so they are
+      // un-hinted (threshold-broadcast at test scale, shuffled at 100×);
+      // orders⋈lineitem is the single unavoidable fact shuffle.
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         val part = Tables.part(s, dir).select(col("p_partkey"), col("p_retailprice"))
         val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
         val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
         val ord = Tables.orders(s, dir).select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name"), col("o_year"))
@@ -202,11 +215,12 @@ object Relational {
       "q16_supplier_cnt",
       // TPC-H Q16 shape (NOT IN → left-anti join + count distinct), adapted
       // to this schema: lineitem is the part↔supplier bridge (no partsupp
-      // table). The excluded-supplier subquery is tiny by construction
-      // (negative balances) → broadcast anti join: the NOT IN costs zero
-      // fact shuffles. part is deliberately NOT hinted — Catalyst
-      // broadcasts it under the threshold and degrades to a shuffled join
-      // at 100× (an explicit broadcast() would OOM there). count(DISTINCT)
+      // table). The excluded-supplier subquery is a small fraction of
+      // supplier (negative balances) but still grows with SF, so it is
+      // un-hinted like part — Catalyst broadcasts both under the
+      // threshold (the NOT IN then costs zero fact shuffles) and degrades
+      // to shuffled joins at 100× where a forced hint would OOM.
+      // count(DISTINCT)
       // plans as the two-phase partial-distinct aggregate, so the shuffle
       // carries (brand, size, suppkey) triples, not lineitem rows.
       // NULL-key note: anti-join ≡ NOT IN only for non-null keys (a NULL
@@ -222,7 +236,7 @@ object Relational {
           .select(col("p_partkey"), col("p_brand"), col("p_size"))
         Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
           .filter(col("l_suppkey").isNotNull)
-          .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
           .join(parts, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -244,9 +258,10 @@ object Relational {
       "q7_nation_volume",
       // TPC-H Q7 shape: shipping volume between nation pairs by year.
       // The nation dimension joins TWICE (supplier side and customer
-      // side) under different aliases; both nation copies and supplier
-      // broadcast unconditionally (tiny), customer broadcasts under the
-      // threshold and degrades to a shuffled join at 100×. The date
+      // side) under different aliases; both nation copies broadcast
+      // unconditionally (fixed 25 rows); supplier and customer grow with
+      // SF so they are un-hinted — threshold-broadcast at test scale,
+      // shuffled joins at 100×. The date
       // filter is pushed to the lineitem scan; the pair-inequality filter
       // runs as soon as both names are bound, before the aggregation.
       (s, dir) => {
@@ -261,7 +276,7 @@ object Relational {
         val nat = Tables.nation(s, dir)
         val suppNat = nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
         val custNat = nat.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
-        li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        li.join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
@@ -289,9 +304,11 @@ object Relational {
       // TPC-H Q10 shape: top customers by revenue from returned items in
       // one quarter. Aggregate-then-join: revenue reduces to one row per
       // customer BEFORE touching the customer dimension, so the wide
-      // customer attributes join against the small aggregate (broadcast),
-      // never against lineitem rows. The orders quarter-filter makes the
-      // fact⋈fact join input small; AQE picks the strategy at runtime.
+      // customer attributes join against the per-customer aggregate,
+      // never against lineitem rows. That aggregate grows with SF, so it
+      // joins un-hinted — the orders quarter-filter keeps it under the
+      // threshold at test scale, and AQE picks the strategy at runtime
+      // when it isn't.
       (s, dir) => {
         val ord = Tables.orders(s, dir).filter(
           col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -304,7 +321,7 @@ object Relational {
           .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
         Tables.customer(s, dir)
-          .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+          .join(rev, col("c_custkey") === col("o_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
           .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -356,7 +373,8 @@ object Relational {
       // exact decimal accumulations (merge-order independent); the share
       // is then a single IEEE multiply+divide on identical operands in
       // both engines — bit-reproducible, where summing doubles directly
-      // would drift in the last ulp. One broadcast dim join, one 1-row agg.
+      // would drift in the last ulp. part grows with SF → un-hinted dim
+      // join (threshold/AQE decide), then one 1-row agg.
       (s, dir) => {
         val li = Tables.lineitem(s, dir).filter(
           col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
@@ -364,7 +382,7 @@ object Relational {
           .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
         val part = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
         val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
           .agg((lit(100.0) * decSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
             / decSum(rev)).as("promo_share"))
       },
@@ -431,7 +449,10 @@ object Relational {
       // doubles, so `revenue = max(revenue)` selects the same rows.
       (s, dir) => {
         // rev feeds BOTH the supplier join and the scalar max — persist it
-        // or the filtered lineitem scan + aggregation execute twice
+        // or the filtered lineitem scan + aggregation execute twice. This
+        // is a query-lifetime persist (the returned frame is lazy, so it
+        // cannot be unpersisted here): runners release it after the
+        // query's action via engine.Scoped.releaseAll.
         val rev = Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -462,13 +483,14 @@ object Relational {
       // lineitem-side quantity band each appear in every branch's
       // residual, but the common super-range (l_quantity <= 30, p_size
       // >= 1) is factored into the scans as a pushed filter; the full
-      // disjunction evaluates post-join inside codegen. part broadcasts;
-      // no fact shuffle at all — the aggregate is 1-row.
+      // disjunction evaluates post-join inside codegen. part grows with
+      // SF → un-hinted (threshold/AQE decide the strategy); no fact
+      // shuffle at all — the aggregate is 1-row.
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
           .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
         val part = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
           .filter(
             (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
             (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
@@ -538,8 +560,8 @@ object Relational {
         val best = ap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         val parts = Tables.part(s, dir).filter(col("p_size") <= 5)
           .select(col("p_partkey"), col("p_brand"))
-        best.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        best.join(parts, col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("p_partkey"), col("p_brand"), col("s_name"), col("avg_price"))
       },
@@ -564,7 +586,9 @@ object Relational {
       // corpus total is the sum of per-part DECIMAL sums — summed as
       // decimals, so it stays exact under any merge order; only the final
       // threshold compare happens in (identical) doubles. The per-part
-      // frame persists because it feeds both the scalar and the output.
+      // frame persists because it feeds both the scalar and the output —
+      // query-lifetime persist, released by the runner's
+      // engine.Scoped.releaseAll after the action.
       (s, dir) => {
         val value = Tables.lineitem(s, dir)
           .groupBy(col("l_partkey"))
@@ -593,17 +617,21 @@ object Relational {
       // outer level: the qualifying supplier set semi-joins supplier.
       // Quantities are integral doubles — exact under plain sum in both
       // engines, so the 0.2× threshold compare is engine-identical. The
-      // watched-part filter (name prefix) broadcasts into the inner agg,
-      // shrinking it before the per-part total join.
+      // watched-part filter (name prefix) joins into the inner agg
+      // un-hinted (part grows with SF — threshold/AQE pick broadcast at
+      // test scale, shuffle at 100×), shrinking it before the per-part
+      // total join.
       (s, dir) => {
         val sq = Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
             col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-          .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("red%"))
-            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(Tables.part(s, dir).filter(col("p_name").like("red%"))
+            .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(sum(col("l_quantity")).as("supp_qty"))
-          .persist() // feeds the per-part total AND the threshold join
+          // feeds the per-part total AND the threshold join; query-lifetime
+          // persist, released by the runner via engine.Scoped.releaseAll
+          .persist()
         val pt = sq.groupBy(col("l_partkey")).agg(sum(col("supp_qty")).as("total_qty"))
           .select(col("l_partkey").as("t_partkey"), col("total_qty"))
         val qual = sq.join(pt, col("l_partkey") === col("t_partkey"))
@@ -644,8 +672,9 @@ object Relational {
         // n_r_supp = sum of per-pair has-R flags, and the R pairs are the
         // same frame filtered — the raw fact is read and shuffled ONCE
         // (countDistinct would Expand the fact 2× pre-shuffle). pairAgg
-        // feeds two consumers → persisted; the filtered per-order set is
-        // tiny → AQE broadcasts the join back.
+        // feeds two consumers → query-lifetime persist (released by the
+        // runner via engine.Scoped.releaseAll); the filtered per-order set
+        // is tiny → AQE broadcasts the join back.
         val pairAgg = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
           .groupBy(col("l_orderkey"), col("l_suppkey"))
@@ -681,10 +710,11 @@ object Relational {
       // one part type sold into one region. The widest star in the suite —
       // lineitem joins part, supplier, nation (twice: supplier side for
       // the share flag, customer side for the region restriction), orders,
-      // customer, region. Every dimension chain broadcasts (part is
-      // pre-filtered to one type, nation/region are tiny, supplier and the
-      // filtered customer set sit under the threshold and degrade to
-      // shuffled joins at 100×); orders⋈lineitem is the single fact
+      // customer, region. Only the fixed-cardinality frames carry hints
+      // (nation, region, and the nation-derived cn_key set — ≤25 rows by
+      // schema); part, supplier, and the filtered customer set grow with
+      // SF so they join un-hinted — threshold-broadcast at test scale,
+      // shuffled joins at 100×. orders⋈lineitem is the single fact
       // shuffle, on l_orderkey. The share is two exact decimal sums
       // followed by one IEEE division on identical operands in both
       // engines (the q14 idiom), grouped by order year.
@@ -706,11 +736,11 @@ object Relational {
           .select(col("c_custkey"))
         val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
         val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-        li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        li.join(pt, col("l_partkey") === col("p_partkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg((decSum(when(col("supp_nation") === "NATION_6", vol).otherwise(lit(0.0)))
             / decSum(vol)).as("mkt_share"))

@@ -364,27 +364,43 @@ object StreamingOps {
     * Spark broadcasts/rescans the static side per micro-batch, no state,
     * no watermark requirement — the static side is the ingestion-time
     * "eval suite" every arriving training document is screened against).
-    * The per-doc shared-shingle count aggregates in update/complete mode;
-    * (doc, shingle) repeats are collapsed by dropDuplicates BEFORE the
-    * count, mirroring the batch path's distinct shingles.
+    *
+    * Every stateful step is watermark-bounded, so state cannot grow with
+    * corpus lifetime at 100 TB/day:
+    *  - within-doc shingle repeats collapse ROW-LOCALLY (`array_distinct`
+    *    on the sampled shingle array before the explode) — a document is
+    *    one row, so this needs zero cross-row state, where a streaming
+    *    `dropDuplicates(id, sh)` would pin every (doc, shingle) pair
+    *    forever;
+    *  - redelivered documents are dropped by
+    *    `dropDuplicatesWithinWatermark(id)` — the same bounded-horizon
+    *    trade [[dedupStream]] makes;
+    *  - the per-doc count is keyed by (event-time window, doc), so the
+    *    watermark retires each window's groups once it passes.
+    * A duplicate or straggler arriving later than `delay` after the
+    * original is a documented miss, exactly as in [[dedupStream]].
     *
     * At 100 TB/day the static side is the small one (benchmark suites,
-    * not the corpus) — exactly the side Spark keeps in memory; the
-    * streaming side stays unbounded and stateless until the final
-    * bounded-cardinality (doc, count) aggregation.
+    * not the corpus) — exactly the side Spark keeps in memory.
     */
   def contaminationStream(docs: DataFrame, idCol: String, textCol: String,
-                          benchShingles: DataFrame, width: Int = 8, stride: Int = 4): DataFrame = {
+                          tsCol: String, delay: String,
+                          benchShingles: DataFrame, width: Int = 8, stride: Int = 4,
+                          windowDur: String = "1 minute"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sh = docs.filter(length(col(textCol)) >= width)
-      .select(
-        col(idCol),
-        explode(sequence(lit(1L), (length(col(textCol)) - (width - 1)).cast("long"), lit(stride.toLong))).as("i"),
-        col(textCol))
-      .select(col(idCol), expr(s"substring($textCol, CAST(i AS INT), $width)").as("sh"))
+    val uniq = docs
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+    val sh = uniq.filter(length(col(textCol)) >= width)
+      .select(col(idCol), col(tsCol),
+        explode(expr(
+          s"""array_distinct(transform(
+             |  sequence(1, length($textCol) - ${width - 1}, $stride),
+             |  i -> substring($textCol, CAST(i AS INT), $width)))""".stripMargin)).as("sh"))
     sh.join(benchShingles, Seq("sh")) // stream-static inner join: stateless
-      .dropDuplicates(idCol, "sh")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col(idCol), col("n_shared"))
   }
 }
 

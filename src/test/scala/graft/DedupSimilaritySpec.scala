@@ -159,6 +159,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recallMulti >= recallSingle)
   }
 
+  test("knnLsh recall@5 >= 0.8 on clustered embeddings — the regime sign-LSH is built for") {
+    // Mixture of 8 Gaussians in 64-dim: tight clusters (intra-cluster
+    // cosine ~0.98) whose members mostly share sign-LSH buckets, with
+    // Hamming-1 multi-probe covering the single-bit stragglers. This is
+    // what real encoder embeddings look like; the sf* `embeddings` table
+    // is deliberately UNIFORM (the adversarial regime, recall ~0.05 —
+    // asserted informationally above), where knnIvf (recall 0.90) is the
+    // documented recommendation.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- 0 until 8; i <- 0 until 40 } yield {
+      val v = centers(c).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      ((c * 40 + i).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qPred = col("vec_id") % 40 === 0 // one query per cluster
+    val brute = Similarity.knnBrute(emb, emb.filter(qPred), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(emb, qPred, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size === 40) // 8 queries × top-5
+    val recall = lsh.count(brute.contains).toDouble / brute.size
+    info(f"clustered-fixture recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"sign-LSH recall $recall%.2f below 0.8 on clustered data")
+    spark.catalog.clearCache()
+  }
+
   test("knnIvf scores match brute force on shared pairs; recall reported") {
     import graft.engine.Tables
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the committed plan-audit artifact (PLANS.txt, written by
+  * `runMain graft.Explain`) to the query registry: every registered
+  * query must have a plan section, no stale sections may linger, and no
+  * section may be a failed explain. Round 4 shipped a 97-plan PLANS.txt
+  * against a 101-query registry and nothing noticed — this spec is the
+  * guard that makes that gap loud.
+  *
+  * Pure file check, no SparkSession: sbt forks tests with the repo root
+  * as the working directory, where PLANS.txt lives.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val plans: String = {
+    val p = java.nio.file.Paths.get("PLANS.txt")
+    assert(java.nio.file.Files.exists(p),
+      "PLANS.txt missing — run: sbt \"runMain graft.Explain /root/testdata/sf0.001 PLANS.txt\"")
+    java.nio.file.Files.readString(p)
+  }
+
+  private lazy val sectionKeys: Set[String] =
+    "(?m)^== (\\S+)$".r.findAllMatchIn(plans).map(_.group(1)).toSet
+
+  test("PLANS.txt section keys == registry keys") {
+    val registry = SparkEntry.queries.keySet
+    val missing = registry -- sectionKeys
+    val stale = sectionKeys -- registry
+    assert(missing.isEmpty && stale.isEmpty,
+      s"re-run graft.Explain — missing plans: ${missing.toSeq.sorted.mkString(",")}; " +
+        s"stale plans: ${stale.toSeq.sorted.mkString(",")}")
+  }
+
+  test("no plan section is a failed explain") {
+    assert(!plans.contains("EXPLAIN FAILED"),
+      "PLANS.txt contains EXPLAIN FAILED sections — fix the query or the fixture dir and re-run graft.Explain")
+  }
+}

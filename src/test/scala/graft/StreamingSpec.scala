@@ -443,13 +443,16 @@ class StreamingSpec extends SparkSpec {
     val bench = Seq((10L, "the quick brown fox jumps over it", "bench")).toDF("doc_id", "text", "source")
     val benchShingles = graft.functions.TextAnalysis
       .shingles(bench, "doc_id", "text").select(col("sh")).distinct()
-    val input = MemoryStream[(Long, String)]
+    val input = MemoryStream[(Long, String, Long)]
     val q = StreamingOps.contaminationStream(
-        input.toDF().toDF("doc_id", "text"), "doc_id", "text", benchShingles)
+        input.toDF().toDF("doc_id", "text", "ts_s")
+          .withColumn("ts", timestamp_seconds(col("ts_s"))),
+        "doc_id", "text", "ts", "30 seconds", benchShingles)
       .writeStream.format("memory").queryName("contam_out").outputMode("complete").start()
     try {
-      input.addData((1L, "the quick brown fox jumps over it")) // contaminated
-      input.addData((2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")) // clean
+      input.addData((1L, "the quick brown fox jumps over it", 1L)) // contaminated
+      input.addData((1L, "the quick brown fox jumps over it", 2L)) // redelivery: dropped
+      input.addData((2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", 3L)) // clean
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("contam_out")
