@@ -299,21 +299,47 @@ object Multimodal {
           .as("frame_idx"))
   }
 
-  /** Feature-extraction summary registered as a (rows-only) qkey: the
-    * pipeline is deterministic but its input is the synthetic media table,
-    * not a driver parquet table, so there is no SQL oracle.
+  /** Committed parquet materialization of [[syntheticMedia]](300), written
+    * once by [[graft.MediaFixture]]. An absolute path because the oracle's
+    * DuckDB process and the Verify JVM need not share a working directory.
+    */
+  val MediaFixturePath = "/root/repo/data/media.parquet"
+
+  /** Feature-extraction summary, DuckDB-hash-checked: the decode pipeline
+    * (repartition → mapPartitions → real JDK codecs) runs Spark-side and
+    * produces the per-type counts and byte totals; the raw payload content
+    * is pinned by min/max/distinct-count over lower(hex(payload)) —
+    * engine-portable (both engines uppercase hex; lowered on both sides)
+    * and content-sensitive, so a corrupted fixture or a pipeline that
+    * drops/duplicates rows breaks the hash. Only the FEATURE vectors stay
+    * un-oracled (they are the decoders' output — no SQL twin exists).
     */
   val defs: Seq[graft.engine.QueryDef] = Seq(
     graft.engine.QueryDef(
       "multimodal_features",
-      (s, _) =>
-        extractFeatures(syntheticMedia(s, 300), partitions = 8)
+      (s, _) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val raw = s.read.parquet(MediaFixturePath)
+        val piped = extractFeatures(raw.as[MediaRecord], partitions = 8)
           .toDF()
-          .groupBy(org.apache.spark.sql.functions.col("media_type"))
-          .agg(
-            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
-            org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n_bytes")).as("total_bytes")),
-      None),
+          .groupBy(col("media_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_bytes")).as("total_bytes"))
+        val digests = raw
+          .select(col("media_type"), lower(hex(col("payload"))).as("hx"))
+          .groupBy(col("media_type"))
+          .agg(min(col("hx")).as("min_payload_hex"), max(col("hx")).as("max_payload_hex"),
+            countDistinct(col("hx")).as("n_distinct_payloads"))
+        piped.join(digests, Seq("media_type"))
+      },
+      Some(
+        s"""SELECT media_type, count(*) AS cnt,
+           |  sum(octet_length(payload)) AS total_bytes,
+           |  min(lower(hex(payload))) AS min_payload_hex,
+           |  max(lower(hex(payload))) AS max_payload_hex,
+           |  count(DISTINCT lower(hex(payload))) AS n_distinct_payloads
+           |FROM read_parquet('$MediaFixturePath/*.parquet')
+           |GROUP BY 1""".stripMargin)),
   )
 
   /** Deterministic synthetic media table (for tests and demos). */

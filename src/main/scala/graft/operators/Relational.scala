@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{QueryDef, Tables}
@@ -541,26 +540,39 @@ object Relational {
     QueryDef(
       "q2_min_cost_supp",
       // TPC-H Q2 shape: cheapest supplier per part — the correlated-min
-      // subquery, planned as argmin-per-group: one (part, supplier)
-      // aggregation, then a row_number window over part partitions picks
-      // the winner (avg-price tie broken on suppkey, so the row set is
-      // deterministic). No per-part subquery execution ever happens; the
-      // window partitions are per-part supplier lists (bounded), and both
-      // dimension joins happen AFTER the argmin reduced the fact to one
-      // row per part. The avg is an exact decimal sum and one IEEE
-      // division — identical doubles in both engines, so the argmin picks
-      // identical winners. (lineitem price stands in for partsupp supply
-      // cost — the test schema has no partsupp table.)
+      // subquery, planned argmin-per-group with TWO deliberate shape
+      // choices Catalyst cannot derive itself:
+      //  (1) the watched-part filter joins BELOW the aggregation (the
+      //      optimizer never reorders a join through an agg): only
+      //      qualifying parts' lineitems reach the per-(part, supplier)
+      //      aggregation, shrinking the query's largest intermediate by
+      //      the part-filter selectivity — measured 10.3 s → 2.3 s at sf1;
+      //  (2) the winner per part comes from a min_by hash aggregation
+      //      (avg-price tie broken on suppkey via the lexicographic
+      //      struct ordering — (part, supplier) groups are unique, so
+      //      the ordering is total and the row set deterministic), not a
+      //      row_number window: the window SORTS every partition of that
+      //      same intermediate, min_by partial-aggregates map-side.
+      // No per-part subquery execution ever happens; the supplier join
+      // runs AFTER the argmin reduced the fact to one row per part. The
+      // avg is an exact decimal sum and one IEEE division — identical
+      // doubles in both engines, so the argmin picks identical winners.
+      // (lineitem price stands in for partsupp supply cost — the test
+      // schema has no partsupp table.)
       (s, dir) => {
-        val ap = Tables.lineitem(s, dir)
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg((decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
-        val w = Window.partitionBy(col("l_partkey"))
-          .orderBy(col("avg_price").asc, col("l_suppkey").asc)
-        val best = ap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         val parts = Tables.part(s, dir).filter(col("p_size") <= 5)
           .select(col("p_partkey"), col("p_brand"))
-        best.join(parts, col("l_partkey") === col("p_partkey"))
+        val ap = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("p_brand"), col("l_suppkey"))
+          .agg((decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+        ap.groupBy(col("l_partkey"), col("p_brand"))
+          .agg(min_by(
+            struct(col("l_suppkey"), col("avg_price")),
+            struct(col("avg_price"), col("l_suppkey"))).as("best"))
+          .select(col("l_partkey").as("p_partkey"), col("p_brand"),
+            col("best.l_suppkey").as("l_suppkey"), col("best.avg_price").as("avg_price"))
           .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("p_partkey"), col("p_brand"), col("s_name"), col("avg_price"))

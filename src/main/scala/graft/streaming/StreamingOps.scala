@@ -402,6 +402,66 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_shared"))
       .select(col(idCol), col("n_shared"))
   }
+
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  case class FunnelHit(user_id: Long, step: String, t_us: Long)
+  case class FunnelProgress(hits: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.Extended.funnelSteps]]: per-user
+    * first-hit chain through `steps`, each step converting only within
+    * `winUs` µs of the previous step's first hit (strict '>' — the batch
+    * operator's contract). State per user is the PREFIX of completed-step
+    * first-hit times (≤ |steps| longs — bounded by construction, no TTL
+    * needed); a step completion emits one append-mode [[FunnelHit]], so
+    * counting hits per step downstream reproduces the batch (step,
+    * n_users) table.
+    *
+    * Semantics note: the batch operator computes per-step MINIMA over the
+    * whole input, which equals this greedy first-match when events arrive
+    * in event-time order (rows within a micro-batch are sorted here; the
+    * equivalence spec feeds batches in order). A cross-batch straggler
+    * that would have improved an already-taken step time is a documented
+    * miss — the same in-order trade every incremental funnel makes.
+    */
+  class FunnelProcessor(steps: Seq[(String, String)], winUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var progress: ValueState[FunnelProgress] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      progress = getHandle.getValueState[FunnelProgress](
+        "progress", org.apache.spark.sql.Encoders.product[FunnelProgress], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                 timerValues: TimerValues): Iterator[FunnelHit] = {
+      var hits = if (progress.exists()) progress.get().hits else Seq.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      rows.toSeq.sortBy(e => (e.us, e.event_type)).foreach { e =>
+        val i = hits.length
+        if (i < steps.length && e.event_type == steps(i)._1 &&
+            (i == 0 || (e.us > hits.last && e.us <= hits.last + winUs))) {
+          hits = hits :+ e.us
+          out += FunnelHit(key, steps(i)._2, e.us)
+        }
+      }
+      progress.update(FunnelProgress(hits))
+      out.iterator
+    }
+  }
+
+  /** Keyed [[FunnelProcessor]] on the transformWithState API (requires the
+    * RocksDB state store provider, like the other TWS operators here).
+    */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[(String, String)],
+                   winUs: Long): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(steps, winUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }
 
 /** Rate-source ports of the reference's custom SourceFunction generators

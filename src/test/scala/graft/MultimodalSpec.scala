@@ -292,10 +292,17 @@ class PlanSpec extends SparkSpec {
       s"brand/size disjunction not pushed to the part scan:\n$p")
   }
 
-  test("q2_min_cost_supp pushes the rn=1 argmin into WindowGroupLimit") {
+  test("q2_min_cost_supp: min_by hash-agg argmin (no window sort), part filter below the agg") {
     val p = fullPlan("q2_min_cost_supp")
-    assert(p.contains("WindowGroupLimit"),
-      s"argmin filter not pushed into the window (full per-part sort of losers):\n$p")
+    // the argmin is a min_by aggregation — no per-part sort of the
+    // (part, supplier) intermediate ever happens
+    assert(p.contains("min_by"), s"argmin not a min_by aggregation:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains(" Window "),
+      s"argmin regressed to a window sort:\n$p")
+    // the watched-part filter reaches the part scan, i.e. the join sits
+    // BELOW the aggregation and prunes its input
+    assert(p.contains("LessThanOrEqual(p_size,5)"),
+      s"part filter not pushed to the scan below the aggregation:\n$p")
   }
 
   test("q21_waiting plans without Expand (no countDistinct row blowup)") {

@@ -437,6 +437,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet.contains(("bob", 1000L)) && !got.toSet.contains(("bob", 1500L)))
   }
 
+  test("streaming funnel matches the batch funnel on the sf0.001 events, fed in event-time order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val steps = Seq("view" -> "step1_view", "click" -> "step2_click", "purchase" -> "step3_purchase")
+      val winUs = 2L * 86400L * 1000000L
+      val events = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      // batch side: the registered funnel operator on the same table
+      val batch = graft.operators.Extended.funnelSteps(events, steps, winUs)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // stream side: the same events fed in event-time order, split across
+      // micro-batches mid-stream to exercise cross-batch state
+      val fed = events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .as[StreamingOps.FunnelEvent]
+        .collect().sortBy(e => (e.us, e.event_type, e.user_id))
+      val input = MemoryStream[StreamingOps.FunnelEvent]
+      val q = StreamingOps.funnelStream(input.toDS(), steps, winUs)
+        .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+      try {
+        val (h1, h2) = fed.splitAt(fed.length / 2)
+        input.addData(h1.toSeq); q.processAllAvailable()
+        input.addData(h2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("funnel_out").groupBy(col("step"))
+        .agg(count(lit(1)).as("n_users"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch reports every step (0-count steps included); stream emits
+      // only completions — compare with a 0 default
+      assert(steps.map(_._2).map(s => s -> got.getOrElse(s, 0L)).toMap === batch)
+      assert(batch("step1_view") > 0) // non-vacuous fixture
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static contamination matches the batch twin per micro-batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
