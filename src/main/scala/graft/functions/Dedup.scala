@@ -287,6 +287,21 @@ object Dedup {
     * identical hyperplanes (md5 is engine-portable), so the DuckDB twin
     * computes the exact same candidate set — the check is a hash match,
     * not a recall bound.
+    *
+    * SCALING LAW (measured, round-5 sf1 sweep — graft.LshGeometrySweep):
+    * hash-uniform candidate volume is ≈ numBands · n² / 2^(bitsPerBand+1) —
+    * banding shrinks the n² CONSTANT, not the exponent, so band geometry
+    * must be sized to the corpus: growing n by k× needs bitsPerBand to
+    * grow by ~2·log2(k) to keep candidate volume flat (production sizing:
+    * bitsPerBand ≈ log2(n / targetMeanBucket)). The registered (32, 4)
+    * geometry is gate-locked to the oracle at sf0.01; at 10× (20 k
+    * vectors) it generates ~100 M candidates (235 s) where (64, 8) costs
+    * 16× less. The catch is threshold-dependent: at cos ≥ 0.4 wider bands
+    * collapse recall (0.78 → 0.21 measured from 4- to 8-bit), while at
+    * production thresholds (cos ≥ 0.9) recall stays ≥ 0.95 (spec-asserted
+    * on a twin-pair fixture) — very low similarity thresholds are
+    * fundamentally not LSH-serviceable at scale; use [[Similarity.knnIvf]]
+    * -style partitioning there instead.
     */
   def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, numPlanes: Int = 32,

@@ -422,15 +422,24 @@ object StreamingOps {
     * equivalence spec feeds batches in order). A cross-batch straggler
     * that would have improved an already-taken step time is a documented
     * miss — the same in-order trade every incremental funnel makes.
+    *
+    * State growth: per-key state is bounded, but the KEY set is the user
+    * base — at production scale pass `ttl` (sized to the funnel's total
+    * conversion horizon, e.g. |steps| × window) so inactive users' state
+    * expires; a user converting later than the TTL restarts from step 1,
+    * the standard funnel-tracker trade. `ttl = None` (tests, bounded
+    * replays) keeps state forever.
     */
-  class FunnelProcessor(steps: Seq[(String, String)], winUs: Long)
+  class FunnelProcessor(steps: Seq[(String, String)], winUs: Long,
+                        ttl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelHit] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var progress: ValueState[FunnelProgress] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       progress = getHandle.getValueState[FunnelProgress](
-        "progress", org.apache.spark.sql.Encoders.product[FunnelProgress], TTLConfig.NONE)
+        "progress", org.apache.spark.sql.Encoders.product[FunnelProgress],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
                                  timerValues: TimerValues): Iterator[FunnelHit] = {
@@ -451,15 +460,21 @@ object StreamingOps {
 
   /** Keyed [[FunnelProcessor]] on the transformWithState API (requires the
     * RocksDB state store provider, like the other TWS operators here).
+    * `ttl` bounds per-user state lifetime — see the processor's scaladoc;
+    * a TTL needs a clock, so setting it switches the operator to
+    * processing-time mode (state expiry only; funnel ordering stays on
+    * the event-time `us` field).
     */
   def funnelStream(events: Dataset[FunnelEvent], steps: Seq[(String, String)],
-                   winUs: Long): Dataset[FunnelHit] = {
+                   winUs: Long,
+                   ttl: Option[java.time.Duration] = None): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
     events
       .groupByKey(_.user_id)
       .transformWithState(
-        new FunnelProcessor(steps, winUs),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new FunnelProcessor(steps, winUs, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
 }

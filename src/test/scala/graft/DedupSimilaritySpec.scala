@@ -232,6 +232,42 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("embeddingLshPairs wide-band geometry keeps recall at PRODUCTION thresholds (cos >= 0.9)") {
+    // The scaling law: candidates ≈ bands·n²/2^(bits+1), so surviving a
+    // 10× corpus needs wider bands — which at LOW thresholds (0.4 on
+    // uniform vectors: bit-agreement s ≈ 0.63) collapses recall (the
+    // round-5 sweep measured 0.78 → 0.06 from 4-bit to 10-bit bands).
+    // At the thresholds real near-dup dedup runs at (cos ≥ 0.9, s ≈ 0.86)
+    // wide bands keep recall: build a corpus of base vectors + a lightly
+    // perturbed twin each (cos ≈ 0.97+) and assert the (64, 8) geometry —
+    // 16× fewer candidates than the registered (32, 4) — still finds
+    // nearly every twin pair.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val rows = (0 until 1000).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val twin = base.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, base.toSeq), (2L * i + 1, twin.toSeq))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingLshPairs(emb, "vec_id", "embedding", 0.9,
+        numPlanes = 64, bitsPerBand = 8)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // which twin pairs are truly above the threshold (perturbation is
+    // random, so check against the actual cosine)
+    val truePairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._2 == p._1 + 1 && p._1 % 2 == 0).toSet
+    assert(truePairs.size > 800, s"fixture degenerate: only ${truePairs.size} twin pairs above 0.9")
+    val recall = got.count(truePairs.contains).toDouble / truePairs.size
+    info(f"wide-band (64 planes, 8-bit) recall at cos>=0.9: $recall%.3f over ${truePairs.size} twin pairs")
+    assert(recall >= 0.95, f"wide-band recall $recall%.3f below 0.95 at production threshold")
+    spark.catalog.clearCache()
+  }
+
   test("data split is deterministic, covering, and roughly proportioned") {
     import spark.implicits._
     val d = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
