@@ -36,4 +36,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plans.contains("EXPLAIN FAILED"),
       "PLANS.txt contains EXPLAIN FAILED sections — fix the query or the fixture dir and re-run graft.Explain")
   }
+
+  test("PLANS_sf1.txt (when present) also covers the registry with no failed explains") {
+    // the at-scale audit artifact, regenerated on demand against the
+    // ScaleUp-built data/sf1 — optional because that dataset is not
+    // committed, but when the artifact exists it must not drift
+    val p = java.nio.file.Paths.get("PLANS_sf1.txt")
+    assume(java.nio.file.Files.exists(p), "PLANS_sf1.txt not present — skipping")
+    val sf1 = java.nio.file.Files.readString(p)
+    val keys = "(?m)^== (\\S+)$".r.findAllMatchIn(sf1).map(_.group(1)).toSet
+    assert(keys === SparkEntry.queries.keySet && !sf1.contains("EXPLAIN FAILED"),
+      "PLANS_sf1.txt drifted from the registry — re-run graft.ScaleUp + graft.Explain data/sf1 PLANS_sf1.txt")
+  }
 }
