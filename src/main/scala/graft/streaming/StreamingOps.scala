@@ -477,6 +477,68 @@ object StreamingOps {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
+
+  case class RetentionHit(cohort_day: Long, day_offset: Long, user_id: Long)
+  case class RetentionState(cohortDayS: Long, lastDayS: Long)
+
+  /** Streaming twin of [[graft.operators.Extended.retentionCohorts]]:
+    * per-user first-seen-day cohort × day-offset active-user counts.
+    * Per-user state is TWO longs — the cohort day (the irreducible state
+    * of the computation: forgetting it would re-cohort a returning user)
+    * and the last active day, which suffices to emit each (user, day)
+    * exactly ONCE when events arrive in event-time order (same-day events
+    * are then consecutive per user, so no per-day set is needed). The
+    * downstream `groupBy(cohort_day, day_offset).count` therefore counts
+    * distinct users without a distinct — its own state is one counter per
+    * (cohort, offset) pair, growing with days², not users.
+    *
+    * Same in-order trade as [[FunnelProcessor]]: a cross-batch straggler
+    * older than the user's last emitted day is a documented miss.
+    */
+  class RetentionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, RetentionHit] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[RetentionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RetentionState](
+        "retention", org.apache.spark.sql.Encoders.product[RetentionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                 timerValues: TimerValues): Iterator[RetentionHit] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+      var cur = if (st.exists()) Option(st.get()) else None
+      rows.toSeq.sortBy(_.us).foreach { e =>
+        val dayS = (e.us / 86400000000L) * 86400L
+        cur match {
+          case None =>
+            cur = Some(RetentionState(dayS, dayS))
+            out += RetentionHit(dayS, 0L, key)
+          case Some(s) if dayS > s.lastDayS =>
+            cur = Some(s.copy(lastDayS = dayS))
+            out += RetentionHit(s.cohortDayS, (dayS - s.cohortDayS) / 86400L, key)
+          case _ => // same (or older straggler) day: already emitted
+        }
+      }
+      cur.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** Keyed [[RetentionProcessor]] + the (cohort, offset) count — the
+    * full streaming retention report (update/complete mode downstream).
+    */
+  def retentionStream(events: Dataset[FunnelEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RetentionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }
 
 /** Rate-source ports of the reference's custom SourceFunction generators

@@ -479,6 +479,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming retention matches the batch cohort report on the sf0.001 events, fed in event-time order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      val batch = graft.operators.Extended.retentionCohorts(events)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val fed = events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .as[StreamingOps.FunnelEvent]
+        .collect().sortBy(e => (e.us, e.user_id))
+      val input = MemoryStream[StreamingOps.FunnelEvent]
+      val q = StreamingOps.retentionStream(input.toDS())
+        .writeStream.format("memory").queryName("retention_out").outputMode("complete").start()
+      try {
+        val (h1, h2) = fed.splitAt(fed.length / 2)
+        input.addData(h1.toSeq); q.processAllAvailable()
+        input.addData(h2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("retention_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === batch)
+      assert(batch.size > 10) // non-vacuous: many (cohort, offset) cells
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static contamination matches the batch twin per micro-batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
