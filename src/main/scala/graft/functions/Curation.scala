@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+
+/** Corpus-curation operators beyond the per-document text analysis in
+  * [[TextAnalysis]]: per-source caps, training-sequence packing, and a
+  * fixed-size Bloom contamination filter. These are the corpus-shaping
+  * stages a pretraining pipeline runs after quality filtering and dedup,
+  * each designed so the shuffled data volume is bounded by per-doc
+  * scalars or a constant-size sketch — never document text.
+  */
+object Curation {
+
+  /** Per-source document cap — the "domain cap" that stops any one
+    * crawl/source from dominating the mixture: keep the top `k` documents
+    * of each source ranked by length (longest first, doc_id tie-break).
+    * In a web pipeline the rank key would be a quality score; n_chars is
+    * the deterministic stand-in with the same plan shape.
+    *
+    * Scale shape: one window over source partitions carrying (id, source,
+    * len) triples — the shuffle never carries text, and each partition is
+    * one source's documents. A pathological mega-source skews the window
+    * partition; the production guard is pre-aggregating a per-source
+    * count and only windowing sources over the cap (the others pass
+    * through unranked), which bounds the sorted volume to capped sources.
+    */
+  def sourceCap(docs: DataFrame, idCol: String, sourceCol: String,
+                lenCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(lenCol).desc, col(idCol).asc)
+    docs.select(col(idCol), col(sourceCol), col(lenCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col(sourceCol), col("rnk"))
+  }
+
+  val sourceCapSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      |  FROM documents)
+      |SELECT doc_id, source, rnk FROM r WHERE rnk <= 20""".stripMargin
+
+  /** Training-sequence packing: assign documents to fixed token-budget
+    * training sequences (next-fit packing in deterministic doc_id order)
+    * and report per-sequence fill — the step that turns a curated corpus
+    * into the sequence stream a trainer consumes.
+    *
+    * Packing is sharded: documents pack within (source, doc_id % nShards)
+    * groups, so the running-sum window partitions are bounded and the
+    * whole operator is embarrassingly parallel across shards — the
+    * sequential dependency inherent to packing never spans more than one
+    * shard. At 100 TB you raise nShards with the corpus; sequence
+    * boundaries only need to be consistent WITHIN a shard, so this loses
+    * nothing. A document larger than the budget gets a sequence of its
+    * own (next-fit semantics: the running sum just crosses more than one
+    * budget boundary).
+    *
+    * All arithmetic is exact integers (token counts, running sums, and an
+    * integer `div` — never `/`, which is DOUBLE division on longs), so
+    * the oracle hash cannot drift.
+    */
+  def seqPacking(docs: DataFrame, idCol: String, sourceCol: String,
+                 textCol: String, budget: Int, nShards: Int): DataFrame = {
+    val toks = docs.select(
+      col(idCol), col(sourceCol),
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+      size(split(col(textCol), " ")).cast("long").as("tok"))
+    val w = Window.partitionBy(col(sourceCol), col("shard"))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("running", sum(col("tok")).over(w))
+      .withColumn("seq_id", expr(s"(running - tok) div $budget"))
+      .groupBy(col(sourceCol), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))
+  }
+
+  val seqPackingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, doc_id % 4 AS shard,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |run AS (
+      |  SELECT source, shard, tok,
+      |         CAST(sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id ASC
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+      |  FROM toks)
+      |SELECT source, shard, (running - tok) // 256 AS seq_id,
+      |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens
+      |FROM run GROUP BY 1, 2, 3""".stripMargin
+
+  // Bloom geometry: m bits addressed by k 12-bit md5-slice hashes.
+  // 3 hex chars = 12 bits = exactly the 4096-bit address space, so the
+  // position math is a pure hex decode with no modulo bias.
+  val BloomBits = 4096
+  val BloomHashes = 3
+
+  /** Value of the hex digit at 1-based position `off` of `hexCol`
+    * (lowercase hex — md5 output). ascii() arithmetic is engine-portable
+    * where hex→int casts are not.
+    */
+  private def hexDigit(hexCol: Column, off: Int): Column = {
+    val a = ascii(substring(hexCol, off, 1))
+    when(a >= 97, a - 87).otherwise(a - 48)
+  }
+
+  /** 12-bit Bloom position from 3 hex chars of `hexCol` at `off`. */
+  private def bloomPos(hexCol: Column, off: Int): Column =
+    hexDigit(hexCol, off) * 256 + hexDigit(hexCol, off + 1) * 16 + hexDigit(hexCol, off + 2)
+
+  private def bloomPosSql(off: Int): String = {
+    def hv(o: Int) =
+      s"(CASE WHEN ascii(substr(d, $o, 1)) >= 97 THEN ascii(substr(d, $o, 1)) - 87 ELSE ascii(substr(d, $o, 1)) - 48 END)"
+    s"(${hv(off)} * 256 + ${hv(off + 1)} * 16 + ${hv(off + 2)})"
+  }
+
+  /** Benchmark-contamination check through a fixed-size Bloom filter: a
+    * document's shingle is flagged when ALL `BloomHashes` of its Bloom
+    * positions are set by some benchmark shingle; the output counts
+    * flagged shingles per document. Approximate in the Bloom direction
+    * only — never misses a real overlap, and the false-positive side is
+    * deterministic (md5-derived positions), so the DuckDB oracle
+    * reproduces the identical counts: an exact hash check of an
+    * approximate filter.
+    *
+    * This is the scale story [[TextAnalysis.contaminationCheck]] lacks:
+    * the exact check joins against the benchmark's full distinct-shingle
+    * set, which grows with the benchmark suite, while the Bloom side
+    * collapses to at most [[BloomBits]] distinct bit positions NO MATTER
+    * HOW LARGE the benchmark is — a constant-size broadcast, probed
+    * map-side. At 100 TB the corpus side stays one shingle pass and one
+    * map-side-combined per-doc count; nothing about the benchmark ever
+    * shuffles. Size `BloomBits` to the benchmark's distinct-shingle count
+    * (bits ≈ 10× shingles for ~1% FP at k=3); 4096 matches the test
+    * fixture's ~1k benchmark shingles.
+    */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+                         benchPred: Column, width: Int = 8, stride: Int = 4): DataFrame = {
+    val benchSh = TextAnalysis.shingles(docs.filter(benchPred), idCol, textCol, width, stride)
+    // the "bitset": distinct positions set by any benchmark shingle —
+    // ≤ BloomBits rows by construction, AQE broadcasts it unhinted
+    val bloom = benchSh.select(md5(col("sh")).as("d"))
+      .select(explode(array((0 until BloomHashes).map(i => bloomPos(col("d"), 1 + 3 * i)): _*)).as("pos"))
+      .distinct()
+    val candSh = TextAnalysis.shingles(docs.filter(!benchPred), idCol, textCol, width, stride)
+      .select(col(idCol), md5(col("sh")).as("d"))
+    val hits = candSh
+      .select(col(idCol), col("d"),
+        explode(array((0 until BloomHashes).map(i => bloomPos(col("d"), 1 + 3 * i)): _*)).as("pos"))
+      .join(bloom, Seq("pos"))
+      .groupBy(col(idCol), col("d")).agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === BloomHashes)
+    hits.groupBy(col(idCol)).agg(count(lit(1)).as("n_flagged"))
+  }
+
+  val contaminationBloomSql: String = {
+    val posList = (0 until BloomHashes).map(i => bloomPosSql(1 + 3 * i)).mkString(", ")
+    s"""WITH bsh AS (SELECT DISTINCT substr(text, CAST(i AS INT), 8) AS sh
+       |             FROM (SELECT text, unnest(generate_series(1, CAST(length(text)-7 AS BIGINT), 4)) AS i
+       |                   FROM documents WHERE source = 'src0' AND length(text) >= 8)),
+       |bloom AS (SELECT DISTINCT pos FROM (
+       |            SELECT unnest([$posList]) AS pos
+       |            FROM (SELECT md5(sh) AS d FROM bsh))),
+       |csh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS sh
+       |        FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(length(text)-7 AS BIGINT), 4)) AS i
+       |              FROM documents WHERE source <> 'src0' AND length(text) >= 8)),
+       |cpos AS (SELECT doc_id, d, unnest([$posList]) AS pos
+       |         FROM (SELECT doc_id, md5(sh) AS d FROM csh)),
+       |hits AS (SELECT doc_id, d FROM cpos JOIN bloom USING (pos)
+       |         GROUP BY doc_id, d HAVING count(*) = ${BloomHashes})
+       |SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY 1""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("source_cap",
+      (s, dir) => sourceCap(Tables.documents(s, dir), "doc_id", "source", "n_chars", 20),
+      Some(sourceCapSql)),
+    QueryDef("seq_packing",
+      (s, dir) => seqPacking(Tables.documents(s, dir), "doc_id", "source", "text", 256, 4),
+      Some(seqPackingSql)),
+    QueryDef("contamination_bloom",
+      (s, dir) => contaminationBloom(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0"),
+      Some(contaminationBloomSql)),
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.{Curation, TextAnalysis}
+
+/** Corpus-curation operators: per-source caps, sequence packing, and the
+  * Bloom contamination filter. Runs on the sf0.001 fixture tables.
+  */
+class CurationSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sourceCap keeps at most k docs per source, ranked by length") {
+    val docs = Tables.documents(spark, dir)
+    val capped = Curation.sourceCap(docs, "doc_id", "source", "n_chars", 5)
+    val perSource = capped.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) <= 5))
+    // the kept set per source is exactly the 5 longest (doc_id tie-break)
+    val src = perSource.head.getString(0)
+    val expect = docs.filter(col("source") === src)
+      .orderBy(col("n_chars").desc, col("doc_id").asc).limit(5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = capped.filter(col("source") === src)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+
+  test("seqPacking conserves tokens and packs next-fit within each shard") {
+    val docs = Tables.documents(spark, dir)
+    val budget = 256
+    val packed = Curation.seqPacking(docs, "doc_id", "source", "text", budget, 4)
+      .collect()
+    val totalPacked = packed.map(_.getAs[Long]("seq_tokens")).sum
+    val totalDocs = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(totalPacked === totalDocs, "packing must conserve every token")
+    // seq ids are dense from 0 within each (source, shard): next-fit never
+    // skips a sequence
+    packed.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard"))).foreach {
+      case (_, rows) =>
+        val ids = rows.map(_.getAs[Long]("seq_id")).sorted
+        assert(ids.head === 0L && ids === (0L until ids.length).toVector.sorted,
+          s"seq ids not dense: ${ids.mkString(",")}")
+    }
+    // next-fit boundary invariant: sequence s+1 only opens once the shard's
+    // running total has crossed (s+1)·budget, so the prefix sum through any
+    // non-final sequence s must be >= (s+1)·budget
+    packed.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard"))).foreach {
+      case (_, rows) =>
+        val tok = rows.sortBy(_.getAs[Long]("seq_id")).map(_.getAs[Long]("seq_tokens"))
+        tok.scanLeft(0L)(_ + _).tail.dropRight(1).zipWithIndex.foreach { case (prefix, s) =>
+          assert(prefix >= (s + 1L) * budget,
+            s"prefix through seq $s is $prefix < ${(s + 1L) * budget}")
+        }
+    }
+  }
+
+  test("contaminationBloom never misses an exact contamination hit") {
+    val docs = Tables.documents(spark, dir)
+    val bench = col("source") === "src0"
+    val exact = TextAnalysis.contaminationCheck(docs, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Curation.contaminationBloom(docs, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Bloom errs only toward false positives: every exactly-shared shingle
+    // sets all k of its positions, so per doc n_flagged >= n_shared
+    exact.foreach { case (doc, nShared) =>
+      assert(bloom.getOrElse(doc, 0L) >= nShared,
+        s"doc $doc: bloom flagged ${bloom.getOrElse(doc, 0L)} < exact $nShared")
+    }
+    // and the false-positive inflation stays bounded on the fixture
+    // (4096 bits / k=3 against ~1k benchmark shingles)
+    val exactTotal = exact.values.sum.toDouble
+    val bloomTotal = bloom.values.sum.toDouble
+    assert(bloomTotal <= exactTotal * 3 + 50,
+      s"bloom total $bloomTotal implausibly far above exact $exactTotal")
+  }
+}
