@@ -116,6 +116,20 @@ object Dedup {
     */
   private def minhashLshPairsFrom(mh: DataFrame, idCol: String,
                                   numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = minhashBands(mh, idCol, numHashes, rowsPerBand).persist()
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** (id, band, sig) LSH band index off a signature frame — the shared
+    * candidate-generation structure of the self-join ([[minhashLshPairsFrom]])
+    * and cross-corpus ([[dedupIncremental]]) paths.
+    */
+  private def minhashBands(mh: DataFrame, idCol: String,
+                           numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
         "trailing signature slots would silently never band-join")
@@ -130,14 +144,86 @@ object Dedup {
       val sig = concat_ws(",", (0 until rowsPerBand).map(r => col(s"mh_${b + 1 + r * numBands}")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    val bands = mh.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+    mh.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist()
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
-    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental (cross-corpus) near-dup check: for every document of a
+    * NEW batch, find its near-duplicates in the EXISTING corpus — the
+    * daily-ingest shape of dedup, where the corpus is already deduped and
+    * only new-vs-existing pairs matter (new-vs-new is the regular batch
+    * pass). Emits one row per new doc with ≥1 match: match count, the
+    * best-matching existing doc (highest estimated Jaccard, min-id
+    * tie-break), and its similarity estimate.
+    *
+    * Scale shape: at 100 TB the existing corpus's signature/band index is
+    * staged once and reused every batch (here both sides compute from one
+    * shingle pass because the fixture is one table — the persist IS the
+    * staged index); the new batch is orders of magnitude smaller, so AQE
+    * broadcasts its band side into the candidate join, and nothing about
+    * the existing corpus reshuffles per batch. Scoring runs off the
+    * fixed-size signature table; text is touched once, on signature
+    * construction. The final per-new-doc window partitions by new-doc id
+    * over candidate matches only — bounded by the band collision count,
+    * never the corpus.
+    */
+  def dedupIncremental(docs: DataFrame, idCol: String, textCol: String,
+                       newPred: Column, threshold: Double = 0.5,
+                       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
+    val mh = minhashSignatures(sh, idCol, numHashes).persist()
+    val bands = minhashBands(mh, idCol, numHashes, rowsPerBand).persist()
+    val ex = bands.filter(!newPred).select(col(idCol).as("doc_ex"), col("band"), col("sig"))
+    val nw = bands.filter(newPred)
+      .select(col(idCol).as("doc_new"), col("band").as("band_n"), col("sig").as("sig_n"))
+    val pairs = ex.join(nw, col("band") === col("band_n") && col("sig") === col("sig_n"))
+      .select(col("doc_new"), col("doc_ex"))
       .distinct()
+    val a = mh.select(col(idCol).as("doc_new") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"a_$j")): _*)
+    val b = mh.select(col(idCol).as("doc_ex") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"b_$j")): _*)
+    val agree = (1 to numHashes).map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)).reduce(_ + _)
+    val scored = pairs.join(a, Seq("doc_new")).join(b, Seq("doc_ex"))
+      .select(col("doc_new"), col("doc_ex"), (agree.cast("double") / numHashes).as("est"))
+      .filter(col("est") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_new"))
+    scored
+      .withColumn("rn", row_number().over(w.orderBy(col("est").desc, col("doc_ex").asc)))
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_new"), col("n_matches"), col("doc_ex").as("best_match"), col("est").as("best_jacc"))
+  }
+
+  /** DuckDB twin of [[dedupIncremental]] with the registered new-batch
+    * predicate doc_id % 5 = 0.
+    */
+  val dedupIncrementalSql: String = {
+    val maxes = (1 to 8).map(j => s"max(CASE WHEN j = $j THEN mv END) AS m$j").mkString(", ")
+    val agree = (1 to 8).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (${TextAnalysis.shinglesSql()}),
+       |mh AS (
+       |  SELECT doc_id, j, min(substr(md5(sh), (j-1)*3+1, 8)) AS mv
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) h
+       |  GROUP BY 1, 2
+       |), wide AS (SELECT doc_id, $maxes FROM mh GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, CAST((j-1) % 4 AS INT) AS band,
+       |         string_agg(mv, ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT DISTINCT y.doc_id AS doc_new, x.doc_id AS doc_ex
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig
+       |   AND x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+       |), scored AS (
+       |  SELECT p.doc_new, p.doc_ex, CAST($agree AS DOUBLE) / 8 AS est
+       |  FROM pairs p JOIN wide a ON a.doc_id = p.doc_new JOIN wide b ON b.doc_id = p.doc_ex
+       |  WHERE CAST($agree AS DOUBLE) / 8 >= 0.5
+       |), r AS (
+       |  SELECT doc_new, doc_ex, est,
+       |         row_number() OVER (PARTITION BY doc_new ORDER BY est DESC, doc_ex ASC) AS rn,
+       |         count(*) OVER (PARTITION BY doc_new) AS n_matches
+       |  FROM scored)
+       |SELECT doc_new, n_matches, doc_ex AS best_match, est AS best_jacc FROM r WHERE rn = 1""".stripMargin
   }
 
   val minhashEstJaccardSql: String = {
@@ -343,33 +429,84 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(cos, 4).as("cos_sim"))
   }
 
-  /** DuckDB twin of [[embeddingLshPairs]] (32 planes, 4-bit bands): the
+  /** DuckDB twin of [[embeddingLshPairs]] at any band geometry: the
     * hyperplanes, band keys, candidate join, and cosine threshold are all
     * recomputed in SQL from the same md5 derivation, so the oracle output
     * is the identical pair set — an exact hash check of an approximate
     * algorithm.
     */
-  val embeddingLshSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |pl AS (
-      |  SELECT p.p, list(CASE WHEN ascii(substr(md5(p.p::VARCHAR || '_' || d.d::VARCHAR), 1, 1)) % 2 = 0
-      |                        THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
-      |  FROM (SELECT unnest(generate_series(0, 31)) AS p) p
-      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
-      |  GROUP BY 1
-      |), bits AS (
-      |  SELECT e.vec_id, pl.p, CASE WHEN list_inner_product(e.v, pl.w) > 0 THEN 1 ELSE 0 END AS bit
-      |  FROM e CROSS JOIN pl
-      |), bands AS (
-      |  SELECT vec_id, CAST(p // 4 AS INT) AS band, CAST(sum(bit << (p % 4)) AS BIGINT) AS key
-      |  FROM bits GROUP BY 1, 2
-      |), cand AS (
-      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-      |), n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
-      |SELECT c.vec_a, c.vec_b, round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos_sim
-      |FROM cand c JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b
-      |WHERE list_inner_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4""".stripMargin
+  def embeddingLshSqlFor(numPlanes: Int, bitsPerBand: Int, dim: Int,
+                         threshold: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pl AS (
+       |  SELECT p.p, list(CASE WHEN ascii(substr(md5(p.p::VARCHAR || '_' || d.d::VARCHAR), 1, 1)) % 2 = 0
+       |                        THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+       |  FROM (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS p) p
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS d) d
+       |  GROUP BY 1
+       |), bits AS (
+       |  SELECT e.vec_id, pl.p, CASE WHEN list_inner_product(e.v, pl.w) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN pl
+       |), bands AS (
+       |  SELECT vec_id, CAST(p // $bitsPerBand AS INT) AS band, CAST(sum(bit << (p % $bitsPerBand)) AS BIGINT) AS key
+       |  FROM bits GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |), n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+       |SELECT c.vec_a, c.vec_b, round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos_sim
+       |FROM cand c JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b
+       |WHERE list_inner_product(x.v, y.v) / (x.nrm * y.nrm) >= $threshold""".stripMargin
+
+  /** The gate-locked (32-plane, 4-bit) oracle of `dedup_embedding_lsh`. */
+  val embeddingLshSql: String = embeddingLshSqlFor(32, 4, 64, "0.4")
+
+  /** Band width the [[embeddingLshPairsAuto]] sizing rule selects for a
+    * corpus of `n` vectors: enough band bits that the mean hash-uniform
+    * bucket holds ~`targetBucket` vectors, clamped to [minBits, maxBits].
+    * Candidate volume is ≈ numBands·n²/2^(bits+1) (measured, BASELINE.md
+    * geometry table), so holding n/2^bits constant holds per-vector
+    * candidate work constant as the corpus grows — this rule is what turns
+    * the fixed-geometry Θ(n²) cliff into ~linear scaling.
+    */
+  def lshBitsFor(n: Long, targetBucket: Int = 16, minBits: Int = 4, maxBits: Int = 16): Int = {
+    require(n > 0 && targetBucket > 0, "corpus and bucket target must be positive")
+    val raw = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(minBits, math.min(maxBits, raw))
+  }
+
+  /** [[embeddingLshPairs]] with corpus-sized band geometry (NOTES thread 0):
+    * one count() of the embedding table picks bitsPerBand via [[lshBitsFor]]
+    * (the count is AQE-style plan-time statistics gathering — a scan of
+    * row-group metadata, not data), keeping `numBands` fixed so the recall
+    * curve 1-(1-s^bits)^bands degrades only through the AND-width. At the
+    * production near-dup regime (cos ≥ 0.9) recall stays ≥ 0.95 through
+    * 10-bit bands (spec-asserted on the twin-pair fixture); at low
+    * thresholds on uniform vectors wider bands trade recall for the
+    * survival of the job — BASELINE.md's sf1 sweep measured the fixed
+    * (32, 4) geometry at 155 s/73 k candidate pairs vs 7.2 s at 10-bit on
+    * the same data.
+    */
+  def embeddingLshPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, numBands: Int = 8,
+                            targetBucket: Int = 16, dim: Int = 64): DataFrame = {
+    val bits = lshBitsFor(emb.count(), targetBucket)
+    embeddingLshPairs(emb, idCol, vecCol, threshold,
+      numPlanes = numBands * bits, bitsPerBand = bits, dim = dim)
+  }
+
+  /** Oracle of `dedup_embedding_lsh_auto`, pinned to the geometry the
+    * sizing rule derives at the driver's oracle scales: sf0.001 AND sf0.01
+    * both ship 500 embeddings, so the adaptive rule lands on the same
+    * bits = lshBitsFor(500) at both gates. Derived from the same constant
+    * the Spark side computes — the two cannot drift while the fixture
+    * keeps 500 vectors (and if it ever changes, the hash gate catches it
+    * loudly rather than silently).
+    */
+  val embeddingLshAutoSql: String = {
+    val bits = lshBitsFor(500)
+    embeddingLshSqlFor(8 * bits, bits, 64, "0.4")
+  }
 
   val embeddingNearDupSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -633,6 +770,10 @@ object Dedup {
     QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
     QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),
     QueryDef("dedup_embedding_lsh", (s, dir) => embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingLshSql)),
+    QueryDef("dedup_embedding_lsh_auto", (s, dir) => embeddingLshPairsAuto(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingLshAutoSql)),
+    QueryDef("dedup_incremental",
+      (s, dir) => dedupIncremental(Tables.documents(s, dir), "doc_id", "text", pmod(col("doc_id"), lit(5L)) === 0L),
+      Some(dedupIncrementalSql)),
     QueryDef("dedup_clusters", (s, dir) => {
       val docs = Tables.documents(s, dir)
       connectedComponents(docs, minhashLshPairs(docs, "doc_id", "text"), "doc_id")

@@ -268,6 +268,43 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lshBitsFor sizes band bits to the corpus: clamped, monotone, bucket-constant") {
+    // the oracle-scale fixture (500 vectors) must land on 5-bit bands —
+    // embeddingLshAutoSql is derived from this same constant
+    assert(Dedup.lshBitsFor(500) === 5)
+    // 10x corpus → wider bands (the sf1 cliff fix): 20k/16 = 1250 → ceil(log2) = 11
+    assert(Dedup.lshBitsFor(20000) === 11)
+    // monotone in n, clamped at both ends
+    val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 10000000L, 10000000000L)
+    val bits = ns.map(Dedup.lshBitsFor(_))
+    assert(bits === bits.sorted && bits.head === 4 && bits.last === 16)
+    // doubling the corpus adds exactly one bit in the unclamped range,
+    // holding mean bucket occupancy (n / 2^bits) constant
+    assert(Dedup.lshBitsFor(4096) + 1 === Dedup.lshBitsFor(8192))
+  }
+
+  test("embeddingLshPairsAuto equals the fixed geometry its rule selects") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = Dedup.embeddingLshPairsAuto(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Dedup.embeddingLshPairs(emb, "vec_id", "embedding", 0.4,
+        numPlanes = 40, bitsPerBand = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === fixed && auto.nonEmpty)
+  }
+
+  test("dedupIncremental flags new docs against the existing corpus only") {
+    // existing: 1 (and its near-dup 3); new batch: 2 (exact dup of 1), 4 (novel)
+    val isNew = col("doc_id").isin(2L, 4L)
+    val out = Dedup.dedupIncremental(corpus, "doc_id", "text", isNew, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // only new docs may appear, and the novel doc 4 must not
+    assert(out.map(_._1).toSet === Set(2L))
+    val (_, nMatches, best, jacc) = out.head
+    // doc 2 matches both 1 (exact) and 3 (near); best is the exact dup 1
+    assert(nMatches === 2L && best === 1L && jacc === 1.0)
+  }
+
   test("data split is deterministic, covering, and roughly proportioned") {
     import spark.implicits._
     val d = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
