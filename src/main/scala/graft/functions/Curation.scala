@@ -21,20 +21,48 @@ object Curation {
     * In a web pipeline the rank key would be a quality score; n_chars is
     * the deterministic stand-in with the same plan shape.
     *
-    * Scale shape: one window over source partitions carrying (id, source,
-    * len) triples — the shuffle never carries text, and each partition is
-    * one source's documents. A pathological mega-source skews the window
-    * partition; the production guard is pre-aggregating a per-source
-    * count and only windowing sources over the cap (the others pass
-    * through unranked), which bounds the sorted volume to capped sources.
+    * Scale shape — the mega-source guard: a single
+    * `row_number().over(partitionBy(source))` sorts each source in ONE
+    * task, so a pathological mega-source (a crawl dump holding half the
+    * corpus) serializes the stage. Instead:
+    *
+    *   1. Pre-aggregate per-source counts (map-side-combined; one row per
+    *      source, no text ever shuffles).
+    *   2. Sources at or under the cap skip the top-k machinery entirely —
+    *      every row survives by construction, and their rank window sorts
+    *      partitions of ≤ k rows.
+    *   3. Over-cap sources run a salted two-phase top-k: a local window
+    *      over (source, id % shards) keeps each shard's top k, then the
+    *      per-source window ranks the ≤ k·shards survivors. No task ever
+    *      sorts more than max(n/shards, k·shards) rows regardless of how
+    *      skewed the source distribution is.
+    *
+    * Output is identical to the naive single-window form (spec-asserted):
+    * a row pruned by its shard's local top-k has ≥ k same-shard rows
+    * ordering before it, so it cannot be in the source's global top k; and
+    * every row ordering before a kept row is itself kept, so survivor
+    * ranks equal full-corpus ranks.
     */
   def sourceCap(docs: DataFrame, idCol: String, sourceCol: String,
-                lenCol: String, k: Int): DataFrame = {
+                lenCol: String, k: Int, shards: Int = 32): DataFrame = {
+    val slim = docs.select(col(idCol), col(sourceCol), col(lenCol))
+    val counts = slim.groupBy(col(sourceCol)).agg(count(lit(1)).as("src_cnt"))
+    val tagged = slim.join(counts, Seq(sourceCol))
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(lenCol).desc, col(idCol).asc)
-    docs.select(col(idCol), col(sourceCol), col(lenCol))
+    // under-cap: nothing to prune; window partitions are ≤ k rows
+    val under = tagged.filter(col("src_cnt") <= k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    // over-cap: shard-local top-k prunes before the per-source rank
+    val wLocal = Window
+      .partitionBy(col(sourceCol), pmod(col(idCol), lit(shards.toLong)))
+      .orderBy(col(lenCol).desc, col(idCol).asc)
+    val over = tagged.filter(col("src_cnt") > k)
+      .withColumn("lrnk", row_number().over(wLocal))
+      .filter(col("lrnk") <= k)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col(idCol), col(sourceCol), col("rnk"))
+    under.select(col(idCol), col(sourceCol), col("rnk"))
+      .unionByName(over.select(col(idCol), col(sourceCol), col("rnk")))
   }
 
   val sourceCapSql: String =

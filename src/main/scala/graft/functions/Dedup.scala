@@ -388,6 +388,11 @@ object Dedup {
     * on a twin-pair fixture) — very low similarity thresholds are
     * fundamentally not LSH-serviceable at scale; use [[Similarity.knnIvf]]
     * -style partitioning there instead.
+    *
+    * The DEFAULT (32, 4) geometry is the oracle gate twin — do not use it
+    * at scale. Call [[embeddingLshPairsAuto]] (qkey
+    * `dedup_embedding_lsh_auto`), which sizes bitsPerBand to the corpus,
+    * for any real workload.
     */
   def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, numPlanes: Int = 32,
@@ -769,7 +774,13 @@ object Dedup {
     // default, and oracle all read the one constant.
     QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
     QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),
+    // ORACLE GATE TWIN — do not use at scale. The fixed (32, 4) geometry
+    // is Θ(n²) with a 1/2^bits constant (measured 236 s at 10× data vs
+    // 5.8 s for the auto geometry); it stays registered only because its
+    // oracle is pinned to this exact geometry. Production entry point is
+    // dedup_embedding_lsh_auto below.
     QueryDef("dedup_embedding_lsh", (s, dir) => embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingLshSql)),
+    // PRODUCTION embedding near-dup path: band bits sized to the corpus.
     QueryDef("dedup_embedding_lsh_auto", (s, dir) => embeddingLshPairsAuto(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingLshAutoSql)),
     QueryDef("dedup_incremental",
       (s, dir) => dedupIncremental(Tables.documents(s, dir), "doc_id", "text", pmod(col("doc_id"), lit(5L)) === 0L),

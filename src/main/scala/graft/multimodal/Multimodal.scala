@@ -334,7 +334,7 @@ object Multimodal {
       },
       Some(
         s"""SELECT media_type, count(*) AS cnt,
-           |  sum(octet_length(payload)) AS total_bytes,
+           |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
            |  min(lower(hex(payload))) AS min_payload_hex,
            |  max(lower(hex(payload))) AS max_payload_hex,
            |  count(DISTINCT lower(hex(payload))) AS n_distinct_payloads

@@ -26,6 +26,39 @@ class CurationSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("sourceCap mega-source guard: identical output to the naive window, bounded sorts") {
+    import spark.implicits._
+    // fixture docs plus a synthetic mega source holding ~10× any other
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .unionByName(
+        spark.range(100000L, 105000L).select(
+          col("id").as("doc_id"), lit("mega").as("source"),
+          pmod(col("id") * 37L, lit(4001L)).cast("int").as("n_chars")))
+    val k = 5
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k).select("doc_id", "source", "rnk")
+    }
+    val guarded = Curation.sourceCap(docs, "doc_id", "source", "n_chars", k)
+    val naiveSet = naive.as[(Long, String, Long)].collect().toSet
+    val guardedSet = guarded.as[(Long, String, Long)].collect().toSet
+    assert(guardedSet === naiveSet,
+      "guarded sourceCap must produce byte-identical (id, source, rnk) rows")
+    // plan shape: the salted local phase exists (a Window partitioned by
+    // (source, pmod(id))) — this is the task-size bound for mega sources —
+    // and the naive form has exactly one Window while the guard has three
+    // (under rank, over local rank, over global rank)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("pmod"), "expected the shard-salted local window in the plan")
+    def nWindows(p: String) = "\\+- Window ".r.findAllIn(p).size
+    assert(nWindows(naive.queryExecution.executedPlan.toString) === 1)
+    assert(nWindows(plan) === 3,
+      s"expected 3 Window nodes (under rank, local prune, global rank), plan:\n$plan")
+  }
+
   test("seqPacking conserves tokens and packs next-fit within each shard") {
     val docs = Tables.documents(spark, dir)
     val budget = 256
