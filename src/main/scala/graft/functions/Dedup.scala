@@ -268,9 +268,25 @@ object Dedup {
     tokens.groupBy(col(idCol)).agg(sim(col("h")).as("simhash"))
   }
 
-  /** SimHash near-dup candidates via 4×16-bit band join. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+  /** md5-hashed SimHash twin of [[simhash]]: the per-token hash is the
+    * first 15 hex chars of md5 (60 bits — fits a signed BIGINT in both
+    * engines), so the fingerprint is engine-portable and the band join is
+    * DuckDB-hash-checkable. xxhash64 ([[simhash]]) stays the production
+    * default (one codegen'd hash vs an md5 + string slice + base-16
+    * parse per token); this twin exists so the SimHash *algorithm* —
+    * majority-vote fingerprint, band join, hamming distance — has an
+    * exact cross-engine oracle rather than a rows-only check.
+    */
+  def simhashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val sim = udaf(new SimHashAggregator)
+    tokens.groupBy(col(idCol)).agg(sim(col("h")).as("simhash"))
+  }
+
+  /** Band join + hamming distance over any 64-bit fingerprint table. */
+  private def simhashBandPairs(sh: DataFrame, idCol: String): DataFrame = {
     val banded = sh.select(col(idCol), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))")).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -281,6 +297,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .distinct()
+  }
+
+  /** SimHash near-dup candidates via 4×16-bit band join. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBandPairs(simhash(docs, idCol, textCol), idCol)
+
+  /** [[simhashPairs]] over the engine-portable md5 fingerprint. */
+  def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBandPairs(simhashMd5(docs, idCol, textCol), idCol)
+
+  /** DuckDB twin of [[simhashPairsMd5]]: per-token 60-bit md5-slice hash,
+    * per-bit majority vote (strict `2·ones > n`, matching
+    * [[SimHashAggregator.finish]]'s tie-to-zero), fingerprint assembly,
+    * 4×16-bit band self-join, hamming via `bit_count(xor(...))`.
+    */
+  val simhashMd5Sql: String = {
+    // value of the lowercase hex digit holding bit b of the 15-char md5
+    // prefix (digit b/4 counting from the right = 1-based position 15-b/4)
+    val hvb = {
+      val pos = "CAST(15 - b // 4 AS INT)"
+      s"(CASE WHEN ascii(substr(d, $pos, 1)) >= 97 THEN ascii(substr(d, $pos, 1)) - 87 ELSE ascii(substr(d, $pos, 1)) - 48 END)"
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hx AS (SELECT doc_id, md5(tok) AS d FROM tok),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |         sum(($hvb >> CAST(b % 4 AS INT)) & 1) AS ones, count(*) AS n
+       |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+       |  GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN 2 * ones > n THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1),
+       |bk AS (
+       |  SELECT doc_id, simhash, band, (simhash >> CAST(band * 16 AS INT)) & 65535 AS key
+       |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sa, b.simhash AS sb
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM pairs""".stripMargin
   }
 
   /** Winnowing stride shared by [[ngramJaccardPairs]]'s default, the
@@ -767,6 +826,9 @@ object Dedup {
     QueryDef("dedup_minhash", (s, dir) => minhashLshPairs(Tables.documents(s, dir), "doc_id", "text"), Some(minhashSql)),
     QueryDef("dedup_minhash_est", (s, dir) => minhashEstJaccard(Tables.documents(s, dir), "doc_id", "text"), Some(minhashEstJaccardSql)),
     QueryDef("dedup_simhash", (s, dir) => simhashPairs(Tables.documents(s, dir), "doc_id", "text"), None),
+    // oracle-backed twin of dedup_simhash: md5-slice token hash makes the
+    // fingerprint engine-portable; xxhash64 stays the production default
+    QueryDef("dedup_simhash_md5", (s, dir) => simhashPairsMd5(Tables.documents(s, dir), "doc_id", "text"), Some(simhashMd5Sql)),
     // NgramStride (6, vs the shingles default 4): the round-4 sweep
     // (NgramSweep) measured 3.0 s vs 5.8 s at sf0.1 with an IDENTICAL
     // pair set at both strides (sym-diff 0 at sf0.01) — sparser

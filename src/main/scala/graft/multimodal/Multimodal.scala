@@ -175,32 +175,68 @@ object Multimodal {
     private def fourCC(b: Array[Byte], off: Int): String =
       new String(b, off, 4, "US-ASCII")
 
+    /** The parsed chunk index of an MJPEG AVI: per JPEG frame chunk the
+      * (byte offset of the frame body, byte length), plus the avih
+      * `dwMicroSecPerFrame`. Empty index = not a recognizable MJPEG AVI.
+      * This is the real container walk [[decode]] and
+      * [[Multimodal.sampleFrames]] both run — frame selection without
+      * decoding a single pixel.
+      */
+    def frameIndex(payload: Array[Byte]): (Long, Seq[(Int, Int)]) = {
+      if (payload.length < 12 || fourCC(payload, 0) != "RIFF" ||
+        fourCC(payload, 8) != "AVI ") return (0L, Nil)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var microSecPerFrame = 0L
+      def walk(off: Int, end: Int): Unit = {
+        var p = off
+        while (p + 8 <= end) {
+          val id = fourCC(payload, p)
+          val size = u32le(payload, p + 4).toInt
+          val body = p + 8
+          if (size < 0 || body + size > end) return // truncated: stop cleanly
+          if (id == "RIFF" || id == "LIST") {
+            walk(body + 4, body + size) // skip the 4-byte form/list type
+          } else {
+            if (id == "avih" && size >= 4) microSecPerFrame = u32le(payload, body)
+            // stream-data chunks: '00dc' (compressed video), '00db' (uncompressed)
+            if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+              size >= 2 && (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8)
+              frames += ((body, size))
+          }
+          p = body + size + (size & 1) // chunks pad to even byte boundaries
+        }
+      }
+      walk(12, payload.length)
+      (microSecPerFrame, frames.toSeq)
+    }
+
+    /** Minimal MJPEG-AVI writer — the inverse of [[frameIndex]]:
+      * RIFF('AVI ' LIST('hdrl' avih) LIST('movi' 00dc…)). Used by the
+      * deterministic fixture generator and the specs; a real pipeline
+      * would write through a full muxer, but the container these bytes
+      * form is valid for any MJPEG-AVI reader.
+      */
+    def encode(frames: Seq[Array[Byte]], microSecPerFrame: Long): Array[Byte] = {
+      def le32(v: Long): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+        id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++ pad
+      }
+      def list(formType: String, contents: Array[Byte]): Array[Byte] =
+        chunk("LIST", formType.getBytes("US-ASCII") ++ contents)
+      val avih = chunk("avih", le32(microSecPerFrame) ++ new Array[Byte](52))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val inner = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(inner.length.toLong) ++ inner
+    }
+
     def decode(payload: Array[Byte]): Option[Array[Float]] =
       try {
-        if (payload.length < 12 || fourCC(payload, 0) != "RIFF" ||
-          fourCC(payload, 8) != "AVI ") return None
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        var microSecPerFrame = 0L
-        def walk(off: Int, end: Int): Unit = {
-          var p = off
-          while (p + 8 <= end) {
-            val id = fourCC(payload, p)
-            val size = u32le(payload, p + 4).toInt
-            val body = p + 8
-            if (size < 0 || body + size > end) return // truncated: stop cleanly
-            if (id == "RIFF" || id == "LIST") {
-              walk(body + 4, body + size) // skip the 4-byte form/list type
-            } else {
-              if (id == "avih" && size >= 4) microSecPerFrame = u32le(payload, body)
-              // stream-data chunks: '00dc' (compressed video), '00db' (uncompressed)
-              if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
-                size >= 2 && (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8)
-                frames += java.util.Arrays.copyOfRange(payload, body, body + size)
-            }
-            p = body + size + (size & 1) // chunks pad to even byte boundaries
-          }
+        val (microSecPerFrame, idx) = frameIndex(payload)
+        val frames = idx.map { case (off, size) =>
+          java.util.Arrays.copyOfRange(payload, off, off + size)
         }
-        walk(12, payload.length)
         if (frames.isEmpty) return None
         var w, h = 0
         var sumLuma, sumLuma2 = 0.0
@@ -286,17 +322,98 @@ object Multimodal {
       }
   }
 
-  /** Frame-sampling shape for video: 1→N expansion of a payload into frame
-    * offsets (stub: fixed stride over the byte stream). Proves the
-    * explode-style multimodal fan-out without a real container parser.
+  /** Real video frame sampling: walk each payload's RIFF chunk index
+    * ([[AviCodec.frameIndex]] — no pixel decode) and emit one row per kept
+    * JPEG frame chunk, keeping every `stride`-th frame. `frame_idx` is the
+    * frame's ordinal in the container, `frame_bytes` its chunk length —
+    * the (media_id, frame_idx) pair is the handle a downstream decode
+    * stage uses to slice the frame out of the payload.
+    *
+    * Scale shape: a typed flatMap (the container walk is imperative
+    * byte-level code Catalyst cannot express); payloads never leave the
+    * executor, the output carries only scalars, and non-AVI payloads
+    * contribute zero rows.
     */
-  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int): DataFrame = {
-    val df = media.toDF()
-    df.filter(col("media_type") === "video" && length(col("payload")) > 0) // empty payload has no frames
-      .select(
-        col("media_id"),
-        explode(sequence(lit(0L), greatest(ceil(length(col("payload")) / frameBytes) - 1, lit(0L)), lit(1L)))
-          .as("frame_idx"))
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    import media.sparkSession.implicits._
+    media
+      .flatMap { r =>
+        if (r.media_type != "video") Iterator.empty
+        else AviCodec.frameIndex(r.payload)._2.iterator.zipWithIndex.collect {
+          case ((_, size), idx) if idx % stride == 0 =>
+            (r.media_id, idx.toLong, size.toLong)
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** DuckDB twin of [[sampleFrames]]: the RIFF walk re-expressed as
+    * recursive CTEs over the payload's hex string — top-level chunk walk
+    * to find the 'movi' LIST, then a child walk that counts and emits the
+    * JPEG frame chunks (`..dc`/`..db` id, SOI-marker body) with their
+    * little-endian chunk sizes. Byte arithmetic is ascii-CASE hex-digit
+    * decoding (the same engine-portable idiom as the Bloom filter's
+    * position math). The Scala walker recurses into arbitrary nesting;
+    * the SQL twin walks top-level + movi children, which is the complete
+    * structure of every AVI the fixture contains — the hash gate pins the
+    * equivalence.
+    */
+  def videoFramesSqlFor(stride: Int): String = {
+    // hex-digit value at 1-based position o of column hx (lowercase hex)
+    def hd(o: String) =
+      s"(CASE WHEN ascii(substr(hx, $o, 1)) >= 97 THEN ascii(substr(hx, $o, 1)) - 87 ELSE ascii(substr(hx, $o, 1)) - 48 END)"
+    // byte value at 0-based byte offset expressed by SQL expression p
+    def byteAt(p: String) = s"(${hd(s"2*($p)+1")} * 16 + ${hd(s"2*($p)+2")})"
+    // little-endian u32 at 0-based byte offset p
+    val u32 = (0 to 3).map(k => s"CAST(${byteAt(s"p+$k")} AS BIGINT) * ${1L << (8 * k)}").mkString(" + ")
+    s"""WITH RECURSIVE
+       |vid AS (
+       |  SELECT media_id, lower(hex(payload)) AS hx, octet_length(payload) AS len
+       |  FROM read_parquet('$MediaFixturePath/*.parquet')
+       |  WHERE media_type = 'video' AND octet_length(payload) >= 12
+       |    AND substr(lower(hex(payload)), 1, 8) = '52494646'
+       |    AND substr(lower(hex(payload)), 17, 8) = '41564920'),
+       |u32 AS (  -- little-endian uint32 at every byte offset, per media
+       |  SELECT media_id, p, CAST($u32 AS BIGINT) AS v
+       |  FROM (SELECT media_id, hx, unnest(generate_series(0, len - 4)) AS p FROM vid)),
+       |top AS (  -- cursor positions of top-level chunks inside the RIFF body
+       |  SELECT media_id, CAST(12 AS BIGINT) AS pos FROM vid
+       |  UNION ALL
+       |  SELECT t.media_id, t.pos + 8 + u.v + (u.v % 2)
+       |  FROM top t
+       |  JOIN vid v USING (media_id)
+       |  JOIN u32 u ON u.media_id = t.media_id AND u.p = t.pos + 4
+       |  WHERE t.pos + 8 <= v.len AND t.pos + 8 + u.v <= v.len),
+       |movi AS (  -- the LIST whose form type is 'movi': children span [s, e)
+       |  SELECT t.media_id, t.pos + 12 AS s, t.pos + 8 + u.v AS e
+       |  FROM top t
+       |  JOIN vid v USING (media_id)
+       |  JOIN u32 u ON u.media_id = t.media_id AND u.p = t.pos + 4
+       |  WHERE t.pos + 8 <= v.len AND t.pos + 8 + u.v <= v.len
+       |    AND substr(v.hx, CAST(2*t.pos+1 AS INT), 8) = '4c495354'
+       |    AND substr(v.hx, CAST(2*(t.pos+8)+1 AS INT), 8) = '6d6f7669'),
+       |walk AS (  -- movi child cursor + running frame ordinal
+       |  SELECT media_id, s AS pos, e, CAST(0 AS BIGINT) AS fidx FROM movi
+       |  UNION ALL
+       |  SELECT w.media_id, w.pos + 8 + u.v + (u.v % 2), w.e,
+       |         w.fidx + CASE WHEN substr(v.hx, CAST(2*(w.pos+2)+1 AS INT), 4) IN ('6463', '6462')
+       |                        AND u.v >= 2
+       |                        AND substr(v.hx, CAST(2*(w.pos+8)+1 AS INT), 4) = 'ffd8'
+       |                       THEN 1 ELSE 0 END
+       |  FROM walk w
+       |  JOIN vid v USING (media_id)
+       |  JOIN u32 u ON u.media_id = w.media_id AND u.p = w.pos + 4
+       |  WHERE w.pos + 8 <= w.e AND w.pos + 8 + u.v <= w.e)
+       |SELECT w.media_id, w.fidx AS frame_idx, u.v AS frame_bytes
+       |FROM walk w
+       |JOIN vid v USING (media_id)
+       |JOIN u32 u ON u.media_id = w.media_id AND u.p = w.pos + 4
+       |WHERE w.pos + 8 <= w.e AND w.pos + 8 + u.v <= w.e
+       |  AND substr(v.hx, CAST(2*(w.pos+2)+1 AS INT), 4) IN ('6463', '6462')
+       |  AND u.v >= 2
+       |  AND substr(v.hx, CAST(2*(w.pos+8)+1 AS INT), 4) = 'ffd8'
+       |  AND w.fidx % $stride = 0""".stripMargin
   }
 
   /** Committed parquet materialization of [[syntheticMedia]](300), written
@@ -340,19 +457,97 @@ object Multimodal {
            |  count(DISTINCT lower(hex(payload))) AS n_distinct_payloads
            |FROM read_parquet('$MediaFixturePath/*.parquet')
            |GROUP BY 1""".stripMargin)),
+    graft.engine.QueryDef(
+      "video_frames",
+      (s, _) => {
+        import s.implicits._
+        sampleFrames(s.read.parquet(MediaFixturePath).as[MediaRecord], stride = 2)
+      },
+      Some(videoFramesSqlFor(2))),
   )
 
-  /** Deterministic synthetic media table (for tests and demos). */
+  /** Deterministic REAL payload builders (all JDK-encoded — the same
+    * zero-dependency codecs the decoders read back). Every byte is a pure
+    * function of the seed, so the committed fixture is reproducible.
+    */
+  object SyntheticPayloads {
+    /** 8×6 PNG whose pixels are a seed-dependent gradient. */
+    def png(seed: Long): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val r = ((seed * 31 + x * 40 + y * 7) % 256).toInt
+        val g = ((seed * 17 + x * 9 + y * 33) % 256).toInt
+        val b = ((seed * 7 + x * 3 + y * 11) % 256).toInt
+        im.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 16-bit mono WAV at 8 kHz: 40 + seed%32 samples of a seed-phased
+      * integer triangle wave.
+      */
+    def wav(seed: Long): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val n = 40 + (seed % 32).toInt
+      val pcm = new Array[Byte](2 * n)
+      (0 until n).foreach { i =>
+        val phase = (i + seed) % 8
+        val tri = (if (phase < 4) phase * 8000 - 16000 else 48000 - phase * 8000).toInt
+        pcm(2 * i) = (tri & 0xff).toByte
+        pcm(2 * i + 1) = ((tri >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** 4×4 JPEG for AVI assembly: uniform seed-dependent gray. */
+    def jpegFrame(seed: Long, frame: Int): Array[Byte] = {
+      val gray = ((seed * 53 + frame * 67) % 256).toInt
+      val im = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 4; x <- 0 until 4) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** MJPEG AVI with 2 + seed%4 frames at 25 fps. */
+    def avi(seed: Long): Array[Byte] =
+      AviCodec.encode((0 until (2 + (seed % 4)).toInt).map(f => jpegFrame(seed, f)), 40000L)
+
+    /** Opaque noise bytes — media no real decoder recognizes, exercising
+      * the documented [[FakeCodec]] fallback path.
+      */
+    def noise(seed: Long): Array[Byte] =
+      Array.tabulate[Byte](64 + (seed % 64).toInt)(j => ((seed * 31 + j * 7) % 251).toByte)
+  }
+
+  /** Deterministic synthetic media table (fixture, tests, demos): REAL
+    * JDK-encoded payloads — PNG images, PCM WAVs, MJPEG AVIs — with every
+    * 5th row opaque noise so the FakeCodec fallback path stays exercised
+    * alongside the real decoders.
+    */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val mt = Seq("image", "audio", "video")((i % 3).toInt)
-      val payload = Array.tabulate[Byte](64 + (i % 64).toInt)(j => ((i * 31 + j * 7) % 251).toByte)
+      val payload =
+        if (i % 5 == 4) SyntheticPayloads.noise(i)
+        else mt match {
+          case "image" => SyntheticPayloads.png(i)
+          case "audio" => SyntheticPayloads.wav(i)
+          case _       => SyntheticPayloads.avi(i)
+        }
       MediaRecord(i, mt,
         payload,
-        if (mt == "image") Some(64) else None,
-        if (mt == "image") Some(48) else None,
-        if (mt == "audio") Some(16000) else None)
+        if (mt == "image") Some(8) else None,
+        if (mt == "image") Some(6) else None,
+        if (mt == "audio") Some(8000) else None)
     }
   }
 }

@@ -68,6 +68,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("md5 simhash twin: same algorithm invariants, 60-bit portable fingerprint") {
+    val sh = Dedup.simhashMd5(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) === sh(2L)) // identical docs → identical fingerprint
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L))) // near dups closer
+    // md5-slice hashes occupy 60 bits: the top nibble is always zero
+    assert(sh.values.forall(v => v >= 0L && (v >>> 60) === 0L))
+    val pairs = Dedup.simhashPairsMd5(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
   private def vecs(rows: (Long, Seq[Float])*) = {
     import spark.implicits._
     rows.toSeq.toDF("vec_id", "embedding")

@@ -110,28 +110,17 @@ class MultimodalSpec extends SparkSpec {
     * LIST('movi' 00dc 00dc)) with two JDK-encoded JPEG frames (one dark,
     * one bright) at 25 fps (avih dwMicroSecPerFrame = 40000).
     */
-  private def mjpegAvi: Array[Byte] = {
-    def jpegFrame(gray: Int): Array[Byte] = {
-      val im = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val rgb = (gray << 16) | (gray << 8) | gray
-      for (y <- 0 until 4; x <- 0 until 4) im.setRGB(x, y, rgb)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(im, "jpg", bos)
-      bos.toByteArray
-    }
-    def le32(v: Int): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
-      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
-      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
-    }
-    def list(formType: String, contents: Array[Byte]): Array[Byte] =
-      chunk("LIST", formType.getBytes("US-ASCII") ++ contents)
-    val avih = chunk("avih", le32(40000) ++ new Array[Byte](52)) // 25 fps, rest zeroed
-    val movi = list("movi", chunk("00dc", jpegFrame(32)) ++ chunk("00dc", jpegFrame(224)))
-    val inner = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32(inner.length) ++ inner
+  private def jpegGray(gray: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until 4; x <- 0 until 4) im.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
   }
+
+  private def mjpegAvi: Array[Byte] =
+    Multimodal.AviCodec.encode(Seq(jpegGray(32), jpegGray(224)), 40000L) // 25 fps
 
   test("AviCodec decodes a real MJPEG AVI to frame and luma features") {
     val f = Multimodal.AviCodec.decode(mjpegAvi).get
@@ -162,13 +151,43 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).feature.toSeq === Multimodal.FakeCodec.decode(Array[Byte](9, 9, 9)).toSeq)
   }
 
-  test("frame sampling expands only video rows") {
-    val media = Multimodal.syntheticMedia(spark, 9) // ids 2,5,8 are video
-    val frames = Multimodal.sampleFrames(media, frameBytes = 16)
-    val byId = frames.collect().groupBy(_.getLong(0))
+  test("AviCodec.frameIndex inverts encode: per-frame offsets and sizes") {
+    val f0 = jpegGray(10); val f1 = jpegGray(200); val f2 = jpegGray(99)
+    val avi = Multimodal.AviCodec.encode(Seq(f0, f1, f2), 40000L)
+    val (usec, idx) = Multimodal.AviCodec.frameIndex(avi)
+    assert(usec === 40000L && idx.length === 3)
+    idx.zip(Seq(f0, f1, f2)).foreach { case ((off, size), orig) =>
+      assert(size === orig.length)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, off, off + size), orig))
+    }
+    assert(Multimodal.AviCodec.frameIndex(Array[Byte](1, 2, 3))._2.isEmpty)
+  }
+
+  test("frame sampling walks the real chunk index of video rows only") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    // video ids: 2, 5, 8; id 8 is a noise row (8 % 5 == 3? no: noise when
+    // id % 5 == 4 → none of 2,5,8) — all three are real AVIs with
+    // 2 + id%4 frames: id2→4, id5→3, id8→2
+    val all = Multimodal.sampleFrames(media, stride = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = all.groupBy(_._1)
     assert(byId.keySet === Set(2L, 5L, 8L))
-    // payload of id=2 is 64+2=66 bytes → ceil(66/16)=5 frames
-    assert(byId(2L).length === 5)
+    assert(byId(2L).length === 4 && byId(5L).length === 3 && byId(8L).length === 2)
+    // frame sizes match the encoder's JPEG lengths, indices are dense
+    val (_, idx2) = Multimodal.AviCodec.frameIndex(Multimodal.SyntheticPayloads.avi(2L))
+    assert(byId(2L).sortBy(_._2).map(_._3).toSeq === idx2.map(_._2.toLong))
+    assert(byId(2L).map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    // stride 2 keeps even ordinals only
+    val strided = Multimodal.sampleFrames(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(strided.forall(_._2 % 2 == 0))
+    assert(strided.count(_._1 == 2L) === 2 && strided.count(_._1 == 5L) === 2)
+    // a noise video row contributes zero frames
+    import spark.implicits._
+    val noisy = spark.createDataset(Seq(
+      Multimodal.MediaRecord(99L, "video", Multimodal.SyntheticPayloads.noise(99L), None, None, None)))
+    assert(Multimodal.sampleFrames(noisy, stride = 1).count() === 0L)
   }
 }
 
