@@ -44,8 +44,25 @@ object Bench {
 
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (unset → all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // The O(n²)-by-construction exact baselines are correctness twins, not
+    // production paths; above this corpus size their all-pairs plans would
+    // dominate the bench with work no pipeline should run. Skipping is a
+    // hard config (not convention), so a scale-up bench cannot include
+    // them by accident — the skip is recorded in the JSON line.
+    val QuadraticBaselines = Set("dedup_embedding")
+    val QuadraticMaxRows = 5000L
+    val embRows =
+      try graft.engine.Tables(spark, sfDir, "embeddings").count()
+      catch { case _: Throwable => 0L }
+    val skipped = if (embRows > QuadraticMaxRows) {
+      System.err.println(
+        s"[bench] skipping ${QuadraticBaselines.mkString(",")}: embeddings has " +
+          s"$embRows rows > $QuadraticMaxRows — O(n²) exact baselines are " +
+          "gate-only (use dedup_embedding_lsh_auto at scale)")
+      QuadraticBaselines
+    } else Set.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skipped.contains(n) }
     // Two timed runs per query, min reported: the second run measures
     // steady state, and min-of-2 filters co-tenant/GC noise spikes
     // (observed 0.3 s queries spiking to 20 s under external load).
@@ -77,7 +94,8 @@ object Bench {
     // failed queries are listed explicitly — a planning error must not read
     // as a near-zero (i.e. improved) timing
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -120,6 +120,91 @@ object Curation {
       |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens
       |FROM run GROUP BY 1, 2, 3""".stripMargin
 
+  /** Temperature-flattened source mixture (α = 0.5): keep per source the
+    * `perSqrt · isqrt(count)` documents with the smallest md5(doc_id) —
+    * sqrt scaling is the standard way to stop head sources from drowning
+    * tail domains while still weighting by size (a 10 000× larger source
+    * contributes 100×, not 10 000×). Deterministic: the kept set is a pure
+    * function of doc ids, and integer-only quota arithmetic
+    * (floor(sqrt(n)) is exact for counts < 2^52) means the oracle cannot
+    * drift by a ulp.
+    *
+    * Scale shape: the same mega-source guard as [[sourceCap]] — per-source
+    * counts pre-aggregate map-side; under-quota sources skip pruning
+    * entirely; over-quota sources run the salted two-phase smallest-k so
+    * no task ever sorts a whole mega source.
+    */
+  def mixtureSqrtSample(docs: DataFrame, idCol: String, sourceCol: String,
+                        perSqrt: Int, shards: Int = 32): DataFrame = {
+    val slim = docs.select(col(idCol), col(sourceCol),
+      md5(col(idCol).cast("string")).as("pick"))
+    val quota = slim.groupBy(col(sourceCol)).agg(count(lit(1)).as("src_cnt"))
+      .select(col(sourceCol), col("src_cnt"),
+        least(col("src_cnt"), lit(perSqrt.toLong) * floor(sqrt(col("src_cnt").cast("double"))).cast("long"))
+          .as("quota"))
+    val tagged = slim.join(quota, Seq(sourceCol))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("pick").asc)
+    val under = tagged.filter(col("src_cnt") <= col("quota"))
+      .select(col(idCol), col(sourceCol))
+    val wLocal = Window
+      .partitionBy(col(sourceCol), pmod(col(idCol), lit(shards.toLong)))
+      .orderBy(col("pick").asc)
+    val over = tagged.filter(col("src_cnt") > col("quota"))
+      .withColumn("lrnk", row_number().over(wLocal))
+      .filter(col("lrnk") <= col("quota"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col(idCol), col(sourceCol))
+    under.unionByName(over)
+  }
+
+  val mixtureSqrtSampleSql: String =
+    """WITH q AS (
+      |  SELECT source, count(*) AS src_cnt,
+      |         least(count(*), 4 * CAST(floor(sqrt(count(*))) AS BIGINT)) AS quota
+      |  FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT d.doc_id, d.source, q.quota,
+      |         row_number() OVER (PARTITION BY d.source
+      |                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC) AS rnk
+      |  FROM documents d JOIN q USING (source))
+      |SELECT doc_id, source FROM r WHERE rnk <= quota""".stripMargin
+
+  /** Deterministic corpus shuffle + shard assignment — the step that turns
+    * a curated corpus into the randomized shard files a trainer streams:
+    * shard = 16 md5 bits of the doc id mod `nShards`, position within the
+    * shard = rank of the full md5 hash. Reproducible end to end (pure
+    * function of doc ids), and an arbitrary subset of shards can be
+    * re-materialized without touching the rest.
+    *
+    * Scale shape: NO global sort — the hash IS the shuffle. Shard
+    * assignment is a map-side expression; within-shard ordering is a
+    * per-shard window whose partitions are corpus/nShards by the hash's
+    * uniformity (raise nShards with the corpus). A global total order
+    * would serialize on one task; per-shard order is what a trainer
+    * actually consumes (shards are read independently).
+    */
+  def corpusShuffle(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc)
+    docs.select(col(idCol), h.as("h"), shard.as("shard"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("shard"), col("pos_in_shard"))
+  }
+
+  def corpusShuffleSqlFor(nShards: Int): String = {
+    // value of the lowercase hex digit at 1-based position o of md5 hash h
+    def hv(o: Int) =
+      s"(CASE WHEN ascii(substr(h, $o, 1)) >= 97 THEN ascii(substr(h, $o, 1)) - 87 ELSE ascii(substr(h, $o, 1)) - 48 END)"
+    val hex16 = (1 to 4).map(o => s"${hv(o)} * ${1L << (4 * (4 - o))}").mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |s AS (SELECT doc_id, h, CAST(($hex16) % $nShards AS BIGINT) AS shard FROM h)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC) - 1 AS BIGINT) AS pos_in_shard
+       |FROM s""".stripMargin
+  }
+
   // Bloom geometry: m bits addressed by k 12-bit md5-slice hashes.
   // 3 hex chars = 12 bits = exactly the 4096-bit address space, so the
   // position math is a pure hex decode with no modulo bias.
@@ -213,5 +298,11 @@ object Curation {
       (s, dir) => contaminationBloom(Tables.documents(s, dir), "doc_id", "text",
         col("source") === "src0"),
       Some(contaminationBloomSql)),
+    QueryDef("mixture_sqrt_sample",
+      (s, dir) => mixtureSqrtSample(Tables.documents(s, dir), "doc_id", "source", perSqrt = 4),
+      Some(mixtureSqrtSampleSql)),
+    QueryDef("corpus_shuffle",
+      (s, dir) => corpusShuffle(Tables.documents(s, dir), "doc_id", nShards = 8),
+      Some(corpusShuffleSqlFor(8))),
   )
 }

@@ -307,7 +307,49 @@ object Similarity {
       |      FROM embeddings)
       |GROUP BY 1""".stripMargin
 
+  /** Symmetric per-vector int8 quantization — the memory-side half of an
+    * ANN index at scale (4× smaller vectors than float32; a 100 TB
+    * embedding store becomes 25 TB, and SIMD int8 dot products get ~4×
+    * the throughput). Per vector: scale = 127/max|v|, q_i =
+    * floor(v_i·scale + 0.5) ∈ [-127, 127]; the all-zero vector maps to
+    * all-zero. Output is flattened (vec_id, dim_idx, q) so the oracle
+    * compares integers.
+    *
+    * Scale shape: a pure per-row map — no shuffle, no join, no agg; the
+    * only data movement is the scan. Engine-portable by construction:
+    * float→double widening is exact, one IEEE division and one multiply
+    * are bit-identical everywhere, and floor(x + 0.5) sidesteps the
+    * engines' different round() tie conventions.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    emb
+      .select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim_idx", "v")),
+        maxAbs.as("ma"))
+      .select(col(idCol), col("dim_idx"),
+        when(col("ma") === 0.0, lit(0))
+          .otherwise(floor(col("v").cast("double") * (lit(127.0) / col("ma")) + lit(0.5)).cast("int"))
+          .as("q"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+      |d AS (SELECT vec_id, ma,
+      |        unnest(generate_series(0, len(v) - 1)) AS dim_idx,
+      |        unnest(v) AS val
+      |      FROM m)
+      |SELECT vec_id, CAST(dim_idx AS INT) AS dim_idx,
+      |       CAST(CASE WHEN ma = 0 THEN 0
+      |                 ELSE floor(val * (127.0 / ma) + 0.5) END AS INT) AS q
+      |FROM d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "embedding_quantize_int8",
+      (s, dir) => quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding"),
+      Some(quantizeInt8Sql)),
     QueryDef(
       "embedding_centroids",
       (s, dir) => embeddingCentroids(Tables.embeddings(s, dir), "label", "embedding"),

@@ -89,6 +89,67 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSqrtSample: sqrt quotas flatten the mixture; guard matches naive window") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .unionByName(
+        spark.range(200000L, 202500L).select(col("id").as("doc_id"), lit("mega").as("source")))
+    val perSqrt = 4
+    val got = Curation.mixtureSqrtSample(docs, "doc_id", "source", perSqrt)
+    val kept = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-source quota: min(cnt, 4·floor(sqrt(cnt)))
+    counts.foreach { case (src, cnt) =>
+      val quota = math.min(cnt, perSqrt * math.sqrt(cnt.toDouble).floor.toLong)
+      assert(kept.getOrElse(src, 0L) === quota, s"source $src: kept ${kept.get(src)} != quota $quota")
+    }
+    // flattening: the 2500-doc mega source keeps a smaller FRACTION than a
+    // ~25-doc source, but more absolute docs
+    val smallSrc = counts.filter(_._2 < 100).keys.head
+    assert(kept("mega").toDouble / counts("mega") < kept(smallSrc).toDouble / counts(smallSrc))
+    assert(kept("mega") > kept(smallSrc))
+    // the guarded two-phase form equals the naive single-window selection
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(md5(col("doc_id").cast("string")).asc)
+      docs.withColumn("rnk", row_number().over(w))
+        .join(
+          docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+            .select(col("source"),
+              least(col("cnt"), lit(perSqrt.toLong) * floor(sqrt(col("cnt").cast("double"))).cast("long")).as("quota")),
+          Seq("source"))
+        .filter(col("rnk") <= col("quota")).select("doc_id", "source")
+    }
+    assert(got.as[(Long, String)].collect().toSet === naive.as[(Long, String)].collect().toSet)
+  }
+
+  test("corpusShuffle: total, dense-per-shard, deterministic assignment with no global sort") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val shuffled = Curation.corpusShuffle(docs, "doc_id", nShards = 8)
+    val rows = shuffled.as[(Long, Long, Long)].collect()
+    assert(rows.length === n && rows.map(_._1).distinct.length === n) // every doc exactly once
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions are dense 0..n_s-1 within each shard
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq)
+    }
+    // deterministic: a second run produces the identical assignment
+    val again = Curation.corpusShuffle(docs, "doc_id", nShards = 8).as[(Long, Long, Long)].collect()
+    assert(rows.toSet === again.toSet)
+    // hash-uniform shards: no shard is empty or dominant on 500 docs
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size === 8 && sizes.values.max < n / 4)
+    // scale guard: the plan has NO global (unpartitioned) sort — the only
+    // window partitions by shard
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort [h"), s"global sort crept in:\n$plan")
+    assert(plan.contains("windowspecdefinition(shard"), s"expected per-shard window:\n$plan")
+  }
+
   test("contaminationBloom never misses an exact contamination hit") {
     val docs = Tables.documents(spark, dir)
     val bench = col("source") === "src0"

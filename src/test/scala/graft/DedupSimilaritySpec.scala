@@ -86,6 +86,28 @@ class DedupSimilaritySpec extends SparkSpec {
     rows.toSeq.toDF("vec_id", "embedding")
   }
 
+  test("int8 quantization: range, zero-vector, exact peak, bounded reconstruction error") {
+    val df = vecs(
+      1L -> Seq(0.5f, -1.0f, 0.25f, 0.0f),
+      2L -> Seq(0f, 0f, 0f, 0f),
+      3L -> Seq(3.0f, -1.5f, 0.1f, 2.9f))
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(q.values.forall(v => v >= -127 && v <= 127))
+    // zero vector quantizes to zeros, not NaN
+    (0 to 3).foreach(d => assert(q((2L, d)) === 0))
+    // the max-|v| dimension hits ±127 exactly
+    assert(q((1L, 1)) === -127 && q((3L, 0)) === 127)
+    // reconstruction: |v - q·ma/127| <= 0.5·ma/127 for every component
+    val orig = Map(1L -> Seq(0.5, -1.0, 0.25, 0.0), 3L -> Seq(3.0, -1.5, 0.1, 2.9))
+    orig.foreach { case (id, v) =>
+      val ma = v.map(math.abs).max
+      v.zipWithIndex.foreach { case (x, d) =>
+        assert(math.abs(x - q((id, d)) * ma / 127.0) <= 0.5 * ma / 127.0 + 1e-9)
+      }
+    }
+  }
+
   test("vector_dot matches a hand-computed dot product") {
     VectorExpressions.register(spark)
     val df = vecs(1L -> Seq(1f, 2f, 3f), 2L -> Seq(4f, 5f, 6f))

@@ -171,6 +171,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer-driven sessions replay the reference 12-event fixture out of order == batch sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the reference's deterministic 12-event series (WindowFunctions.scala:24-37),
+    // keyed by event type → two concurrent session streams per key
+    val fixture: Seq[ShoppingCartEvent] = GamingFixture.events.map { e =>
+      ShoppingCartEvent(e.event_type, "s1", 1,
+        new java.sql.Timestamp(e.event_time.getTime), "add")
+    }
+    // batch truth: the built-in session_window over the same rows
+    val expected = StreamingOps.sessionCounts(
+      spark.createDataset(fixture).toDF(), "user_id", "time", "0 seconds", "1 second")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    // adversarial replay: four micro-batches, each internally reversed and
+    // interleaved across keys — forces backward session extension (t=2
+    // after t=3,4), a bridge merge (Online t=6 joining {5} and {7}), and
+    // late-but-legal arrivals across batch boundaries
+    val reg = fixture.filter(_.user_id == "PlayerRegistered").sortBy(_.time.getTime)
+    val onl = fixture.filter(_.user_id == "PlayerOnline").sortBy(_.time.getTime)
+    val batches = Seq(
+      Seq(reg(5), onl(4)),                 // t=8 reg, t=7 onl
+      Seq(reg(2), reg(3), onl(0), onl(5)), // t=4,4 reg; t=3, t=10 onl
+      Seq(reg(0), reg(1), onl(2), onl(3)), // t=2,3 reg (backward); t=5,6 onl (merge)
+      Seq(reg(4), onl(1)))                 // t=6 reg, t=4 onl
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ShoppingCartEvent]
+      val q = StreamingOps.sessionCountsTws(input.toDS(), "60 seconds", gapMs = 1000L)
+        .writeStream.format("memory").queryName("tws_fixture").outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        input.addData(cart("zzz", 500.0)) // flush: watermark far past the fixture
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_fixture")
+        .filter(col("key") =!= "zzz")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expected,
+        s"out-of-order replay diverged from batch sessions:\n got=$got\n exp=$expected")
+      // and the fixture's known shape: 3 Registered sessions, 2 Online
+      assert(got.count(_._1 == "PlayerRegistered") === 3)
+      assert(got.count(_._1 == "PlayerOnline") === 2)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("coprocess running ratio emits after every element across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
