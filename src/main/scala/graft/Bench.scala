@@ -44,12 +44,16 @@ object Bench {
 
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (unset → all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // The O(n²)-by-construction exact baselines are correctness twins, not
-    // production paths; above this corpus size their all-pairs plans would
-    // dominate the bench with work no pipeline should run. Skipping is a
-    // hard config (not convention), so a scale-up bench cannot include
-    // them by accident — the skip is recorded in the JSON line.
-    val QuadraticBaselines = Set("dedup_embedding")
+    // The Θ(n²)-by-construction gate twins are correctness baselines, not
+    // production paths; above this corpus size their plans would dominate
+    // the bench with work no pipeline should run: dedup_embedding is the
+    // exact all-pairs baseline, and dedup_embedding_lsh's FIXED (32, 4)
+    // band geometry carries the measured n²/2^bits candidate cliff (127 s
+    // of a 412 s full-registry sf1 run; the corpus-sized
+    // dedup_embedding_lsh_auto is the production path and stays in).
+    // Skipping is a hard config (not convention), so a scale-up bench
+    // cannot include them by accident — recorded in the JSON line.
+    val QuadraticBaselines = Set("dedup_embedding", "dedup_embedding_lsh")
     val QuadraticMaxRows = 5000L
     val embRows =
       try graft.engine.Tables(spark, sfDir, "embeddings").count()

@@ -395,6 +395,57 @@ object Dedup {
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8""".stripMargin
 
+  /** Asymmetric n-gram CONTAINMENT — the dedup shape Jaccard cannot see:
+    * containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| flags a short document
+    * whose content is (almost) wholly quoted inside a much longer one
+    * (boilerplate copies, article + quote-reply threads, subset pages),
+    * where the union-normalized Jaccard stays near zero. Emits pairs
+    * (doc_a < doc_b) whose larger directed containment crosses
+    * `threshold`, with both directions' scores.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — the df-capped
+    * inverted shingle index bounds posting lists, the self-join is a pure
+    * equi-join on the shingle, and the intersection aggregates map-side.
+    * Division is exact-integers-to-double, portable.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            maxDf: Int = 100, threshold: Double = 0.9,
+                            width: Int = 8, stride: Int = NgramStride): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, idCol, textCol, width, stride).persist()
+    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val fsh = sh.join(keep, Seq("sh")).persist()
+    val sizes = fsh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = fsh.select(col(idCol).as("doc_a"), col("sh"))
+    val b = fsh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    val inter = a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val contA = col("c").cast("double") / col("sz_a")
+    val contB = col("c").cast("double") / col("sz_b")
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(greatest(contA, contB) >= threshold)
+      .select(col("doc_a"), col("doc_b"), contA.as("cont_a"), contB.as("cont_b"))
+  }
+
+  val ngramContainmentSql: String =
+    s"""WITH sh AS (${TextAnalysis.shinglesSql(stride = NgramStride)}),
+       |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+       |fsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(c AS DOUBLE) / sa.sz AS cont_a,
+       |       CAST(c AS DOUBLE) / sb.sz AS cont_b
+       |FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE greatest(CAST(c AS DOUBLE) / sa.sz, CAST(c AS DOUBLE) / sb.sz) >= 0.9""".stripMargin
+
   /** Embedding-cosine near-dup pairs above `threshold`. All-pairs exact
     * form — the correctness baseline that [[embeddingLshPairs]] (the
     * registered scale path: sign-LSH band candidates, same scoring) is
@@ -835,6 +886,7 @@ object Dedup {
     // winnowing, same recall at the 0.8 threshold. Registration, Scala
     // default, and oracle all read the one constant.
     QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
+    QueryDef("dedup_containment", (s, dir) => ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramContainmentSql)),
     QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),
     // ORACLE GATE TWIN — do not use at scale. The fixed (32, 4) geometry
     // is Θ(n²) with a 1/2^bits constant (measured 236 s at 10× data vs

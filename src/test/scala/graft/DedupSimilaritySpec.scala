@@ -54,6 +54,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est((1L, 2L)) === 1.0)
   }
 
+  test("ngram containment flags a short doc quoted inside a long one where jaccard misses") {
+    val short = "the emergency broadcast procedure requires immediate careful attention"
+    val filler = (1 to 30).map(i => s"unrelated sentence number $i about warehouse logistics").mkString(" ")
+    val quoted = docs(
+      10L -> short,
+      11L -> (filler + " " + short + " " + filler.reverse.take(200)),
+      12L -> "something else entirely about oceanic weather patterns and tides")
+    val cont = Dedup.ngramContainmentPairs(quoted, "doc_id", "text",
+      maxDf = 100, threshold = 0.8, stride = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // the short doc is (almost) fully contained in the long one
+    assert(cont.contains((10L, 11L)), s"containment missed the quote pair: $cont")
+    val (contA, contB) = cont((10L, 11L))
+    assert(contA >= 0.8 && contB < 0.5) // asymmetric: A in B, not B in A
+    assert(!cont.keySet.exists(p => p._1 == 12L || p._2 == 12L))
+    // jaccard at the same threshold level misses it (tiny union overlap)
+    val jacc = Dedup.ngramJaccardPairs(quoted, "doc_id", "text",
+      maxDf = 100, threshold = 0.5, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((10L, 11L)))
+  }
+
   test("simhash: identical docs hash identically; near dups closer than unrelated") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
