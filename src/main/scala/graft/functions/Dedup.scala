@@ -446,6 +446,49 @@ object Dedup {
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE greatest(CAST(c AS DOUBLE) / sa.sz, CAST(c AS DOUBLE) / sb.sz) >= 0.9""".stripMargin
 
+  /** Dedup QA report — "measure, don't guess" as a first-class operator:
+    * score the production approximate path ([[minhashLshPairs]]) against
+    * the exact-threshold ground truth ([[ngramJaccardPairs]], Jaccard ≥
+    * 0.8 on the df-capped shingle universe) and emit ONE row of
+    * candidate/truth/hit counts with precision and recall. A pipeline
+    * runs this on a sampled slice per ingest batch to catch silent LSH
+    * degradation (wrong band geometry for the corpus, shingle-width
+    * drift) before it ships a badly-deduped corpus.
+    *
+    * Precision here reads low by design: LSH candidates implied by the
+    * band curve include sub-0.8 near-dups; recall against the 0.8 bar is
+    * the health signal (1.0 on the fixture). Counts are exact integers →
+    * the ratio doubles are engine-portable.
+    */
+  def dedupQaReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // both pair sets feed two consumers (their count + the intersection)
+    val cand = minhashLshPairs(docs, idCol, textCol).persist()
+    val truth = ngramJaccardPairs(docs, idCol, textCol)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val hit = cand.join(truth, Seq("doc_a", "doc_b"))
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_cand"), col("n_truth"), col("n_hit"),
+        when(col("n_cand") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_cand")).as("precision_vs_exact"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_truth")).as("recall_vs_exact"))
+  }
+
+  val dedupQaReportSql: String =
+    s"""WITH cand AS ($minhashSql),
+       |truth AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql)),
+       |m AS (SELECT count(*) AS n_cand FROM cand),
+       |t AS (SELECT count(*) AS n_truth FROM truth),
+       |h AS (SELECT count(*) AS n_hit FROM cand JOIN truth USING (doc_a, doc_b))
+       |SELECT n_cand, n_truth, n_hit,
+       |       CASE WHEN n_cand = 0 THEN NULL
+       |            ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision_vs_exact,
+       |       CASE WHEN n_truth = 0 THEN NULL
+       |            ELSE CAST(n_hit AS DOUBLE) / n_truth END AS recall_vs_exact
+       |FROM m, t, h""".stripMargin
+
   /** Embedding-cosine near-dup pairs above `threshold`. All-pairs exact
     * form — the correctness baseline that [[embeddingLshPairs]] (the
     * registered scale path: sign-LSH band candidates, same scoring) is
@@ -887,6 +930,7 @@ object Dedup {
     // default, and oracle all read the one constant.
     QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
     QueryDef("dedup_containment", (s, dir) => ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramContainmentSql)),
+    QueryDef("dedup_qa_report", (s, dir) => dedupQaReport(Tables.documents(s, dir), "doc_id", "text"), Some(dedupQaReportSql)),
     QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),
     // ORACLE GATE TWIN — do not use at scale. The fixed (32, 4) geometry
     // is Θ(n²) with a 1/2^bits constant (measured 236 s at 10× data vs

@@ -76,6 +76,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!jacc.contains((10L, 11L)))
   }
 
+  test("dedup QA report: exact counts, perfect recall on the fixture corpus") {
+    val r = Dedup.dedupQaReport(corpus, "doc_id", "text").collect()(0)
+    val (nCand, nTruth, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTruth > 0 && nHit <= math.min(nCand, nTruth))
+    // minhash LSH must catch every exact-threshold pair in this tiny corpus
+    assert(r.getDouble(4) === 1.0, s"recall ${r.getDouble(4)} < 1.0 (hit $nHit of $nTruth)")
+    assert(r.getDouble(3) === nHit.toDouble / nCand)
+  }
+
   test("simhash: identical docs hash identically; near dups closer than unrelated") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

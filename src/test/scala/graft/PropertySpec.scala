@@ -113,6 +113,18 @@ class PropertySpec extends SparkSpec {
     assert(Sim.knnBrute(noVecs, noVecs, "vec_id", "embedding", 5).count() === 0)
     assert(Sim.knnLsh(noVecs, lit(true), "vec_id", "embedding", 5).count() === 0)
     assert(MultiStream.unionStreams(noEvents, noEvents).count() === 0)
+    // round-6 operators
+    import graft.functions.Curation
+    val noSrcDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    assert(Dedup.ngramContainmentPairs(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashPairsMd5(noDocs, "doc_id", "text").count() === 0)
+    assert(Curation.sourceCap(noSrcDocs, "doc_id", "source", "n_chars", 5).count() === 0)
+    assert(Curation.mixtureSqrtSample(noSrcDocs, "doc_id", "source", 4).count() === 0)
+    assert(Curation.corpusShuffle(noDocs, "doc_id", 8).count() === 0)
+    assert(Sim.quantizeInt8(noVecs, "vec_id", "embedding").count() === 0)
+    val noMedia = spark.emptyDataset(
+      org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRecord])
+    assert(graft.multimodal.Multimodal.sampleFrames(noMedia, 1).count() === 0)
   }
 
   test("SQL text surface: registered views + custom functions answer queries") {
