@@ -178,11 +178,19 @@ object Similarity {
       .select(col(idCol).as("cell0"), col(vecCol).as("cv"))
     // assign every vector to its nearest seed (broadcast seeds; one pass)
     val assigned = assignCells(emb, seeds.withColumnRenamed("cell0", "cell"), idCol, vecCol)
-    // one Lloyd step: element-wise mean per cell via posexplode
+    // One Lloyd step: element-wise mean per cell via posexplode. The mean
+    // is computed over floor(v·10⁶) integer quanta (the embeddingCentroids
+    // portability idiom): a raw double avg() merges shuffled partial sums
+    // in nondeterministic order, so its last ulp — and thus any near-tie
+    // cell assignment downstream — would differ between engines and runs.
+    // Exact integer sums are merge-order independent, making the whole
+    // IVF index (and therefore knn_ivf's output) reproducible and
+    // DuckDB-oracle-checkable.
     assigned
       .select(col("cell"), posexplode(col(vecCol)))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("m"))
+      .agg((sum(floor(col("col").cast("double") * lit(1000000.0))).cast("double")
+        / (lit(1000000.0) * count(lit(1)))).as("m"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m").cast("float")).as("cv"))
@@ -242,6 +250,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), round(col("cs"), 4).as("cos_sim"), col("rank"))
   }
+
+  /** DuckDB twin of [[knnIvf]] at the registered (16 cells, nprobe 2,
+    * k 5, queries vec_id < 8) configuration: seeds = first 16 vectors by
+    * id, nearest-seed assignment (cosine argmax, cell-id tie-break), one
+    * quantized-integer Lloyd step (floor(v·10⁶) sums — the same exact
+    * arithmetic the Spark side runs, so centroids agree bit-for-bit after
+    * the float round-trip), reassignment, per-query 2-cell probe, and
+    * top-5 per query. An exact hash check of an approximate-by-recall
+    * algorithm — approximation is in WHAT it searches (nprobe cells), not
+    * in reproducibility.
+    */
+  def knnIvfSqlFor(numCells: Int, nprobe: Int, k: Int, queryPredSql: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |sn AS (
+       |  SELECT vec_id AS cell, v AS cv, sqrt(list_inner_product(v, v)) AS cnrm
+       |  FROM e ORDER BY vec_id LIMIT $numCells),
+       |assign0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, sn.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_inner_product(n.v, sn.cv) / (n.nrm * sn.cnrm) DESC,
+       |                      sn.cell ASC) AS rn
+       |    FROM n CROSS JOIN sn) WHERE rn = 1),
+       |lloyd AS (
+       |  SELECT cell, dim,
+       |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
+       |           / (1000000.0 * count(*)) AS m
+       |  FROM (SELECT a.cell,
+       |               unnest(e.v) AS val,
+       |               unnest(generate_series(0, len(e.v) - 1)) AS dim
+       |        FROM assign0 a JOIN e USING (vec_id))
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS cv
+       |  FROM lloyd GROUP BY 1),
+       |cn AS (SELECT cell, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM cent),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+       |                      c.cell ASC) AS rn
+       |    FROM n CROSS JOIN cn c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE $queryPredSql),
+       |qc AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY list_inner_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
+       |                      c.cell ASC) AS rn
+       |    FROM q CROSS JOIN cn c) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT q.q_id, m.vec_id AS n_id,
+       |         list_inner_product(q.v, m.v) / (q.nrm * m.nrm) AS cs
+       |  FROM q
+       |    JOIN qc USING (q_id)
+       |    JOIN assign a ON a.cell = qc.cell
+       |    JOIN n m ON m.vec_id = a.vec_id
+       |  WHERE m.vec_id <> q.q_id)
+       |SELECT q_id, n_id, round(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= $k""".stripMargin
 
   /** Per-label embedding centroids, one row per (label, dimension) — the
     * class-prototype computation behind IVF cell training, cluster
@@ -361,7 +433,11 @@ object Similarity {
     QueryDef(
       "knn_ivf",
       (s, dir) => knnIvf(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),
-      None), // approximate by design; recall asserted against knn_brute in tests
+      // approximate by RECALL (nprobe cells), exact by REPRODUCIBILITY:
+      // the quantized Lloyd step makes the index engine-portable, so the
+      // oracle recomputes the identical top-k (recall vs knn_brute is
+      // separately spec-asserted)
+      Some(knnIvfSqlFor(16, 2, 5, "vec_id < 8"))),
     QueryDef(
       "knn_brute",
       (s, dir) => {
