@@ -119,7 +119,10 @@ object Similarity {
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  numPlanes: Int, dim: Int = 64): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    val planes = hyperplanes(numPlanes, dim)
+    // md5-derived planes: identical runtime cost (driver-side literals
+    // either way) and the bucket assignment becomes engine-portable, so
+    // knn_lsh carries a full DuckDB oracle
+    val planes = md5Hyperplanes(numPlanes, dim)
     val bucketExpr = (0 until numPlanes).map { p =>
       when(VectorExpressions.vectorDot(col(vecCol), typedLit(planes(p).toSeq)) > 0, lit(1L << p))
         .otherwise(lit(0L))
@@ -315,6 +318,47 @@ object Similarity {
        |      FROM scored)
        |WHERE rn <= $k""".stripMargin
 
+  /** DuckDB twin of [[knnLsh]] (multi-probe) at the registered config:
+    * md5-derived hyperplanes (same digest both engines), per-vector sign
+    * bucket, probes = own bucket + every Hamming-1 neighbor, candidate
+    * equi-join on bucket, top-k by cosine with pinned tie-breaks. Like
+    * knn_ivf: approximate by recall, exact by reproducibility.
+    */
+  def knnLshSqlFor(numPlanes: Int, k: Int, dim: Int, queryPredSql: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |pl AS (
+       |  SELECT p.p, list(CASE WHEN ascii(substr(md5(p.p::VARCHAR || '_' || d.d::VARCHAR), 1, 1)) % 2 = 0
+       |                        THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+       |  FROM (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS p) p
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS d) d
+       |  GROUP BY 1),
+       |bk AS (
+       |  SELECT e.vec_id,
+       |         CAST(sum(CASE WHEN list_inner_product(e.v, pl.w) > 0
+       |                       THEN CAST(1 AS BIGINT) << CAST(pl.p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN pl GROUP BY 1),
+       |q AS (
+       |  SELECT n.vec_id AS q_id, n.v, n.nrm, bk.bucket
+       |  FROM n JOIN bk USING (vec_id) WHERE $queryPredSql),
+       |probes AS (
+       |  SELECT q_id, bucket AS probe FROM q
+       |  UNION ALL
+       |  SELECT q_id, xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INT))
+       |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS p) pp),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |         list_inner_product(q.v, m.v) / (q.nrm * m.nrm) AS cs
+       |  FROM probes pr
+       |    JOIN bk c ON c.bucket = pr.probe
+       |    JOIN q ON q.q_id = pr.q_id
+       |    JOIN n m ON m.vec_id = c.vec_id
+       |  WHERE c.vec_id <> pr.q_id)
+       |SELECT q_id, n_id, round(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= $k""".stripMargin
+
   /** Per-label embedding centroids, one row per (label, dimension) — the
     * class-prototype computation behind IVF cell training, cluster
     * labeling, and embedding-drift monitoring. posexplode turns each
@@ -448,6 +492,8 @@ object Similarity {
     QueryDef(
       "knn_lsh",
       (s, dir) => knnLsh(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),
-      None), // approximate by design: no exact oracle; recall is asserted in tests
+      // approximate by RECALL (bucket probes, spec-asserted vs knn_brute);
+      // exact by REPRODUCIBILITY since the md5 hyperplane switch
+      Some(knnLshSqlFor(8, 5, 64, "vec_id < 8"))),
   )
 }
