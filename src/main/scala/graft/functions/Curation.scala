@@ -205,6 +205,85 @@ object Curation {
        |FROM s""".stripMargin
   }
 
+  /** Budget-calibrated quality filtering — "keep the BEST documents that
+    * fit a token budget", the step that turns a quality score into an
+    * actual corpus cut. No global sort: the threshold comes from a
+    * 1001-bucket integer histogram of quantized scores (two passes over
+    * per-doc scalars, map-side combined), full buckets above the
+    * threshold pass with NO sort at all, and only the single boundary
+    * bucket runs a rank window to fill the remaining budget in doc-id
+    * order — the distributed weighted-quantile pattern that replaces
+    * "ORDER BY quality DESC LIMIT-until-budget" at corpus scale.
+    *
+    * Quality here is the stopword ratio from [[TextAnalysis.qualityScore]]
+    * (higher = more natural text), quantized to floor(1000·ratio) so the
+    * histogram and every comparison are exact integers. Deterministic end
+    * to end; whole documents only, prefix rule within the boundary
+    * bucket: docs are taken in id order while the running total fits —
+    * the first doc that would cross the budget ends the kept prefix.
+    */
+  def qualityTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                         budget: Long): DataFrame = {
+    val perDoc = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol),
+        floor(col("stop_ratio") * 1000.0).cast("long").as("q"),
+        col("n_tokens").as("tok"))
+    // pass 1: token mass per quality bucket (≤ 1001 rows)
+    val hist = perDoc.groupBy(col("q")).agg(sum(col("tok")).as("btok"))
+    // tokens in strictly-better buckets; the window runs over ≤ 1001 rows
+    val wDesc = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classed = hist
+      .withColumn("above", coalesce(sum(col("btok")).over(wDesc), lit(0L)))
+      .withColumn("cls",
+        when(col("above") + col("btok") <= budget, lit("full"))
+          .when(col("above") < budget, lit("boundary"))
+          .otherwise(lit("drop")))
+    val tagged = perDoc.join(classed.select(col("q"), col("cls"), col("above")), Seq("q"))
+    val full = tagged.filter(col("cls") === "full")
+      .select(col(idCol), col("q"), col("tok"))
+    // boundary: fill the remaining budget in doc_id order — the sort
+    // touches ONE bucket's docs, not the corpus
+    val wBucket = Window.partitionBy(col("q")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = tagged.filter(col("cls") === "boundary")
+      .withColumn("running", sum(col("tok")).over(wBucket))
+      .filter(col("above") + col("running") <= budget)
+      .select(col(idCol), col("q"), col("tok"))
+    full.unionByName(boundary)
+  }
+
+  def qualityTokenBudgetSqlFor(budget: Long): String = {
+    val stops = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id,
+       |         CAST(floor(1000.0 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE)
+       |                              / len(string_split(text, ' ')))) AS BIGINT) AS q,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |hist AS (SELECT q, CAST(sum(tok) AS BIGINT) AS btok FROM perdoc GROUP BY 1),
+       |classed AS (
+       |  SELECT q, btok,
+       |         CAST(coalesce(sum(btok) OVER (ORDER BY q DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS above,
+       |         CASE WHEN coalesce(sum(btok) OVER (ORDER BY q DESC
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + btok <= $budget THEN 'full'
+       |              WHEN coalesce(sum(btok) OVER (ORDER BY q DESC
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < $budget THEN 'boundary'
+       |              ELSE 'drop' END AS cls
+       |  FROM hist),
+       |tagged AS (SELECT p.doc_id, p.q, p.tok, c.cls, c.above
+       |           FROM perdoc p JOIN classed c USING (q))
+       |SELECT doc_id, q, tok FROM tagged WHERE cls = 'full'
+       |UNION ALL
+       |SELECT doc_id, q, tok FROM (
+       |  SELECT doc_id, q, tok, above,
+       |         CAST(sum(tok) OVER (PARTITION BY q ORDER BY doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+       |  FROM tagged WHERE cls = 'boundary')
+       |WHERE above + running <= $budget""".stripMargin
+  }
+
   // Bloom geometry: m bits addressed by k 12-bit md5-slice hashes.
   // 3 hex chars = 12 bits = exactly the 4096-bit address space, so the
   // position math is a pure hex decode with no modulo bias.
@@ -304,5 +383,8 @@ object Curation {
     QueryDef("corpus_shuffle",
       (s, dir) => corpusShuffle(Tables.documents(s, dir), "doc_id", nShards = 8),
       Some(corpusShuffleSqlFor(8))),
+    QueryDef("quality_token_budget",
+      (s, dir) => qualityTokenBudget(Tables.documents(s, dir), "doc_id", "text", budget = 20000L),
+      Some(qualityTokenBudgetSqlFor(20000L))),
   )
 }

@@ -150,6 +150,45 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(shard"), s"expected per-shard window:\n$plan")
   }
 
+  test("qualityTokenBudget: under budget, quality-maximal, next-fit boundary") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val budget = 5000L
+    val kept = Curation.qualityTokenBudget(docs, "doc_id", "text", budget)
+      .as[(Long, Long, Long)].collect()
+    assert(kept.nonEmpty && kept.map(_._3).sum <= budget, "kept tokens must fit the budget")
+    // reference model computed locally from the same per-doc scalars
+    val perDoc = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), floor(col("stop_ratio") * 1000.0).cast("long"),
+        col("n_tokens"))
+      .as[(Long, Long, Long)].collect()
+    assert(perDoc.map(_._3).sum > budget, "fixture must exceed the budget for a real cut")
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var used = 0L
+    // full buckets from the top; then the boundary bucket next-fit by id
+    perDoc.groupBy(_._2).toSeq.sortBy(-_._1).foreach { case (_, ds) =>
+      val btok = ds.map(_._3).sum
+      if (used + btok <= budget) { expected ++= ds; used += btok }
+      else if (used < budget) {
+        // prefix rule: the running total never resets, so the first doc
+        // that crosses the budget ends the bucket's kept prefix
+        var run = 0L
+        ds.sortBy(_._1).foreach { d =>
+          run += d._3
+          if (used + run <= budget) expected += d
+        }
+        used = budget // boundary handled once; everything below drops
+      }
+    }
+    assert(kept.toSet === expected.toSet,
+      s"kept ${kept.length} docs != reference ${expected.length}")
+    // quality-maximal: no dropped doc outranks any kept doc
+    val keptIds = kept.map(_._1).toSet
+    val dropped = perDoc.filterNot(d => keptIds.contains(d._1))
+    if (dropped.nonEmpty && kept.nonEmpty)
+      assert(dropped.map(_._2).max <= kept.map(_._2).min)
+  }
+
   test("contaminationBloom never misses an exact contamination hit") {
     val docs = Tables.documents(spark, dir)
     val bench = col("source") === "src0"
