@@ -359,6 +359,109 @@ object Similarity {
        |      FROM scored)
        |WHERE rn <= $k""".stripMargin
 
+  /** Per-(vector, subspace) slices for product quantization: subspace m
+    * carries dimensions [m·subDim, (m+1)·subDim).
+    */
+  private def pqSubVectors(emb: DataFrame, idCol: String, vecCol: String,
+                           numSub: Int, subDim: Int): DataFrame =
+    emb.select(col(idCol),
+      posexplode(array((0 until numSub).map(m => slice(col(vecCol), m * subDim + 1, subDim)): _*))
+        .as(Seq("m", "sv")))
+
+  /** Nearest-code assignment per (vector, subspace): squared-L2 argmin via
+    * a `min(struct(dist, code))` aggregation — map-side partial, no
+    * window sort. The distance is the explicit |x|² − 2·x·c + |c|²
+    * expansion so both engines evaluate the identical double arithmetic.
+    */
+  private def pqAssign(sub: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
+    val dist = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    sub.join(broadcast(codebook), Seq("m"))
+      .select(col(idCol), col("m"), col("code"), dist.as("dist"))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("dist"), col("code"))).getField("code").as("code"))
+  }
+
+  /** Product quantization — the memory-side ANN scale path past scalar
+    * int8: dim-64 vectors become `numSub` (8) one-byte codes by
+    * quantizing each 8-dim subspace against its own `numCodes` (16)
+    * codebook, i.e. 8 bytes per vector, a 32× compression of float32.
+    * At 100 TB this is the difference between an embedding index that
+    * fits executor memory and one that does not; search-side ADC scans
+    * codes against a per-query distance table.
+    *
+    * Codebooks are trained exactly like [[ivfCentroids]]: deterministic
+    * seeds (first `numCodes` vectors' slices, code id = seed rank), one
+    * Lloyd step over floor(v·10⁶) integer quanta (merge-order
+    * independent), float round-trip — so codebooks, and therefore every
+    * code, agree bit-for-bit with the DuckDB oracle. Output: one row per
+    * (vector, subspace) with the assigned code.
+    */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              numSub: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim must split evenly into $numSub subspaces")
+    val subDim = dim / numSub
+    VectorExpressions.register(emb.sparkSession)
+    // slices feed seeding, two assignment passes, and the Lloyd step
+    val sub = pqSubVectors(emb, idCol, vecCol, numSub, subDim).persist()
+    val seedIds = emb.orderBy(col(idCol)).limit(numCodes)
+      .select(col(idCol),
+        (row_number().over(Window.orderBy(col(idCol).asc)) - 1).as("code"))
+    val cb0 = sub.join(seedIds, Seq(idCol)).select(col("m"), col("code"), col("sv").as("cv"))
+    val a0 = pqAssign(sub, cb0, idCol)
+    // one Lloyd step per (subspace, code): quantized-integer elementwise mean
+    val cb = a0.join(sub, Seq(idCol, "m"))
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "val")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(floor(col("val").cast("double") * lit(1000000.0))).cast("double")
+        / (lit(1000000.0) * count(lit(1)))).as("cm"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+        x => x.getField("cm").cast("float")).as("cv"))
+    pqAssign(sub, cb, idCol)
+      .select(col(idCol), col("m").cast("int").as("m"), col("code").cast("int").as("code"))
+  }
+
+  /** DuckDB twin of [[pqCodes]] at the registered (8 subspaces, 16 codes,
+    * dim 64) configuration — seeds, squared-L2 argmin (tie-break on code
+    * id), quantized Lloyd step, re-assignment, all replayed in SQL.
+    */
+  def pqCodesSqlFor(numSub: Int, numCodes: Int, dim: Int): String = {
+    val subDim = dim / numSub
+    val d2 = "list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv) + list_inner_product(c.cv, c.cv)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m, list_slice(v, m * $subDim + 1, m * $subDim + $subDim) AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${numSub - 1})) AS m) mm),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code
+       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numCodes)),
+       |cb0 AS (SELECT s.m, sd.code, s.sv AS cv FROM sub s JOIN seeds sd USING (vec_id)),
+       |a0 AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ($d2) ASC, c.code ASC) AS rn
+       |    FROM sub s JOIN cb0 c ON c.m = s.m) WHERE rn = 1),
+       |lloyd AS (
+       |  SELECT m, code, pos,
+       |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
+       |           / (1000000.0 * count(*)) AS cm
+       |  FROM (SELECT a.m, a.code,
+       |               unnest(s.sv) AS val,
+       |               unnest(generate_series(0, ${subDim - 1})) AS pos
+       |        FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m)
+       |  GROUP BY 1, 2, 3),
+       |cb AS (
+       |  SELECT m, code, list(CAST(CAST(cm AS FLOAT) AS DOUBLE) ORDER BY pos) AS cv
+       |  FROM lloyd GROUP BY 1, 2)
+       |SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code FROM (
+       |  SELECT s.vec_id, s.m, c.code,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.m
+       |           ORDER BY ($d2) ASC, c.code ASC) AS rn
+       |  FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1""".stripMargin
+  }
+
   /** Per-label embedding centroids, one row per (label, dimension) — the
     * class-prototype computation behind IVF cell training, cluster
     * labeling, and embedding-drift monitoring. posexplode turns each
@@ -462,6 +565,10 @@ object Similarity {
       |FROM d""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "pq_codes",
+      (s, dir) => pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding"),
+      Some(pqCodesSqlFor(8, 16, 64))),
     QueryDef(
       "embedding_quantize_int8",
       (s, dir) => quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding"),

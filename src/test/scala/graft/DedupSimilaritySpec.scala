@@ -117,6 +117,25 @@ class DedupSimilaritySpec extends SparkSpec {
     rows.toSeq.toDF("vec_id", "embedding")
   }
 
+  test("product quantization: full coverage, code range, determinism, multi-code usage") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2)))
+    val n = emb.count()
+    assert(codes.length === n * 8, "one code per (vector, subspace)")
+    assert(codes.map(_._1).distinct.length === codes.length)
+    assert(codes.forall { case ((_, m), c) => m >= 0 && m < 8 && c >= 0 && c < 16 })
+    // the codebook is actually used: every subspace assigns multiple codes
+    (0 until 8).foreach { m =>
+      val used = codes.collect { case ((_, mm), c) if mm == m => c }.distinct
+      assert(used.length > 4, s"subspace $m collapsed to ${used.length} codes")
+    }
+    // deterministic end to end
+    val again = Similarity.pqCodes(emb, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2)))
+    assert(codes.toMap === again.toMap)
+  }
+
   test("int8 quantization: range, zero-vector, exact peak, bounded reconstruction error") {
     val df = vecs(
       1L -> Seq(0.5f, -1.0f, 0.25f, 0.0f),
