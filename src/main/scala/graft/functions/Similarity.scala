@@ -397,8 +397,12 @@ object Similarity {
     * code, agree bit-for-bit with the DuckDB oracle. Output: one row per
     * (vector, subspace) with the assigned code.
     */
-  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
-              numSub: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
+  /** Train the PQ codebooks and return (persisted slice table, final
+    * codebook) — shared by [[pqCodes]] (encode) and [[pqKnn]] (ADC
+    * search).
+    */
+  private def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+                      numSub: Int, numCodes: Int, dim: Int): (DataFrame, DataFrame) = {
     require(dim % numSub == 0, s"dim $dim must split evenly into $numSub subspaces")
     val subDim = dim / numSub
     VectorExpressions.register(emb.sparkSession)
@@ -418,15 +422,118 @@ object Similarity {
       .groupBy(col("m"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
         x => x.getField("cm").cast("float")).as("cv"))
+    (sub, cb)
+  }
+
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              numSub: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val (sub, cb) = pqTrain(emb, idCol, vecCol, numSub, numCodes, dim)
     pqAssign(sub, cb, idCol)
       .select(col(idCol), col("m").cast("int").as("m"), col("code").cast("int").as("code"))
   }
+
+  /** PQ top-k search via asymmetric distance computation (ADC) — the
+    * search half of the compressed index: queries stay full-precision,
+    * the corpus exists only as codes. Per query, a distance TABLE of
+    * numSub×numCodes squared-L2 entries (query slice vs codebook entry —
+    * 128 doubles at the default geometry, broadcast-sized no matter the
+    * corpus); each corpus vector's approximate distance is then the SUM
+    * of table lookups selected by its codes — an equi-join on (m, code)
+    * plus a map-side-combinable per-(query, neighbor) sum. No
+    * full-precision corpus vector is ever touched at search time, which
+    * is the entire point at 100 TB.
+    */
+  def pqKnn(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
+            k: Int, numSub: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val (sub, cb) = pqTrain(emb, idCol, vecCol, numSub, numCodes, dim)
+    // the corpus as codes — at scale this is the stored index
+    val codes = pqAssign(sub, cb, idCol)
+      .select(col(idCol).as("n_id"), col("m"), col("code")).persist()
+    val qSub = sub.join(emb.filter(queryPred).select(col(idCol)), Seq(idCol))
+      .select(col(idCol).as("q_id"), col("m"), col("sv"))
+    val d2 = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    // table entries quantize to floor(d2·10⁹) integers BEFORE the sum — a
+    // raw double sum merges shuffled partials in nondeterministic order
+    // and a last-ulp difference could flip a near-tie rank
+    val dtab = qSub.join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        floor(d2 * lit(1e9)).cast("long").as("d2q"))
+    // per (query, neighbor, subspace) exactly one table row matches, so
+    // the sum always covers all numSub subspaces
+    val scored = codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg((sum(col("d2q")).cast("double") / lit(1e9)).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("adist"), 4).as("adist"), col("rank"))
+  }
+
+  /** PQ search with exact re-ranking — the production two-stage shape:
+    * ADC over codes localizes a shortlist of `shortlist` candidates per
+    * query (coarse: within a tight cluster all members share codes and
+    * TIE — 8-byte codes cannot order them), then full-precision
+    * squared-L2 re-ranks only the shortlist. The expensive exact math
+    * touches `shortlist` vectors per query instead of the corpus; the
+    * corpus-wide pass stays on 8-byte codes. Exact distances quantize to
+    * floor(d2·10⁹) before any comparison so ranking is engine-portable.
+    */
+  def pqKnnRerank(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
+                  k: Int, shortlist: Int = 40, numSub: Int = 8, numCodes: Int = 16,
+                  dim: Int = 64): DataFrame = {
+    val adc = pqKnn(emb, queryPred, idCol, vecCol, shortlist, numSub, numCodes, dim)
+      .select(col("q_id"), col("n_id"))
+    val full = withNorm(emb, idCol, vecCol)
+    val qv = full.select(col(idCol).as("q_id"), col("v").as("vq"))
+    val nv = full.select(col(idCol).as("n_id"), col("v").as("vn"))
+    val d2 = dot(col("vq"), col("vq")) - lit(2.0) * dot(col("vq"), col("vn")) +
+      dot(col("vn"), col("vn"))
+    val exact = adc.join(qv, Seq("q_id")).join(nv, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        floor(d2 * lit(1e9)).cast("long").as("d2q"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2q").asc, col("n_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"),
+        round(col("d2q").cast("double") / lit(1e9), 4).as("dist"), col("rank"))
+  }
+
+  /** DuckDB twin of [[pqKnnRerank]]: the ADC shortlist query wrapped as a
+    * CTE, full-precision quantized squared-L2 over the shortlist, top-k.
+    */
+  def pqKnnRerankSqlFor(numSub: Int, numCodes: Int, dim: Int, k: Int,
+                        shortlist: Int, queryPredSql: String): String =
+    s"""WITH shortlist AS (
+       |  SELECT q_id, n_id FROM (${pqKnnSqlFor(numSub, numCodes, dim, shortlist, queryPredSql)})),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |exact AS (
+       |  SELECT s.q_id, s.n_id,
+       |         CAST(floor((list_inner_product(q.v, q.v)
+       |                     - 2 * list_inner_product(q.v, x.v)
+       |                     + list_inner_product(x.v, x.v)) * 1000000000.0) AS BIGINT) AS d2q
+       |  FROM shortlist s
+       |    JOIN ev q ON q.vec_id = s.q_id
+       |    JOIN ev x ON x.vec_id = s.n_id)
+       |SELECT q_id, n_id, round(CAST(d2q AS DOUBLE) / 1000000000.0, 4) AS dist,
+       |       CAST(rn AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2q ASC, n_id ASC) AS rn
+       |      FROM exact)
+       |WHERE rn <= $k""".stripMargin
 
   /** DuckDB twin of [[pqCodes]] at the registered (8 subspaces, 16 codes,
     * dim 64) configuration — seeds, squared-L2 argmin (tie-break on code
     * id), quantized Lloyd step, re-assignment, all replayed in SQL.
     */
-  def pqCodesSqlFor(numSub: Int, numCodes: Int, dim: Int): String = {
+  def pqCodesSqlFor(numSub: Int, numCodes: Int, dim: Int): String =
+    s"""${pqSqlPrefix(numSub, numCodes, dim)}
+       |SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code FROM codes""".stripMargin
+
+  /** Shared CTE prefix of the PQ oracles: everything through the trained
+    * codebook `cb` and the final code assignment `codes`.
+    */
+  private def pqSqlPrefix(numSub: Int, numCodes: Int, dim: Int): String = {
     val subDim = dim / numSub
     val d2 = "list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv) + list_inner_product(c.cv, c.cv)"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -454,13 +561,40 @@ object Similarity {
        |  GROUP BY 1, 2, 3),
        |cb AS (
        |  SELECT m, code, list(CAST(CAST(cm AS FLOAT) AS DOUBLE) ORDER BY pos) AS cv
-       |  FROM lloyd GROUP BY 1, 2)
-       |SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code FROM (
-       |  SELECT s.vec_id, s.m, c.code,
-       |         row_number() OVER (PARTITION BY s.vec_id, s.m
-       |           ORDER BY ($d2) ASC, c.code ASC) AS rn
-       |  FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1""".stripMargin
+       |  FROM lloyd GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ($d2) ASC, c.code ASC) AS rn
+       |    FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1)""".stripMargin
   }
+
+  /** DuckDB twin of [[pqKnn]]: the trained-code prefix plus the per-query
+    * ADC distance table (quantized to floor(d2·10⁹) integers before the
+    * sum, matching the Spark side's merge-order-independent arithmetic)
+    * and the final per-query top-k.
+    */
+  def pqKnnSqlFor(numSub: Int, numCodes: Int, dim: Int, k: Int,
+                  queryPredSql: String): String =
+    s"""${pqSqlPrefix(numSub, numCodes, dim)},
+       |qsub AS (SELECT vec_id AS q_id, m, sv FROM sub WHERE $queryPredSql),
+       |dtab AS (
+       |  SELECT s.q_id, c.m, c.code,
+       |         CAST(floor((list_inner_product(s.sv, s.sv)
+       |                     - 2 * list_inner_product(s.sv, c.cv)
+       |                     + list_inner_product(c.cv, c.cv)) * 1000000000.0) AS BIGINT) AS d2q
+       |  FROM qsub s JOIN cb c ON c.m = s.m),
+       |scored AS (
+       |  SELECT d.q_id, co.vec_id AS n_id,
+       |         CAST(sum(d.d2q) AS DOUBLE) / 1000000000.0 AS adist
+       |  FROM codes co JOIN dtab d ON d.m = co.m AND d.code = co.code
+       |  WHERE co.vec_id <> d.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, n_id, round(adist, 4) AS adist, CAST(rn AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= $k""".stripMargin
 
   /** Per-label embedding centroids, one row per (label, dimension) — the
     * class-prototype computation behind IVF cell training, cluster
@@ -569,6 +703,14 @@ object Similarity {
       "pq_codes",
       (s, dir) => pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding"),
       Some(pqCodesSqlFor(8, 16, 64))),
+    QueryDef(
+      "pq_knn",
+      (s, dir) => pqKnn(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),
+      Some(pqKnnSqlFor(8, 16, 64, 5, "vec_id < 8"))),
+    QueryDef(
+      "pq_knn_rerank",
+      (s, dir) => pqKnnRerank(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),
+      Some(pqKnnRerankSqlFor(8, 16, 64, 5, 40, "vec_id < 8"))),
     QueryDef(
       "embedding_quantize_int8",
       (s, dir) => quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding"),

@@ -273,6 +273,43 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqKnn recall@5 >= 0.8 on clustered embeddings — the regime PQ compresses well") {
+    // same mixture-of-Gaussians fixture as the sign-LSH clustered test:
+    // on real (clustered) encoder embeddings, 8-byte PQ codes preserve
+    // neighborhoods; the uniform sf* table is the adversarial regime
+    // (recall ~0.3 informationally measured at sf0.01) where NO 32×
+    // compression can rank uniform noise.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- 0 until 8; i <- 0 until 40 } yield {
+      val v = centers(c).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      ((c * 40 + i).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qPred = col("vec_id") % 40 === 0
+    val brute = Similarity.knnBrute(emb, emb.filter(qPred), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pure ADC: 8-byte codes LOCALIZE (results land in the query's
+    // cluster) but cannot ORDER tight-cluster members — they share codes
+    // and tie, which is exactly why production PQ re-ranks a shortlist
+    val adc = Similarity.pqKnn(emb, qPred, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusterPrecision = adc.count { case (q, n) => q / 40 == n / 40 }.toDouble / adc.length
+    info(f"pure-ADC cluster precision = $clusterPrecision%.2f")
+    assert(clusterPrecision >= 0.8,
+      f"ADC results leaked out of the query cluster: $clusterPrecision%.2f")
+    // ADC shortlist + exact re-rank: the production two-stage shape
+    // recovers fine-grained order
+    val reranked = Similarity.pqKnnRerank(emb, qPred, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = reranked.count(brute.contains).toDouble / brute.size
+    info(f"clustered-fixture PQ+rerank recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"PQ+rerank recall $recall%.2f below 0.8 on clustered data")
+    spark.catalog.clearCache()
+  }
+
   test("knnIvf scores match brute force on shared pairs; recall reported") {
     import graft.engine.Tables
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
