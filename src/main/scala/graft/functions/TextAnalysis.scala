@@ -137,6 +137,47 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
       |FROM documents""".stripMargin
 
+  /** Unigram surprisal scoring — the engine-portable stand-in for
+    * LM-perplexity quality filtering (the KenLM-style stage of a
+    * pretraining pipeline): each token occurrence scores
+    * floor(log2(total_tokens)) − floor(log2(freq(token))) bits, a
+    * 1-bit-accurate −log2(unigram probability) computed WITHOUT
+    * transcendentals — floor(log2(n)) is `length(bin(n)) − 1`, pure
+    * integer/string arithmetic that cannot drift by a ulp between
+    * engines the way libm log() can. High mean surprisal = rare/garbled
+    * tokens; low = fluent common text.
+    *
+    * Scale shape: the frequency table is vocabulary-sized (threshold/AQE
+    * broadcasts it when small, shuffles when not); per-doc sums are
+    * map-side-combined exact integers; mean is a scaled integer division.
+    */
+  def tokenSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("total")) // 1-row scalar
+    val bits = (length(bin(col("total"))) - 1) - (length(bin(col("freq"))) - 1)
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), bits.cast("long").as("bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("mean_millibits", expr("(total_bits * 1000) div n_tokens"))
+  }
+
+  val tokenSurprisalSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freq),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |         CAST((len(bin(tot.total)) - 1) - (len(bin(f.freq)) - 1) AS BIGINT) AS bits
+      |  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       CAST(sum(bits) AS BIGINT) AS total_bits,
+      |       CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_millibits
+      |FROM scored GROUP BY 1""".stripMargin
+
   /** Document fingerprint: full-content hash plus a winnowing-style
     * min-shingle-hash (stable under small appends, unlike the full hash).
     */
@@ -653,6 +694,7 @@ object TextAnalysis {
     QueryDef("top_bigrams", (s, dir) => topBigrams(Tables.documents(s, dir), "text", 20), Some(topBigramsSql)),
     QueryDef("lang_id", (s, dir) => langId(Tables.documents(s, dir), "doc_id", "text"), Some(langIdSql)),
     QueryDef("text_quality", (s, dir) => qualityScore(Tables.documents(s, dir), "doc_id", "text"), Some(qualityScoreSql)),
+    QueryDef("token_surprisal", (s, dir) => tokenSurprisal(Tables.documents(s, dir), "doc_id", "text"), Some(tokenSurprisalSql)),
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
     QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
     QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),

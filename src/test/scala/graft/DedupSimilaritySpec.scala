@@ -467,6 +467,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(q.getLong(2) === 5L) // n_tokens
   }
 
+  test("token surprisal: rare tokens score more bits, exact integer arithmetic") {
+    // corpus of 16 tokens total: 'common' ×8, 'mid' ×4, four singletons
+    val d = docs(
+      1L -> "common common common common common common common common",
+      2L -> "mid mid mid mid",
+      3L -> "rare1 rare2 rare3 rare4")
+    val got = TextAnalysis.tokenSurprisal(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // total = 16 → floor(log2) = 4; freq 8 → 3 bits... surprisal 4-3 = 1
+    assert(got(1L) === ((8L, 8L, 1000L)))   // 8 tokens × 1 bit
+    assert(got(2L) === ((4L, 8L, 2000L)))   // 4 tokens × (4-2) bits
+    assert(got(3L) === ((4L, 16L, 4000L)))  // 4 singletons × (4-0) bits
+    // ordering: rarer content = strictly higher mean surprisal
+    assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3)
+  }
+
   test("connected components: transitive chains merge, singletons keep their id") {
     import spark.implicits._
     // 1-2, 2-3 chain → {1,2,3} labeled 1; 5-6 → labeled 5; 4 and 7 singletons
