@@ -120,6 +120,53 @@ object Curation {
       |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens
       |FROM run GROUP BY 1, 2, 3""".stripMargin
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows with `overlap` tokens of left context — the step between a
+    * curated corpus and [[seqPacking]] when documents exceed the training
+    * context (a 50 k-token document must become ~50 k/stride training
+    * rows, not one truncated row). Emits one row per chunk with its token
+    * count and an md5 digest of the chunk text, so the oracle pins the
+    * exact chunk CONTENT, not just the counts.
+    *
+    * Scale shape: a pure per-row 1→N expansion (explode of an in-row
+    * sequence) — no shuffle at all; chunk geometry is data-independent so
+    * the expansion factor is bounded by doc length / stride.
+    */
+  def docChunks(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), toks.as("toks"), size(toks).as("n"))
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start") + lit(1), lit(chunkTokens)).as("chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_digest"))
+  }
+
+  def docChunksSqlFor(chunkTokens: Int, overlap: Int): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(0, CAST(greatest(n - 1, 0) AS BIGINT), $stride)) AS start,
+       |         unnest(generate_series(0, CAST(greatest(n - 1, 0) AS BIGINT) // $stride)) AS chunk_idx,
+       |         toks
+       |  FROM t)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(len(list_slice(toks, CAST(start + 1 AS INT), CAST(start + $chunkTokens AS INT))) AS BIGINT) AS n_chunk_tokens,
+       |       md5(array_to_string(list_slice(toks, CAST(start + 1 AS INT), CAST(start + $chunkTokens AS INT)), ' ')) AS chunk_digest
+       |FROM c""".stripMargin
+  }
+
   /** Temperature-flattened source mixture (α = 0.5): keep per source the
     * `perSqrt · isqrt(count)` documents with the smallest md5(doc_id) —
     * sqrt scaling is the standard way to stop head sources from drowning
@@ -386,5 +433,8 @@ object Curation {
     QueryDef("quality_token_budget",
       (s, dir) => qualityTokenBudget(Tables.documents(s, dir), "doc_id", "text", budget = 20000L),
       Some(qualityTokenBudgetSqlFor(20000L))),
+    QueryDef("doc_chunks",
+      (s, dir) => docChunks(Tables.documents(s, dir), "doc_id", "text", chunkTokens = 64, overlap = 16),
+      Some(docChunksSqlFor(64, 16))),
   )
 }

@@ -150,6 +150,31 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(shard"), s"expected per-shard window:\n$plan")
   }
 
+  test("docChunks: stride geometry, overlap context, content digests") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"t$i").mkString(" ") // 150 tokens
+    val d = Seq((1L, text), (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = Curation.docChunks(d, "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+    // doc 1: starts 0, 48, 96, 144 → sizes 64, 64, 54, 6
+    val c1 = chunks(1L).sortBy(_._2)
+    assert(c1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(c1.map(_._3).toSeq === Seq(64L, 64L, 54L, 6L))
+    // digests match a locally computed reference (content, not just counts)
+    val toks = text.split(" ")
+    c1.foreach { case (_, idx, _, digest) =>
+      val s = (idx * 48).toInt
+      val expect = toks.slice(s, math.min(s + 64, toks.length)).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(digest === hex, s"chunk $idx digest mismatch")
+    }
+    // short doc: a single whole-doc chunk
+    assert(chunks(2L).toSeq.map(c => (c._2, c._3)) === Seq((0L, 3L)))
+    // consecutive chunks share exactly `overlap` tokens of context
+    assert(toks.slice(48, 64).toSeq === toks.slice(48, 112).take(16).toSeq)
+  }
+
   test("qualityTokenBudget: under budget, quality-maximal, next-fit boundary") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
