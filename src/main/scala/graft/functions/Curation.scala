@@ -167,6 +167,84 @@ object Curation {
        |FROM c""".stripMargin
   }
 
+  /** Cross-corpus repeated-span removal — the C4/RefinedWeb "boilerplate
+    * span" pass: tile each document into consecutive `spanTokens`-token
+    * spans, count how many DISTINCT documents contain each span verbatim,
+    * drop every span occurring in more than `maxDf` documents, and
+    * reassemble what remains in original order. Catches shared
+    * headers/footers/licence blocks that whole-document dedup and
+    * near-dup Jaccard both miss (a 5%-of-the-doc boilerplate block moves
+    * Jaccard by ~5%, far under any dedup threshold). Emits per document
+    * the surviving token count, the dropped-span count, and an md5 digest
+    * of the cleaned text, so the oracle pins the exact reassembly.
+    *
+    * Scale shape: span tiling is a narrow 1→N explode (no shuffle); the
+    * document-frequency count shuffles one md5 PER DISTINCT (doc, span) —
+    * never text — with map-side combine; the frequent-span set (df >
+    * maxDf) is the only frame joined back, and boilerplate is by nature a
+    * vanishing fraction of distinct spans, so that join side stays small
+    * (broadcast under threshold, SMJ beyond — un-hinted, AQE decides).
+    * Reassembly groups each doc's own spans: one shuffle keyed by doc_id
+    * carrying span text once.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int, maxDf: Int): DataFrame = {
+    require(spanTokens >= 1 && maxDf >= 1, "need spanTokens >= 1 and maxDf >= 1")
+    val toks = split(col(textCol), " ")
+    val spans = docs
+      .select(col(idCol), toks.as("toks"), size(toks).as("n"))
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(spanTokens)))
+          .as(Seq("span_idx", "start")))
+      .select(col(idCol), col("span_idx"),
+        array_join(slice(col("toks"), col("start") + lit(1), lit(spanTokens)), " ").as("span"),
+        size(slice(col("toks"), col("start") + lit(1), lit(spanTokens))).as("ntok"))
+      .withColumn("h", md5(col("span")))
+      .persist() // two consumers: the df count and the reassembly join
+    val frequent = spans.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"), lit(true).as("frequent"))
+    spans.join(frequent, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        coalesce(sum(when(col("frequent").isNull, col("ntok").cast("long"))), lit(0L))
+          .as("n_kept_tokens"),
+        count(when(col("frequent"), lit(1))).as("n_dropped_spans"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("frequent").isNull,
+              struct(col("span_idx"), col("span"))))),
+            x => x("span")),
+          " ")).as("clean_digest"))
+  }
+
+  def spanDedupSqlFor(spanTokens: Int, maxDf: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(0, CAST(greatest(n - 1, 0) AS BIGINT) // $spanTokens, 1)) AS span_idx,
+       |         unnest(generate_series(0, CAST(greatest(n - 1, 0) AS BIGINT), $spanTokens)) AS start,
+       |         toks
+       |  FROM t),
+       |sp AS (
+       |  SELECT doc_id, span_idx,
+       |         array_to_string(list_slice(toks, CAST(start + 1 AS INT), CAST(start + $spanTokens AS INT)), ' ') AS span,
+       |         len(list_slice(toks, CAST(start + 1 AS INT), CAST(start + $spanTokens AS INT))) AS ntok
+       |  FROM s),
+       |freq AS (
+       |  SELECT md5(span) AS h FROM sp GROUP BY 1
+       |  HAVING count(DISTINCT doc_id) > $maxDf)
+       |SELECT sp.doc_id,
+       |       CAST(coalesce(sum(ntok) FILTER (WHERE freq.h IS NULL), 0) AS BIGINT) AS n_kept_tokens,
+       |       CAST(count(*) FILTER (WHERE freq.h IS NOT NULL) AS BIGINT) AS n_dropped_spans,
+       |       md5(coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE freq.h IS NULL), '')) AS clean_digest
+       |FROM sp LEFT JOIN freq ON md5(sp.span) = freq.h
+       |GROUP BY 1""".stripMargin
+
   /** Temperature-flattened source mixture (α = 0.5): keep per source the
     * `perSqrt · isqrt(count)` documents with the smallest md5(doc_id) —
     * sqrt scaling is the standard way to stop head sources from drowning
@@ -436,5 +514,8 @@ object Curation {
     QueryDef("doc_chunks",
       (s, dir) => docChunks(Tables.documents(s, dir), "doc_id", "text", chunkTokens = 64, overlap = 16),
       Some(docChunksSqlFor(64, 16))),
+    QueryDef("span_dedup",
+      (s, dir) => spanDedup(Tables.documents(s, dir), "doc_id", "text", spanTokens = 8, maxDf = 1),
+      Some(spanDedupSqlFor(8, 1))),
   )
 }

@@ -175,6 +175,27 @@ class CurationSpec extends SparkSpec {
     assert(toks.slice(48, 64).toSeq === toks.slice(48, 112).take(16).toSeq)
   }
 
+  test("spanDedup: drops only cross-document spans, reassembles in order") {
+    import spark.implicits._
+    // spans of 4: doc1 = [A][B], doc2 = [A][C], doc3 = [D] — span A is
+    // shared across docs 1+2 and must be dropped from both; B, C, D stay.
+    val a = "w1 w2 w3 w4"; val b = "b1 b2 b3 b4"; val c = "c1 c2 c3 c4"
+    val d = Seq((1L, s"$a $b"), (2L, s"$a $c"), (3L, "d1 d2")).toDF("doc_id", "text")
+    val out = Curation.spanDedup(d, "doc_id", "text", spanTokens = 4, maxDf = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out === Array(
+      (1L, 4L, 1L, hex(b)), // A dropped, B kept
+      (2L, 4L, 1L, hex(c)), // A dropped, C kept
+      (3L, 2L, 0L, hex("d1 d2")))) // short doc untouched, partial span kept
+    // within-doc repetition alone (df = 1) is NOT boilerplate — kept whole
+    val solo = Seq((9L, s"$a $a")).toDF("doc_id", "text")
+    val so = Curation.spanDedup(solo, "doc_id", "text", 4, 1)
+      .as[(Long, Long, Long, String)].collect()
+    assert(so === Array((9L, 8L, 0L, hex(s"$a $a"))))
+  }
+
   test("qualityTokenBudget: under budget, quality-maximal, next-fit boundary") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
