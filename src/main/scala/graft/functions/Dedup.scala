@@ -826,6 +826,82 @@ object Dedup {
       case _ => ()
     }
 
+  /** Fixed-point PageRank over the near-dup candidate graph: rank every
+    * edge-touched document by its centrality in the [[minhashLshPairs]]
+    * similarity graph — the "pick the canonical copy" signal that beats
+    * longest-text heuristics when a boilerplate family has one original
+    * and many mutated descendants (the original sits central; mutants hang
+    * off it). Symmetric edges, damping 0.85, `iters` synchronous rounds.
+    *
+    * All arithmetic is BIGINT fixed-point at `scale` (rank starts at
+    * `scale`; contribution = rank div degree; next rank = 15% teleport +
+    * 85% of the contribution sum, both via integer div) — floating-point
+    * PageRank can NEVER be oracle-hashed (sum order changes the ulps), but
+    * integer division is associative-safe: any engine that agrees on the
+    * edges agrees on every rank at every round, bit for bit.
+    *
+    * Scale shape: the loop is `iters` chained {join on src → groupBy dst}
+    * rounds, every one keyed on the SAME doc-id partitioning (one
+    * partitioner reused end to end; Spark's shuffle reuse keeps the edge
+    * side staged after round 1). Edge list and degree table are persisted
+    * once; rank frames are (id, long) pairs — document text never enters
+    * the loop. Rounds are fixed (5), so lineage depth is bounded and no
+    * checkpointing is needed; a convergence-driven variant would reuse
+    * [[connectedComponents]]'s per-round localCheckpoint hygiene.
+    */
+  def docPagerank(docs: DataFrame, idCol: String, textCol: String,
+                  iters: Int = 5, scale: Long = 1000000L): DataFrame =
+    pagerankOnPairs(minhashLshPairs(docs, idCol, textCol), idCol, iters, scale)
+
+  /** The rank loop of [[docPagerank]] over an explicit undirected pair
+    * frame (doc_a, doc_b) — also the entry point for ranking any other
+    * candidate graph (n-gram, embedding-LSH) with the same fixed-point
+    * semantics.
+    */
+  def pagerankOnPairs(pairs: DataFrame, idCol: String,
+                      iters: Int, scale: Long): DataFrame = {
+    require(iters >= 1 && scale % 100L == 0L, "need iters >= 1 and scale % 100 == 0")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist() // read every round
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // loop-invariant: (src, dst, deg-of-src) — contribution routing table
+    val edgeDeg = edges.join(deg, Seq("src")).persist()
+    val teleport = 15L * scale / 100L
+    var rank = deg.select(col("src").as(idCol), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      rank = rank
+        .join(edgeDeg, rank(idCol) === edgeDeg("src"))
+        .select(col("dst").as(idCol), expr("pr div deg").as("contrib"))
+        .groupBy(col(idCol))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col(idCol), (lit(teleport) + expr("(85 * s) div 100")).as("pr"))
+    }
+    rank.join(deg, rank(idCol) === deg("src"))
+      .select(col(idCol), col("deg").cast("long").as("deg"), col("pr").cast("long").as("pr"))
+  }
+
+  /** DuckDB twin of [[docPagerank]]: the same rounds unrolled as chained
+    * CTEs — integer fixed-point makes the unrolling exact, not approximate.
+    */
+  def docPagerankSqlFor(iters: Int, scale: Long): String = {
+    val teleport = 15L * scale / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS doc_id, $teleport + (85 * sum(r.pr // d.deg)) // 100 AS pr
+         |  FROM r${i - 1} r JOIN edges e ON r.doc_id = e.src JOIN deg d ON d.src = r.doc_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($minhashSql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS doc_id, CAST($scale AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT r.doc_id, CAST(d.deg AS BIGINT) AS deg, CAST(r.pr AS BIGINT) AS pr
+       |FROM r$iters r JOIN deg d ON d.src = r.doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[connectedComponents]] over the [[minhashSql]] pair
     * graph: a recursive CTE enumerates every (node, reachable-node) pair —
     * min over the reachable set is the component minimum, the same
@@ -950,5 +1026,8 @@ object Dedup {
     QueryDef("dedup_pipeline",
       (s, dir) => dedupPipeline(Tables.documents(s, dir), "doc_id", "text"),
       Some(dedupPipelineSql)),
+    QueryDef("doc_pagerank",
+      (s, dir) => docPagerank(Tables.documents(s, dir), "doc_id", "text"),
+      Some(docPagerankSqlFor(5, 1000000L))),
   )
 }

@@ -562,6 +562,70 @@ object TextAnalysis {
       |t AS (SELECT token, freq FROM f ORDER BY freq DESC, token ASC LIMIT 50)
       |SELECT row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk, token, freq FROM t""".stripMargin
 
+  /** Count-Min-sketch heavy hitters: build a (d × w) CMS over the token
+    * stream, then report the top `k` tokens by exact count alongside their
+    * CMS estimate — the sketch-vs-truth view a pipeline uses to validate
+    * that a CMS sized (d, w) is accurate enough before trusting it on the
+    * full corpus. Bucket hashes are `d` disjoint byte slices of ONE
+    * md5(token) digest reduced mod `w` (one digest per distinct token, the
+    * same slice-reuse trick as [[Dedup.minhashSignatures]]), so the sketch
+    * is a pure deterministic function of the data — which is what makes a
+    * DuckDB oracle possible for an "approximate" structure: CMS counters
+    * are order-independent SUMS, so any engine that agrees on the hash
+    * agrees on every counter and every estimate. Guarantees est ≥ exact
+    * always (collisions only inflate), spec-checked.
+    *
+    * Scale shape: the exact count is one hash-groupBy (map-side combined —
+    * this operator is the CALIBRATION view, so it keeps the exact path);
+    * the sketch itself is built from the per-distinct-token counts, a d×
+    * expansion of the DISTINCT vocabulary (not the token stream), and
+    * collapses to d·w counter rows — constant size, broadcast-joined back
+    * for the estimate lookup. A production ingest that wants ONLY the
+    * sketch folds the same d expressions into one partial aggregate over
+    * the raw stream: d·w cells per partition merge by + (the counters'
+    * sum-structure IS the mergeability), no vocabulary shuffle at all.
+    */
+  def heavyHittersCms(docs: DataFrame, textCol: String,
+                      w: Int = 64, d: Int = 4, k: Int = 20): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, "need 1 <= d <= 16 byte slices and w >= 2")
+    val counts = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    // one (r, bucket, cnt) entry per hash row per DISTINCT token
+    val entries = counts.withColumn("hh", md5(col("tok")))
+      .select(col("tok"), col("exact_cnt"),
+        posexplode(array((0 until d).map { r =>
+          pmod(conv(substring(col("hh"), 2 * r + 1, 2), 16, 10).cast("long"), lit(w.toLong))
+        }: _*)).as(Seq("r", "bucket")))
+      .persist() // two consumers: counter build + estimate lookup
+    val counters = entries.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("exact_cnt")).as("cell")) // ≤ d·w rows
+    entries.join(counters, Seq("r", "bucket"))
+      .groupBy(col("tok"))
+      .agg(min(col("cell")).as("cms_est"), min(col("exact_cnt")).as("exact_cnt"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+      .limit(k)
+  }
+
+  def heavyHittersCmsSqlFor(w: Int = 64, d: Int = 4, k: Int = 20): String = {
+    // value of the lowercase hex digit at 1-based position o (an expression)
+    def hv(o: String) =
+      s"(CASE WHEN ascii(substr(hh, $o, 1)) >= 97 THEN ascii(substr(hh, $o, 1)) - 87 ELSE ascii(substr(hh, $o, 1)) - 48 END)"
+    val byte = s"(${hv("CAST(2*r+1 AS INT)")} * 16 + ${hv("CAST(2*r+2 AS INT)")})"
+    s"""WITH c AS (SELECT tok, count(*) AS exact_cnt
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |           WHERE tok <> '' GROUP BY 1),
+       |e AS (SELECT tok, exact_cnt, r, CAST($byte % $w AS BIGINT) AS bucket
+       |      FROM (SELECT tok, exact_cnt, md5(tok) AS hh FROM c),
+       |           unnest(generate_series(0, ${d - 1})) AS u(r)),
+       |ct AS (SELECT r, bucket, sum(exact_cnt) AS cell FROM e GROUP BY 1, 2)
+       |SELECT e.tok, CAST(min(e.exact_cnt) AS BIGINT) AS exact_cnt,
+       |       CAST(min(ct.cell) AS BIGINT) AS cms_est
+       |FROM e JOIN ct ON e.r = ct.r AND e.bucket = ct.bucket
+       |GROUP BY 1 ORDER BY exact_cnt DESC, tok ASC LIMIT $k""".stripMargin
+  }
+
   /** Benchmark-contamination check: for every corpus document outside the
     * benchmark set, count how many of its distinct stride-sampled
     * character shingles also appear in the benchmark set — the standard
@@ -711,6 +775,9 @@ object TextAnalysis {
     QueryDef("zipf_tokens",
       (s, dir) => zipfTokens(Tables.documents(s, dir), "text"),
       Some(zipfTokensSql)),
+    QueryDef("heavy_hitters_cms",
+      (s, dir) => heavyHittersCms(Tables.documents(s, dir), "text"),
+      Some(heavyHittersCmsSqlFor())),
     QueryDef("token_rarity",
       (s, dir) => tokenRarity(Tables.documents(s, dir), "doc_id", "text"),
       Some(tokenRaritySql)),

@@ -700,6 +700,33 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pagerank on pairs: exact fixed-point ranks on a hand-built graph") {
+    import spark.implicits._
+    // star 1-{2,3,4} plus edge 2-3; node 5-6 an isolated pair
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pagerankOnPairs(pairs, "doc_id", iters = 5, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent JVM reference with identical integer arithmetic
+    val edges = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 5L -> 6L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var pr = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = pr.map { case (n, _) => n -> (150000L + 85L * in(n) / 100L) }
+    }
+    assert(got.keySet === pr.keySet)
+    got.foreach { case (n, (d, p)) =>
+      assert(d === deg(n), s"deg($n)"); assert(p === pr(n), s"pr($n)")
+    }
+    // hub outranks leaves; symmetric isolated pair holds rank `scale`
+    assert(got(1L)._2 > got(4L)._2 && got(5L)._2 === 1000000L)
+    spark.catalog.clearCache()
+  }
+
   test("embedding norm stats: exact quantized squared norms per label") {
     import spark.implicits._
     val e = Seq(

@@ -174,4 +174,31 @@ class MultiStreamSpec extends SparkSpec {
       assert(p50 <= p90)
     }
   }
+
+  test("heavyHittersCms equals an independent JVM sketch; est >= exact always") {
+    import spark.implicits._
+    val docs = Seq("a a a b b c", "a b d e", "c c f g a").toDF("text")
+    val w = 8; val d = 2 // tiny width forces collisions — the interesting case
+    val out = graft.functions.TextAnalysis.heavyHittersCms(docs, "text", w = w, d = d, k = 100)
+      .as[(String, Long, Long)].collect()
+    // independent reference sketch: same md5 byte-slice hashing, plain Maps
+    val toks = Seq("a a a b b c", "a b d e", "c c f g a").flatMap(_.split(" "))
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    def bucket(t: String, r: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(2 * r, 2 * r + 2), 16) % w
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    for ((t, c) <- exact; r <- 0 until d) cells((r, bucket(t, r))) += c
+    val estRef = exact.map { case (t, _) => t -> (0 until d).map(r => cells((r, bucket(t, r)))).min }
+    assert(out.length === exact.size)
+    out.foreach { case (t, ex, est) =>
+      assert(ex === exact(t), s"exact($t)")
+      assert(est === estRef(t), s"est($t)")
+      assert(est >= ex, s"CMS must overestimate: $t")
+    }
+    // the tiny sketch must actually have collided somewhere, or w=8 proved nothing
+    assert(out.exists { case (_, ex, est) => est > ex })
+  }
 }
