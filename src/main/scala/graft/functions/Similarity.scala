@@ -79,6 +79,52 @@ object Similarity {
       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn FROM s)
       |WHERE rn <= 5""".stripMargin
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the `k` most-similar corpus vectors whose LABEL DIFFERS — maximally
+    * confusable non-matches, the negatives that actually move a
+    * contrastive loss (random negatives are trivially separable; the hard
+    * ones sit near the decision boundary by construction). Identical plan
+    * family to [[knnBrute]] with the label-mismatch predicate fused into
+    * the scoring join, so Catalyst filters pairs BEFORE the window ranks
+    * them.
+    *
+    * Scale shape: same as knn — the query batch broadcasts (mining runs
+    * per training batch, a few thousand anchors), the corpus streams;
+    * per-query top-k is a bounded window. At full-corpus scale swap the
+    * scored cross join for the IVF shortlist ([[knnIvf]]) and keep the
+    * same label-mismatch filter + window — nothing else changes.
+    */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val corpus = withNorm(emb, idCol, vecCol, passthrough = Seq(labelCol))
+      .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"),
+        col(labelCol).as("n_label"))
+    val qs = withNorm(queries, idCol, vecCol, passthrough = Seq(labelCol))
+      .select(col(idCol).as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
+        col(labelCol).as("q_label"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("n_label") =!= col("q_label"))
+      .select(col("q_id"), col("n_id"), col("n_label"),
+        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("n_label").cast("int").as("n_label"),
+        round(col("cs"), 4).as("cos_sim"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |s AS (
+      |  SELECT q.vec_id AS q_id, x.vec_id AS n_id, x.label AS n_label,
+      |         list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cs
+      |  FROM n q JOIN n x ON x.label != q.label
+      |  WHERE q.vec_id < 8)
+      |SELECT q_id, n_id, CAST(n_label AS INT) AS n_label, round(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn FROM s)
+      |WHERE rn <= 5""".stripMargin
+
   /** Deterministic ±1 hyperplanes, materialized driver-side as literal
     * float arrays (numPlanes × dim — bytes, not data). Projections then run
     * through the codegen [[VectorDotProduct]]; the previous formulation
@@ -738,6 +784,13 @@ object Similarity {
         knnBrute(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
       },
       Some(knnBruteSql)),
+    QueryDef(
+      "hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        hardNegatives(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label", 5)
+      },
+      Some(hardNegativesSql)),
     QueryDef(
       "knn_lsh",
       (s, dir) => knnLsh(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),

@@ -608,22 +608,90 @@ object TextAnalysis {
       .limit(k)
   }
 
-  def heavyHittersCmsSqlFor(w: Int = 64, d: Int = 4, k: Int = 20): String = {
+  /** Shared c (exact counts) + e (per-token CMS cell coordinates) CTE
+    * prefix of the two CMS oracles — one definition so the Spark
+    * Aggregator, the calibration query, and both SQL twins can never
+    * disagree on the hash.
+    */
+  private def cmsEntriesSql(w: Int, d: Int): String = {
     // value of the lowercase hex digit at 1-based position o (an expression)
     def hv(o: String) =
       s"(CASE WHEN ascii(substr(hh, $o, 1)) >= 97 THEN ascii(substr(hh, $o, 1)) - 87 ELSE ascii(substr(hh, $o, 1)) - 48 END)"
     val byte = s"(${hv("CAST(2*r+1 AS INT)")} * 16 + ${hv("CAST(2*r+2 AS INT)")})"
-    s"""WITH c AS (SELECT tok, count(*) AS exact_cnt
-       |           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-       |           WHERE tok <> '' GROUP BY 1),
+    s"""c AS (SELECT tok, count(*) AS exact_cnt
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |      WHERE tok <> '' GROUP BY 1),
        |e AS (SELECT tok, exact_cnt, r, CAST($byte % $w AS BIGINT) AS bucket
        |      FROM (SELECT tok, exact_cnt, md5(tok) AS hh FROM c),
-       |           unnest(generate_series(0, ${d - 1})) AS u(r)),
+       |           unnest(generate_series(0, ${d - 1})) AS u(r))""".stripMargin
+  }
+
+  def heavyHittersCmsSqlFor(w: Int = 64, d: Int = 4, k: Int = 20): String =
+    s"""WITH ${cmsEntriesSql(w, d)},
        |ct AS (SELECT r, bucket, sum(exact_cnt) AS cell FROM e GROUP BY 1, 2)
        |SELECT e.tok, CAST(min(e.exact_cnt) AS BIGINT) AS exact_cnt,
        |       CAST(min(ct.cell) AS BIGINT) AS cms_est
        |FROM e JOIN ct ON e.r = ct.r AND e.bucket = ct.bucket
        |GROUP BY 1 ORDER BY exact_cnt DESC, tok ASC LIMIT $k""".stripMargin
+
+  /** The production CMS ingest path: fold the whole token stream into ONE
+    * (d × w) counter buffer with a typed [[CmsAggregator]] — no vocabulary
+    * ever shuffles. Spark runs the Aggregator as a two-phase physical agg:
+    * each input partition reduces into its own d·w-cell buffer map-side,
+    * and only those constant-size buffers (d·w longs ≈ 2 KB here) cross
+    * the wire to merge — per-partition cost is O(rows), shuffle volume is
+    * O(partitions), independent of corpus size or vocabulary. That merge
+    * tree is exactly CMS's algebraic structure (counters are sums), and
+    * the same property makes the aggregator valid under streaming
+    * incremental execution. Emitted exploded to one row per non-empty
+    * cell, bit-identical to the DuckDB rebuild from exact counts — and to
+    * [[heavyHittersCms]]'s join-built counters, which is the registry's
+    * cross-check that sketch-by-aggregator equals sketch-by-calibration.
+    */
+  def cmsCounters(docs: DataFrame, textCol: String,
+                  w: Int = 64, d: Int = 4): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, "need 1 <= d <= 16 byte slices and w >= 2")
+    val agg = udaf(new CmsAggregator(w, d))
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(agg(col("tok")).as("cells"))
+      .select(posexplode(col("cells")).as(Seq("i", "cell")))
+      .filter(col("cell") > 0L)
+      .select(expr(s"i div $w").cast("int").as("r"),
+        pmod(col("i"), lit(w)).cast("long").as("bucket"), col("cell"))
+  }
+
+  def cmsCountersSqlFor(w: Int = 64, d: Int = 4): String =
+    s"""WITH ${cmsEntriesSql(w, d)}
+       |SELECT CAST(r AS INT) AS r, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+       |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** Count-Min counter buffer as a typed Aggregator: cell (r, b) counts
+    * tokens whose md5 byte r reduces to bucket b mod w — the same hash the
+    * SQL twins recompute from hex. Flat primitive buffer, while-loop
+    * reduce (the [[Dedup.SimHashAggregator]] discipline: no per-row
+    * allocation beyond the digest).
+    */
+  class CmsAggregator(w: Int, d: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(b: Array[Long], tok: String): Array[Long] = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var r = 0
+      while (r < d) { b(r * w + (dig(r) & 0xff) % w) += 1L; r += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   /** Benchmark-contamination check: for every corpus document outside the
@@ -778,6 +846,9 @@ object TextAnalysis {
     QueryDef("heavy_hitters_cms",
       (s, dir) => heavyHittersCms(Tables.documents(s, dir), "text"),
       Some(heavyHittersCmsSqlFor())),
+    QueryDef("cms_counters",
+      (s, dir) => cmsCounters(Tables.documents(s, dir), "text"),
+      Some(cmsCountersSqlFor())),
     QueryDef("token_rarity",
       (s, dir) => tokenRarity(Tables.documents(s, dir), "doc_id", "text"),
       Some(tokenRaritySql)),

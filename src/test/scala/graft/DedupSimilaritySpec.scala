@@ -208,6 +208,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("hardNegatives: nearest cross-label vectors only, never the query's own label") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0.99f, 0.1f, 0f), 0),  // nearest overall — but same label: excluded
+      (2L, Seq(0.9f, 0.2f, 0f), 1),   // nearest cross-label → rank 1
+      (3L, Seq(0f, 1f, 0f), 1),       // orthogonal cross-label → rank 2
+      (4L, Seq(-1f, 0f, 0f), 2))      // opposite cross-label → rank 3
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 4L)) // 1L never appears
+    assert(got.forall(_._2 != 0), "a negative carried the query's label")
+    // full-corpus sanity at sf0.001: negatives ⊆ cross-label, k per query
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val hn = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", 5)
+      .select("q_id", "n_id", "n_label").as[(Long, Long, Int)].collect()
+    assert(hn.length === 8 * 5)
+    hn.foreach { case (q, n, nl) =>
+      assert(labels(n) === nl && nl != labels(q), s"query $q drew same-label negative $n")
+    }
+  }
+
   test("knnLsh finds an identical vector (same bucket by construction)") {
     val df = vecs(
       0L -> Seq(1f, 2f, 3f, 4f),

@@ -201,4 +201,24 @@ class MultiStreamSpec extends SparkSpec {
     // the tiny sketch must actually have collided somewhere, or w=8 proved nothing
     assert(out.exists { case (_, ex, est) => est > ex })
   }
+
+  test("cmsCounters (typed Aggregator) rebuilds the identical sketch cell-for-cell") {
+    import spark.implicits._
+    val texts = Seq("a a a b b c", "a b d e", "c c f g a")
+    val docs = texts.toDF("text")
+    val w = 8; val d = 2
+    val got = graft.functions.TextAnalysis.cmsCounters(docs, "text", w = w, d = d)
+      .as[(Int, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // independent reference: same md5 byte-slice hash, plain Maps
+    val toks = texts.flatMap(_.split(" "))
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    for (t <- toks; r <- 0 until d) {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      cells((r, ((dig(r) & 0xff) % w).toLong)) += 1L
+    }
+    assert(got === cells.toMap)
+    // total mass: every row of every hash line counts each token once
+    assert(got.values.sum === toks.size.toLong * d)
+  }
 }
