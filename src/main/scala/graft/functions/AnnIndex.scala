@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+
+/** Staged ANN index — the production shape of [[Similarity.knnIvf]] and
+  * [[Similarity.pqKnn]]: train ONCE per corpus, persist the index to
+  * storage, and serve every subsequent search from the stored artifacts
+  * with zero training lineage in the search plan. A real 100 TB pipeline
+  * never retrains centroids inside a query — it amortizes the index build
+  * exactly like [[graft.operators.Scale.writeBucketed]] amortizes the
+  * shuffle layout; the inline-training qkeys (knn_ivf, pq_knn) remain the
+  * self-contained oracle twins.
+  *
+  * Index layout, one directory per (sf-dir, geometry) fingerprint under
+  * the warehouse:
+  *  - `ivf_centroids`  (cell, cv)            — numCells × dim floats
+  *  - `ivf_postings`   (vec_id, embedding), hive-partitioned BY cell —
+  *    the inverted lists; a cell-probe join prunes non-probed cells via
+  *    dynamic partition pruning at FILE level, so an nprobe/numCells
+  *    fraction of the corpus is read, which is the entire point of IVF
+  *  - `pq_codebook`    (m, code, cv)         — numSub × numCodes floats
+  *  - `pq_codes`       (vec_id, m, code)     — 8 one-byte codes/vector
+  * All four are deterministic (quantized-integer Lloyd, float
+  * round-trips), so the staged searches hash-match the same DuckDB
+  * oracles that pin the inline paths — the oracle retrains in SQL, the
+  * engine reads the store, and both must agree bit-for-bit.
+  *
+  * Training runs `Iters` = 3 Lloyd iterations (the inline gate twins pin
+  * iters = 1): a staged index is built once, so better training is free
+  * at query time. What more iterations buy is spec-pinned honestly in
+  * DedupSimilaritySpec: reconstruction MSE strictly improves per
+  * subspace, recall on CLUSTERED data (the real-encoder regime) does not
+  * drop, and the staged search equals inline same-iters training
+  * bit-for-bit. On the uniform synthetic corpus same-nprobe recall can
+  * shift either way as Lloyd rebalances cells (0.85 → 0.75 at sf0.01) —
+  * a property of uniform noise, not of the index.
+  */
+object AnnIndex {
+  val NumCells = 16
+  val Nprobe = 2
+  val NumSub = 8
+  val NumCodes = 16
+  val Dim = 64
+  val Iters = 3
+  private val SubDim = Dim / NumSub
+
+  /** Warehouse-relative index directory, fingerprinted by sf-dir AND
+    * geometry so a geometry change can never silently serve a stale
+    * index.
+    */
+  private def basePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_ann_${tag}_c${NumCells}s${NumSub}x${NumCodes}i$Iters")
+  }
+
+  /** Build-once staging: a `_GRAFT_ANN_OK` marker written AFTER all four
+    * artifacts makes interrupted builds self-healing (no marker → the
+    * partial directory is deleted and rebuilt). Returns the index
+    * directory.
+    */
+  def stageOnce(spark: SparkSession, dir: String): String = {
+    val base = basePath(spark, dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_ANN_OK")
+    if (fs.exists(marker)) return base.toString
+    if (fs.exists(base)) fs.delete(base, true)
+    val emb = Tables.embeddings(spark, dir)
+    VectorExpressions.register(spark)
+    val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", NumCells, Iters)
+    cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
+    // assignments derive from the STORED centroids so the index is
+    // internally consistent even if training lineage were ever to change
+    val centStored = spark.read.parquet(s"$base/ivf_centroids")
+    Similarity.assignCells(emb, centStored, "vec_id", "embedding")
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
+    val (sub, cb) = Similarity.pqTrain(emb, "vec_id", "embedding", NumSub, NumCodes, Dim, Iters)
+    cb.write.mode("overwrite").parquet(s"$base/pq_codebook")
+    val cbStored = spark.read.parquet(s"$base/pq_codebook")
+    Similarity.pqAssign(sub, cbStored, "vec_id")
+      .write.mode("overwrite").parquet(s"$base/pq_codes")
+    sub.unpersist()
+    fs.create(marker).close()
+    base.toString
+  }
+
+  /** IVF top-k search against the STORED index: read centroids, probe the
+    * `nprobe` nearest cells per query, score only those cells' postings.
+    * No Lloyd lineage anywhere in this plan (PlanAuditSpec-asserted) —
+    * the training constants (floor(v·10⁶)) and the corpus-wide
+    * posexplode exist only at staging time. The postings scan is joined
+    * on the hive-partition column, so dynamic partition pruning can skip
+    * non-probed cells' files entirely.
+    */
+  def knnIvfStaged(spark: SparkSession, dir: String, queryPred: Column, k: Int,
+                   nprobe: Int = Nprobe): DataFrame = {
+    val base = stageOnce(spark, dir)
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$base/ivf_centroids")
+    val postings = spark.read.parquet(s"$base/ivf_postings")
+      .withColumn("cell", col("cell").cast("long"))
+    val cn = Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
+    val qnorm = Similarity.withNorm(
+      Tables.embeddings(spark, dir).filter(queryPred), "vec_id", "embedding")
+    val cwithNrm = centroids
+      .withColumn("cnrm", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    val qcells = qnorm.crossJoin(broadcast(cwithNrm))
+      .withColumn("sim", Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val qn = qnorm
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+      .join(qcells, Seq("q_id"))
+    val scored = cn.join(broadcast(qn), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (Similarity.dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cs"), 4).as("cos_sim"), col("rank"))
+  }
+
+  /** PQ ADC top-k search against the STORED index: the corpus exists in
+    * this plan ONLY as 8-byte codes; full-precision vectors are touched
+    * solely on the (small, filtered) query side, to build each query's
+    * numSub × numCodes distance table. Same search math as
+    * [[Similarity.pqKnn]], zero training lineage.
+    */
+  def pqKnnStaged(spark: SparkSession, dir: String, queryPred: Column, k: Int): DataFrame = {
+    val base = stageOnce(spark, dir)
+    VectorExpressions.register(spark)
+    val cb = spark.read.parquet(s"$base/pq_codebook")
+    val codes = spark.read.parquet(s"$base/pq_codes")
+      .select(col("vec_id").as("n_id"), col("m"), col("code"))
+    val qSub = Similarity.pqSubVectors(
+      Tables.embeddings(spark, dir).filter(queryPred), "vec_id", "embedding", NumSub, SubDim)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+    val d2 = Similarity.dot(col("sv"), col("sv")) -
+      lit(2.0) * Similarity.dot(col("sv"), col("cv")) +
+      Similarity.dot(col("cv"), col("cv"))
+    val dtab = qSub.join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        floor(d2 * lit(1e9)).cast("long").as("d2q"))
+    val scored = codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg((sum(col("d2q")).cast("double") / lit(1e9)).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("adist"), 4).as("adist"), col("rank"))
+  }
+
+  /** PQ reconstruction-error QA over the stored index — pins PQ quality
+    * the way dedup_qa_report pins LSH quality: per subspace, the mean
+    * squared L2 between each vector's slice and its assigned codebook
+    * entry. Distances quantize to floor(d2·10⁹) integers before the sum
+    * (merge-order independent), so the ratio is engine-portable and the
+    * oracle (which retrains in SQL) must agree exactly. Spec-asserted
+    * bound in DedupSimilaritySpec: the iters=3 MSE is no worse than the
+    * iters=1 MSE that the inline twins train with.
+    */
+  def pqReconError(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageOnce(spark, dir)
+    VectorExpressions.register(spark)
+    val cb = spark.read.parquet(s"$base/pq_codebook")
+    val codes = spark.read.parquet(s"$base/pq_codes")
+    val sub = Similarity.pqSubVectors(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", NumSub, SubDim)
+    pqMse(sub, codes, cb)
+  }
+
+  /** Inline-trained twin of [[pqReconError]] at an arbitrary iteration
+    * count — no staging, no store. Exists so DedupSimilaritySpec can
+    * assert the staged index's iters=3 MSE is no worse than the iters=1
+    * MSE the inline gate twins train with (more Lloyd steps can only
+    * shrink within-cell variance on a fixed assignment rule).
+    */
+  def pqReconErrorInline(emb: DataFrame, iters: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val (sub, cb) = Similarity.pqTrain(emb, "vec_id", "embedding", NumSub, NumCodes, Dim, iters)
+    pqMse(sub, Similarity.pqAssign(sub, cb, "vec_id"), cb)
+  }
+
+  /** Per-subspace mean squared reconstruction error over quantized
+    * floor(d2·10⁹) integers — shared by the staged and inline variants.
+    */
+  private def pqMse(sub: DataFrame, codes: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = Similarity.dot(col("sv"), col("sv")) -
+      lit(2.0) * Similarity.dot(col("sv"), col("cv")) +
+      Similarity.dot(col("cv"), col("cv"))
+    sub.join(codes.select(col("vec_id"), col("m"), col("code")), Seq("vec_id", "m"))
+      .join(broadcast(cb), Seq("m", "code"))
+      .select(col("m"), floor(d2 * lit(1e9)).cast("long").as("d2q"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d2q")).cast("double") / (lit(1e9) * count(lit(1))), 6).as("mse"))
+      .select(col("m").cast("int").as("m"), col("n_vecs"), col("mse"))
+  }
+
+  /** DuckDB twin of [[pqReconError]]: the unrolled-training prefix, then
+    * the per-subspace quantized-integer MSE.
+    */
+  def pqReconErrorSqlFor(iters: Int): String =
+    s"""${Similarity.pqSqlPrefix(NumSub, NumCodes, Dim, iters)},
+       |err AS (
+       |  SELECT s.m,
+       |         CAST(floor((list_inner_product(s.sv, s.sv)
+       |                     - 2 * list_inner_product(s.sv, c.cv)
+       |                     + list_inner_product(c.cv, c.cv)) * 1000000000.0) AS BIGINT) AS d2q
+       |  FROM sub s
+       |    JOIN codes co ON co.vec_id = s.vec_id AND co.m = s.m
+       |    JOIN cb c ON c.m = co.m AND c.code = co.code)
+       |SELECT CAST(m AS INT) AS m, count(*) AS n_vecs,
+       |       round(CAST(CAST(sum(d2q) AS BIGINT) AS DOUBLE) / (1000000000.0 * count(*)), 6) AS mse
+       |FROM err GROUP BY 1""".stripMargin
+
+  /** Same oracles as the inline twins, at the staged index's iters=3 —
+    * the index contents are deterministic, so "train in SQL, search the
+    * store in Spark" must produce identical bytes.
+    */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "knn_ivf_staged",
+      (s, dir) => knnIvfStaged(s, dir, col("vec_id") < 8, 5),
+      Some(Similarity.knnIvfSqlFor(NumCells, Nprobe, 5, "vec_id < 8", Iters))),
+    QueryDef(
+      "pq_knn_staged",
+      (s, dir) => pqKnnStaged(s, dir, col("vec_id") < 8, 5),
+      Some(Similarity.pqKnnSqlFor(NumSub, NumCodes, Dim, 5, "vec_id < 8", Iters))),
+    QueryDef(
+      "pq_recon_error",
+      (s, dir) => pqReconError(s, dir),
+      Some(pqReconErrorSqlFor(Iters))),
+  )
+}

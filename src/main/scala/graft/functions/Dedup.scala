@@ -459,11 +459,27 @@ object Dedup {
     * band curve include sub-0.8 near-dups; recall against the 0.8 bar is
     * the health signal (1.0 on the fixture). Counts are exact integers →
     * the ratio doubles are engine-portable.
+    *
+    * `sampleMod` is the production cost knob: the report deliberately
+    * runs BOTH the approximate and the exact path (cost ≈ their sum), so
+    * at scale it runs on a deterministic 1/sampleMod document slice —
+    * docs whose xxhash64(id) ≡ 0 (mod sampleMod), a hash-mod, never
+    * rand(), so the slice is stable across runs/retries and needs no
+    * seed plumbing. Pair metrics are then estimates on the induced
+    * subcorpus (a pair survives iff BOTH endpoints do — an unbiased
+    * estimator of the pair rates under hash-uniformity; spec-bounded
+    * against full truth at sf0.01 in DedupSimilaritySpec). The oracle
+    * qkey pins sampleMod = 1, where the filter does not exist in the
+    * plan at all.
     */
-  def dedupQaReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def dedupQaReport(docs: DataFrame, idCol: String, textCol: String,
+                    sampleMod: Int = 1): DataFrame = {
+    require(sampleMod >= 1, "dedupQaReport: sampleMod must be >= 1")
+    val slice = if (sampleMod == 1) docs
+      else docs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
     // both pair sets feed two consumers (their count + the intersection)
-    val cand = minhashLshPairs(docs, idCol, textCol).persist()
-    val truth = ngramJaccardPairs(docs, idCol, textCol)
+    val cand = minhashLshPairs(slice, idCol, textCol).persist()
+    val truth = ngramJaccardPairs(slice, idCol, textCol)
       .select(col("doc_a"), col("doc_b")).persist()
     val hit = cand.join(truth, Seq("doc_a", "doc_b"))
     cand.agg(count(lit(1)).as("n_cand"))

@@ -125,27 +125,18 @@ object Similarity {
       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn FROM s)
       |WHERE rn <= 5""".stripMargin
 
-  /** Deterministic ±1 hyperplanes, materialized driver-side as literal
-    * float arrays (numPlanes × dim — bytes, not data). Projections then run
-    * through the codegen [[VectorDotProduct]]; the previous formulation
-    * derived each weight per row inside an interpreted higher-order
-    * function (hash + string concat per row×plane×dim) and profiled ~50×
-    * slower.
-    */
-  def hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Float]] =
-    (0 until numPlanes).map { p =>
-      Array.tabulate(dim) { d =>
-        if (scala.util.hashing.MurmurHash3.stringHash(s"${p}_$d") % 2 == 0) 1f else -1f
-      }
-    }
-
-  /** Deterministic ±1 hyperplanes derived from md5("p_d") — engine-portable:
-    * DuckDB computes the identical digest, so an oracle can reproduce the
-    * exact same planes (sign = parity of the first hex char's ASCII code,
-    * i.e. of the digest's high nibble). Use these when the LSH assignment
-    * itself must be cross-engine reproducible (the [[Dedup.embeddingLshPairs]]
-    * oracle); [[hyperplanes]] (MurmurHash3) stays the cheaper default when
-    * only Spark needs to agree with itself.
+  /** Deterministic ±1 hyperplanes derived from md5("p_d"), materialized
+    * driver-side as literal float arrays (numPlanes × dim — bytes, not
+    * data); projections then run through the codegen [[VectorDotProduct]].
+    * Engine-portable: DuckDB computes the identical digest, so an oracle
+    * can reproduce the exact same planes (sign = parity of the first hex
+    * char's ASCII code, i.e. of the digest's high nibble). The sole plane
+    * generator — every sign-LSH path ([[lshBuckets]],
+    * [[Dedup.embeddingLshPairs]]) derives from it, so bucket assignments
+    * are cross-engine reproducible by construction. (A cheaper
+    * MurmurHash3 variant existed through round 6 but had no call sites
+    * once lshBuckets switched to md5 for oracle parity — removed rather
+    * than left as an untested second code path.)
     */
   def md5Hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Float]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -214,35 +205,44 @@ object Similarity {
   /** IVF (inverted-file) ANN: partition the corpus into `numCells` Voronoi
     * cells around centroids, search only the `nprobe` cells nearest each
     * query. Centroids are seeded deterministically (first `numCells`
-    * vectors by id) and refined with one Lloyd iteration computed as
+    * vectors by id) and refined with `iters` Lloyd iterations computed as
     * DataFrame aggregations — the only driver-side materialization is the
     * centroid table itself (numCells × dim, small BY CONSTRUCTION, exactly
     * what real IVF indexes broadcast). Compared to sign-LSH, IVF adapts to
     * the data distribution, which is what you want on clustered real
     * embeddings.
+    *
+    * Each Lloyd iteration is assign-then-mean. The element-wise mean is
+    * computed over floor(v·10⁶) integer quanta (the embeddingCentroids
+    * portability idiom): a raw double avg() merges shuffled partial sums
+    * in nondeterministic order, so its last ulp — and thus any near-tie
+    * cell assignment downstream — would differ between engines and runs.
+    * Exact integer sums are merge-order independent, and every
+    * iteration's centroids round-trip through FLOAT, so the whole IVF
+    * index (and therefore knn_ivf's output) stays reproducible and
+    * DuckDB-oracle-checkable at ANY iteration count (the oracle unrolls
+    * the same loop — [[knnIvfSqlFor]]). A cell that loses all members
+    * drops out of the next iteration in both engines.
     */
-  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String, numCells: Int): DataFrame = {
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String, numCells: Int,
+                   iters: Int = 1): DataFrame = {
+    require(iters >= 1, "ivfCentroids: need at least one Lloyd iteration")
     VectorExpressions.register(emb.sparkSession) // vector_dot used below
-    val seeds = emb.orderBy(col(idCol)).limit(numCells)
-      .select(col(idCol).as("cell0"), col(vecCol).as("cv"))
-    // assign every vector to its nearest seed (broadcast seeds; one pass)
-    val assigned = assignCells(emb, seeds.withColumnRenamed("cell0", "cell"), idCol, vecCol)
-    // One Lloyd step: element-wise mean per cell via posexplode. The mean
-    // is computed over floor(v·10⁶) integer quanta (the embeddingCentroids
-    // portability idiom): a raw double avg() merges shuffled partial sums
-    // in nondeterministic order, so its last ulp — and thus any near-tie
-    // cell assignment downstream — would differ between engines and runs.
-    // Exact integer sums are merge-order independent, making the whole
-    // IVF index (and therefore knn_ivf's output) reproducible and
-    // DuckDB-oracle-checkable.
-    assigned
-      .select(col("cell"), posexplode(col(vecCol)))
-      .groupBy(col("cell"), col("pos"))
-      .agg((sum(floor(col("col").cast("double") * lit(1000000.0))).cast("double")
-        / (lit(1000000.0) * count(lit(1)))).as("m"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m").cast("float")).as("cv"))
+    // seeds: first numCells vectors by id; cell id = seed vec id
+    var cent = emb.orderBy(col(idCol)).limit(numCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(emb, cent, idCol, vecCol)
+      cent = assigned
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(floor(col("col").cast("double") * lit(1000000.0))).cast("double")
+          / (lit(1000000.0) * count(lit(1)))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("cv"))
+    }
+    cent
   }
 
   /** Nearest-centroid assignment: greatest cosine against the broadcast
@@ -250,8 +250,8 @@ object Similarity {
     * attached once per vector and once per centroid — not recomputed per
     * (vector × centroid) pair.
     */
-  private def assignCells(emb: DataFrame, centroids: DataFrame,
-                          idCol: String, vecCol: String): DataFrame = {
+  private[functions] def assignCells(emb: DataFrame, centroids: DataFrame,
+                                     idCol: String, vecCol: String): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
     val e = withNorm(emb, idCol, vecCol)
     val c = centroids.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
@@ -266,12 +266,13 @@ object Similarity {
     * cells' members.
     */
   def knnIvf(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
-             k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+             k: Int, numCells: Int = 16, nprobe: Int = 2, iters: Int = 1): DataFrame = {
     // The centroid table (numCells × dim) and the assignment table are THE
     // IVF index; without persisting them every consumer re-runs the
     // seed→assign→Lloyd lineage (audited: 13 exchanges / 10 scans →
-    // 4 exchanges / 3 scans). Production builds stage both to storage.
-    val centroids = ivfCentroids(emb, idCol, vecCol, numCells).persist()
+    // 4 exchanges / 3 scans). Production stages both to storage —
+    // [[AnnIndex.stageOnce]] / qkey knn_ivf_staged is exactly that.
+    val centroids = ivfCentroids(emb, idCol, vecCol, numCells, iters).persist()
     val corpus = assignCells(emb, centroids, idCol, vecCol).persist()
     val cn = withNorm(corpus, idCol, vecCol, passthrough = Seq("cell"))
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
@@ -300,42 +301,55 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cs"), 4).as("cos_sim"), col("rank"))
   }
 
-  /** DuckDB twin of [[knnIvf]] at the registered (16 cells, nprobe 2,
-    * k 5, queries vec_id < 8) configuration: seeds = first 16 vectors by
-    * id, nearest-seed assignment (cosine argmax, cell-id tie-break), one
-    * quantized-integer Lloyd step (floor(v·10⁶) sums — the same exact
-    * arithmetic the Spark side runs, so centroids agree bit-for-bit after
-    * the float round-trip), reassignment, per-query 2-cell probe, and
-    * top-5 per query. An exact hash check of an approximate-by-recall
-    * algorithm — approximation is in WHAT it searches (nprobe cells), not
-    * in reproducibility.
+  /** The unrolled Lloyd loop of the IVF oracle: iteration i assigns every
+    * vector to its nearest centroid from `cn{i-1}` (cn0 = the seeds) and
+    * rebuilds centroids as the quantized-integer element-wise mean; the
+    * final table is named `cn` so the downstream CTEs are
+    * iteration-count-independent. Each block ends with its trailing comma.
     */
-  def knnIvfSqlFor(numCells: Int, nprobe: Int, k: Int, queryPredSql: String): String =
+  private def ivfLloydCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      val name = if (i == iters) "cn" else s"cn$i"
+      s"""assign${i - 1} AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |                      c.cell ASC) AS rn
+         |    FROM n CROSS JOIN cn${i - 1} c) WHERE rn = 1),
+         |lloyd$i AS (
+         |  SELECT cell, dim,
+         |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
+         |           / (1000000.0 * count(*)) AS m
+         |  FROM (SELECT a.cell,
+         |               unnest(e.v) AS val,
+         |               unnest(generate_series(0, len(e.v) - 1)) AS dim
+         |        FROM assign${i - 1} a JOIN e USING (vec_id))
+         |  GROUP BY 1, 2),
+         |$name AS (
+         |  SELECT cell, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM (
+         |    SELECT cell, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS cv
+         |    FROM lloyd$i GROUP BY 1)),""".stripMargin
+    }.mkString("\n")
+
+  /** DuckDB twin of [[knnIvf]] at the registered configurations: seeds =
+    * first `numCells` vectors by id, then `iters` unrolled Lloyd
+    * iterations — nearest-centroid assignment (cosine argmax, cell-id
+    * tie-break) followed by the quantized-integer mean (floor(v·10⁶) sums,
+    * the same exact arithmetic the Spark side runs, so centroids agree
+    * bit-for-bit after each float round-trip) — then final reassignment,
+    * per-query `nprobe`-cell probe, and top-`k` per query. An exact hash
+    * check of an approximate-by-recall algorithm — approximation is in
+    * WHAT it searches (nprobe cells), not in reproducibility.
+    */
+  def knnIvfSqlFor(numCells: Int, nprobe: Int, k: Int, queryPredSql: String,
+                   iters: Int = 1): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |sn AS (
+       |cn0 AS (
        |  SELECT vec_id AS cell, v AS cv, sqrt(list_inner_product(v, v)) AS cnrm
        |  FROM e ORDER BY vec_id LIMIT $numCells),
-       |assign0 AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT n.vec_id, sn.cell,
-       |           row_number() OVER (PARTITION BY n.vec_id
-       |             ORDER BY list_inner_product(n.v, sn.cv) / (n.nrm * sn.cnrm) DESC,
-       |                      sn.cell ASC) AS rn
-       |    FROM n CROSS JOIN sn) WHERE rn = 1),
-       |lloyd AS (
-       |  SELECT cell, dim,
-       |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
-       |           / (1000000.0 * count(*)) AS m
-       |  FROM (SELECT a.cell,
-       |               unnest(e.v) AS val,
-       |               unnest(generate_series(0, len(e.v) - 1)) AS dim
-       |        FROM assign0 a JOIN e USING (vec_id))
-       |  GROUP BY 1, 2),
-       |cent AS (
-       |  SELECT cell, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS cv
-       |  FROM lloyd GROUP BY 1),
-       |cn AS (SELECT cell, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM cent),
+       |${ivfLloydCtes(iters)}
        |assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT n.vec_id, c.cell,
@@ -408,8 +422,8 @@ object Similarity {
   /** Per-(vector, subspace) slices for product quantization: subspace m
     * carries dimensions [m·subDim, (m+1)·subDim).
     */
-  private def pqSubVectors(emb: DataFrame, idCol: String, vecCol: String,
-                           numSub: Int, subDim: Int): DataFrame =
+  private[functions] def pqSubVectors(emb: DataFrame, idCol: String, vecCol: String,
+                                      numSub: Int, subDim: Int): DataFrame =
     emb.select(col(idCol),
       posexplode(array((0 until numSub).map(m => slice(col(vecCol), m * subDim + 1, subDim)): _*))
         .as(Seq("m", "sv")))
@@ -419,7 +433,7 @@ object Similarity {
     * window sort. The distance is the explicit |x|² − 2·x·c + |c|²
     * expansion so both engines evaluate the identical double arithmetic.
     */
-  private def pqAssign(sub: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
+  private[functions] def pqAssign(sub: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
     val dist = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
       dot(col("cv"), col("cv"))
     sub.join(broadcast(codebook), Seq("m"))
@@ -444,36 +458,43 @@ object Similarity {
     * (vector, subspace) with the assigned code.
     */
   /** Train the PQ codebooks and return (persisted slice table, final
-    * codebook) — shared by [[pqCodes]] (encode) and [[pqKnn]] (ADC
-    * search).
+    * codebook) — shared by [[pqCodes]] (encode), [[pqKnn]] (ADC search)
+    * and [[AnnIndex.stageOnce]] (persisted index). `iters` Lloyd
+    * iterations, each assign-then-quantized-mean with a float round-trip,
+    * exactly mirrored by the oracle's unrolled CTEs ([[pqSqlPrefix]]).
     */
-  private def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
-                      numSub: Int, numCodes: Int, dim: Int): (DataFrame, DataFrame) = {
+  private[functions] def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+                                 numSub: Int, numCodes: Int, dim: Int,
+                                 iters: Int = 1): (DataFrame, DataFrame) = {
     require(dim % numSub == 0, s"dim $dim must split evenly into $numSub subspaces")
+    require(iters >= 1, "pqTrain: need at least one Lloyd iteration")
     val subDim = dim / numSub
     VectorExpressions.register(emb.sparkSession)
-    // slices feed seeding, two assignment passes, and the Lloyd step
+    // slices feed seeding, every assignment pass, and the Lloyd steps
     val sub = pqSubVectors(emb, idCol, vecCol, numSub, subDim).persist()
     val seedIds = emb.orderBy(col(idCol)).limit(numCodes)
       .select(col(idCol),
         (row_number().over(Window.orderBy(col(idCol).asc)) - 1).as("code"))
-    val cb0 = sub.join(seedIds, Seq(idCol)).select(col("m"), col("code"), col("sv").as("cv"))
-    val a0 = pqAssign(sub, cb0, idCol)
-    // one Lloyd step per (subspace, code): quantized-integer elementwise mean
-    val cb = a0.join(sub, Seq(idCol, "m"))
-      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "val")))
-      .groupBy(col("m"), col("code"), col("pos"))
-      .agg((sum(floor(col("val").cast("double") * lit(1000000.0))).cast("double")
-        / (lit(1000000.0) * count(lit(1)))).as("cm"))
-      .groupBy(col("m"), col("code"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
-        x => x.getField("cm").cast("float")).as("cv"))
+    var cb = sub.join(seedIds, Seq(idCol)).select(col("m"), col("code"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val a = pqAssign(sub, cb, idCol)
+      // Lloyd step per (subspace, code): quantized-integer elementwise mean
+      cb = a.join(sub, Seq(idCol, "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "val")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg((sum(floor(col("val").cast("double") * lit(1000000.0))).cast("double")
+          / (lit(1000000.0) * count(lit(1)))).as("cm"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+          x => x.getField("cm").cast("float")).as("cv"))
+    }
     (sub, cb)
   }
 
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
-              numSub: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
-    val (sub, cb) = pqTrain(emb, idCol, vecCol, numSub, numCodes, dim)
+              numSub: Int = 8, numCodes: Int = 16, dim: Int = 64,
+              iters: Int = 1): DataFrame = {
+    val (sub, cb) = pqTrain(emb, idCol, vecCol, numSub, numCodes, dim, iters)
     pqAssign(sub, cb, idCol)
       .select(col(idCol), col("m").cast("int").as("m"), col("code").cast("int").as("code"))
   }
@@ -490,8 +511,9 @@ object Similarity {
     * is the entire point at 100 TB.
     */
   def pqKnn(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
-            k: Int, numSub: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
-    val (sub, cb) = pqTrain(emb, idCol, vecCol, numSub, numCodes, dim)
+            k: Int, numSub: Int = 8, numCodes: Int = 16, dim: Int = 64,
+            iters: Int = 1): DataFrame = {
+    val (sub, cb) = pqTrain(emb, idCol, vecCol, numSub, numCodes, dim, iters)
     // the corpus as codes — at scale this is the stored index
     val codes = pqAssign(sub, cb, idCol)
       .select(col(idCol).as("n_id"), col("m"), col("code")).persist()
@@ -528,8 +550,8 @@ object Similarity {
     */
   def pqKnnRerank(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
                   k: Int, shortlist: Int = 40, numSub: Int = 8, numCodes: Int = 16,
-                  dim: Int = 64): DataFrame = {
-    val adc = pqKnn(emb, queryPred, idCol, vecCol, shortlist, numSub, numCodes, dim)
+                  dim: Int = 64, iters: Int = 1): DataFrame = {
+    val adc = pqKnn(emb, queryPred, idCol, vecCol, shortlist, numSub, numCodes, dim, iters)
       .select(col("q_id"), col("n_id"))
     val full = withNorm(emb, idCol, vecCol)
     val qv = full.select(col(idCol).as("q_id"), col("v").as("vq"))
@@ -550,9 +572,9 @@ object Similarity {
     * CTE, full-precision quantized squared-L2 over the shortlist, top-k.
     */
   def pqKnnRerankSqlFor(numSub: Int, numCodes: Int, dim: Int, k: Int,
-                        shortlist: Int, queryPredSql: String): String =
+                        shortlist: Int, queryPredSql: String, iters: Int = 1): String =
     s"""WITH shortlist AS (
-       |  SELECT q_id, n_id FROM (${pqKnnSqlFor(numSub, numCodes, dim, shortlist, queryPredSql)})),
+       |  SELECT q_id, n_id FROM (${pqKnnSqlFor(numSub, numCodes, dim, shortlist, queryPredSql, iters)})),
        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |exact AS (
        |  SELECT s.q_id, s.n_id,
@@ -572,16 +594,42 @@ object Similarity {
     * dim 64) configuration — seeds, squared-L2 argmin (tie-break on code
     * id), quantized Lloyd step, re-assignment, all replayed in SQL.
     */
-  def pqCodesSqlFor(numSub: Int, numCodes: Int, dim: Int): String =
-    s"""${pqSqlPrefix(numSub, numCodes, dim)}
+  def pqCodesSqlFor(numSub: Int, numCodes: Int, dim: Int, iters: Int = 1): String =
+    s"""${pqSqlPrefix(numSub, numCodes, dim, iters)}
        |SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code FROM codes""".stripMargin
 
   /** Shared CTE prefix of the PQ oracles: everything through the trained
-    * codebook `cb` and the final code assignment `codes`.
+    * codebook `cb` and the final code assignment `codes`. The Lloyd loop
+    * is unrolled `iters` times — iteration i assigns every (vector,
+    * subspace) slice to its nearest code from `cb{i-1}` (cb0 = the seed
+    * slices) and rebuilds the codebook as the quantized-integer mean with
+    * a float round-trip; the final codebook is always named `cb` so the
+    * downstream CTEs are iteration-count-independent.
     */
-  private def pqSqlPrefix(numSub: Int, numCodes: Int, dim: Int): String = {
+  private[functions] def pqSqlPrefix(numSub: Int, numCodes: Int, dim: Int, iters: Int = 1): String = {
     val subDim = dim / numSub
     val d2 = "list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv) + list_inner_product(c.cv, c.cv)"
+    val lloydCtes = (1 to iters).map { i =>
+      val name = if (i == iters) "cb" else s"cb$i"
+      s"""a${i - 1} AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY ($d2) ASC, c.code ASC) AS rn
+         |    FROM sub s JOIN cb${i - 1} c ON c.m = s.m) WHERE rn = 1),
+         |lloyd$i AS (
+         |  SELECT m, code, pos,
+         |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
+         |           / (1000000.0 * count(*)) AS cm
+         |  FROM (SELECT a.m, a.code,
+         |               unnest(s.sv) AS val,
+         |               unnest(generate_series(0, ${subDim - 1})) AS pos
+         |        FROM a${i - 1} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m)
+         |  GROUP BY 1, 2, 3),
+         |$name AS (
+         |  SELECT m, code, list(CAST(CAST(cm AS FLOAT) AS DOUBLE) ORDER BY pos) AS cv
+         |  FROM lloyd$i GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sub AS (
        |  SELECT vec_id, m, list_slice(v, m * $subDim + 1, m * $subDim + $subDim) AS sv
@@ -590,24 +638,7 @@ object Similarity {
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code
        |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numCodes)),
        |cb0 AS (SELECT s.m, sd.code, s.sv AS cv FROM sub s JOIN seeds sd USING (vec_id)),
-       |a0 AS (
-       |  SELECT vec_id, m, code FROM (
-       |    SELECT s.vec_id, s.m, c.code,
-       |           row_number() OVER (PARTITION BY s.vec_id, s.m
-       |             ORDER BY ($d2) ASC, c.code ASC) AS rn
-       |    FROM sub s JOIN cb0 c ON c.m = s.m) WHERE rn = 1),
-       |lloyd AS (
-       |  SELECT m, code, pos,
-       |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
-       |           / (1000000.0 * count(*)) AS cm
-       |  FROM (SELECT a.m, a.code,
-       |               unnest(s.sv) AS val,
-       |               unnest(generate_series(0, ${subDim - 1})) AS pos
-       |        FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m)
-       |  GROUP BY 1, 2, 3),
-       |cb AS (
-       |  SELECT m, code, list(CAST(CAST(cm AS FLOAT) AS DOUBLE) ORDER BY pos) AS cv
-       |  FROM lloyd GROUP BY 1, 2),
+       |$lloydCtes
        |codes AS (
        |  SELECT vec_id, m, code FROM (
        |    SELECT s.vec_id, s.m, c.code,
@@ -622,8 +653,8 @@ object Similarity {
     * and the final per-query top-k.
     */
   def pqKnnSqlFor(numSub: Int, numCodes: Int, dim: Int, k: Int,
-                  queryPredSql: String): String =
-    s"""${pqSqlPrefix(numSub, numCodes, dim)},
+                  queryPredSql: String, iters: Int = 1): String =
+    s"""${pqSqlPrefix(numSub, numCodes, dim, iters)},
        |qsub AS (SELECT vec_id AS q_id, m, sv FROM sub WHERE $queryPredSql),
        |dtab AS (
        |  SELECT s.q_id, c.m, c.code,

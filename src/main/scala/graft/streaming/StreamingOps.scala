@@ -478,6 +478,80 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  case class PackDoc(doc_id: Long, source: String, text: String)
+  case class PackTok(doc_id: Long, source: String, shard: Long, tok: Long)
+  case class PackAssign(doc_id: Long, source: String, shard: Long, seq_id: Long, tok: Long)
+  case class PackRunning(running: Long)
+
+  /** Streaming twin of [[graft.functions.Curation.docChunks]] — the live
+    * half of the chunk-then-pack ingest path. Chunking is a pure per-row
+    * 1→N expansion (stateless projection + generate), so the BATCH
+    * operator applies to a streaming frame unchanged; this delegate
+    * exists to make that contract explicit and spec-pinned
+    * (StreamingSpec asserts stream output == batch output row-for-row).
+    */
+  def docChunksStream(docs: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int, overlap: Int): DataFrame =
+    graft.functions.Curation.docChunks(docs, idCol, textCol, chunkTokens, overlap)
+
+  /** Streaming twin of [[graft.functions.Curation.seqPacking]]: next-fit
+    * token packing as a running budget per (source, shard) key — the
+    * incremental form of the batch operator's running-sum window. State
+    * per key is ONE long (the shard's running token total); each incoming
+    * document emits exactly one append-mode assignment with the sequence
+    * id its tokens start in, `running_before div budget` — identical
+    * arithmetic to the batch `(running - tok) div budget`.
+    *
+    * Same in-order contract as [[FunnelProcessor]]: batch equivalence
+    * holds when documents arrive in doc_id order within a shard (rows
+    * within a micro-batch are sorted here; a cross-batch straggler packs
+    * into the CURRENT budget position, which is exactly what a live
+    * packer must do — sequences already emitted are immutable).
+    *
+    * Scale shape: state is one counter per (source, shard) — thousands of
+    * keys, not documents; raise nShards with the corpus exactly like the
+    * batch operator.
+    */
+  class SeqPackingProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(String, Long), PackTok, PackAssign] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var run: ValueState[PackRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      run = getHandle.getValueState[PackRunning](
+        "running", org.apache.spark.sql.Encoders.product[PackRunning], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[PackTok],
+                                 timerValues: TimerValues): Iterator[PackAssign] = {
+      var running = if (run.exists()) run.get().running else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[PackAssign]
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        out += PackAssign(d.doc_id, d.source, d.shard, running / budget, d.tok)
+        running += d.tok
+      }
+      run.update(PackRunning(running))
+      out.iterator
+    }
+  }
+
+  /** Keyed [[SeqPackingProcessor]] on transformWithState (RocksDB state
+    * store, like the other TWS operators here). Tokenization and shard
+    * assignment run stateless upstream of the keyed state.
+    */
+  def seqPackingStream(docs: Dataset[PackDoc], budget: Int, nShards: Int): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .as[PackTok]
+      .groupByKey(t => (t.source, t.shard))
+      .transformWithState(
+        new SeqPackingProcessor(budget.toLong),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class RetentionHit(cohort_day: Long, day_offset: Long, user_id: Long)
   case class RetentionState(cohortDayS: Long, lastDayS: Long)
 

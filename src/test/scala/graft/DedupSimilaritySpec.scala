@@ -753,6 +753,99 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedupQaReport sampling: deterministic slice, estimates track full truth at sf0.01") {
+    // verdict item 5: the QA report runs both dedup paths by design, so
+    // production samples. The knob must (a) actually shrink the work,
+    // (b) be deterministic (hash-mod — rerunning gives identical bytes),
+    // (c) estimate the full-corpus health signal: the sampled recall may
+    // wobble (pair survival needs both endpoints) but must stay within
+    // 0.2 of full-truth recall on the sf0.01 corpus.
+    import graft.engine.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val full = Dedup.dedupQaReport(docs, "doc_id", "text").collect()(0)
+    val s1 = Dedup.dedupQaReport(docs, "doc_id", "text", sampleMod = 4).collect()(0)
+    val s2 = Dedup.dedupQaReport(docs, "doc_id", "text", sampleMod = 4).collect()(0)
+    assert(s1 === s2, "hash-mod slice must be deterministic across runs")
+    assert(s1.getLong(0) < full.getLong(0) && s1.getLong(1) < full.getLong(1),
+      "sampled slice did not shrink the candidate/truth pair sets")
+    val (fullRecall, sampRecall) = (full.getDouble(4), s1.getDouble(4))
+    info(f"recall_vs_exact full=$fullRecall%.3f sampled(1/4)=$sampRecall%.3f " +
+      f"(cand ${full.getLong(0)} -> ${s1.getLong(0)}, truth ${full.getLong(1)} -> ${s1.getLong(1)})")
+    assert(math.abs(sampRecall - fullRecall) <= 0.2,
+      f"sampled recall $sampRecall%.3f drifted > 0.2 from full $fullRecall%.3f")
+    spark.catalog.clearCache()
+  }
+
+  test("staged IVF == inline iters=3 bit-for-bit; recall floors hold; iters help where clusters exist") {
+    // verdict item 4+1, with the claim it actually earned: (a) the staged
+    // index is a faithful store round-trip — searching it must equal
+    // inline training at the same iters exactly (floats round-trip
+    // through parquet unchanged); (b) recall on the uniform sf corpus is
+    // measured informationally with a floor — on uniform noise extra
+    // Lloyd steps REBALANCE cells and same-nprobe recall can shift either
+    // way (measured 0.85 -> 0.75 at sf0.01), which is a property of the
+    // adversarial regime, not of the index: reconstruction MSE strictly
+    // improves (next test) and on clustered data — the regime real
+    // encoder embeddings live in — more iters must not hurt (c).
+    import graft.engine.Tables
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline3 = Similarity.knnIvf(emb, col("vec_id") < 8, "vec_id", "embedding", 5, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val staged3 = AnnIndex.knnIvfStaged(spark, dir, col("vec_id") < 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(staged3 === inline3,
+      "staged search drifted from inline training at the same iters — store round-trip is not faithful")
+    val rStaged = staged3.map(t => (t._1, t._2)).count(brute.contains).toDouble / brute.size
+    info(f"uniform sf0.01 recall@5 staged(iters=3)=$rStaged%.2f (inline iters=1 measured 0.85; nprobe=2/16)")
+    assert(rStaged >= 0.7, f"staged recall $rStaged%.2f below the 0.7 floor")
+    // (c) clustered mixture-of-Gaussians — same fixture as the LSH/PQ
+    // clustered tests: training iterations must not hurt recall here
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- 0 until 8; i <- 0 until 40 } yield {
+      val v = centers(c).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      ((c * 40 + i).toLong, v.toSeq)
+    }
+    val cemb = rows.toDF("vec_id", "embedding")
+    val qPred = col("vec_id") % 40 === 0
+    val cBrute = Similarity.knnBrute(cemb, cemb.filter(qPred), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(iters: Int): Double =
+      Similarity.knnIvf(cemb, qPred, "vec_id", "embedding", 5, iters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .count(cBrute.contains).toDouble / cBrute.size
+    val (r1, r3) = (recallAt(1), recallAt(3))
+    info(f"clustered recall@5 iters=1 $r1%.2f -> iters=3 $r3%.2f")
+    assert(r3 >= r1, f"clustered-regime recall dropped with training: $r1%.2f -> $r3%.2f")
+  }
+
+  test("staged PQ reconstruction MSE (iters=3) <= inline iters=1 MSE, every subspace") {
+    // verdict item 9: pins PQ quality the way dedup_qa_report pins LSH
+    // quality. On a fixed assignment rule more Lloyd steps can only
+    // shrink within-cell variance, so the staged index must reconstruct
+    // at least as well as the single-step inline twins.
+    import graft.engine.Tables
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val staged = AnnIndex.pqReconError(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val inline1 = AnnIndex.pqReconErrorInline(Tables.embeddings(spark, dir), 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(staged.keySet === inline1.keySet)
+    for ((m, mse3) <- staged)
+      assert(mse3 <= inline1(m) + 1e-6,
+        f"subspace $m: staged iters=3 MSE $mse3%.6f worse than iters=1 ${inline1(m)}%.6f")
+    val t3 = staged.values.sum / staged.size
+    val t1 = inline1.values.sum / inline1.size
+    info(f"mean recon MSE: iters=1 $t1%.4f -> iters=3 $t3%.4f")
+    spark.catalog.clearCache()
+  }
+
   test("embedding norm stats: exact quantized squared norms per label") {
     import spark.implicits._
     val e = Seq(

@@ -37,6 +37,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "PLANS.txt contains EXPLAIN FAILED sections — fix the query or the fixture dir and re-run graft.Explain")
   }
 
+  private lazy val sections: Map[String, String] = {
+    // section = everything from "== <key>" to the next bare key header
+    // ("== Physical Plan ==" has a trailing marker, so it never delimits)
+    val keyRe = "(?m)^== ([a-z0-9_]+)$".r
+    val ms = keyRe.findAllMatchIn(plans).toSeq
+    ms.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < ms.size) ms(i + 1).start else plans.length
+      m.group(1) -> plans.substring(m.end, end)
+    }.toMap
+  }
+
+  test("staged ANN searches carry no Lloyd training lineage; inline twins do") {
+    // the entire point of AnnIndex: train once at staging time, serve
+    // every search from the store. Training's fingerprints in a formatted
+    // plan are the floor(v·10⁶) quantized-mean constant and the
+    // ObjectHashAggregate that assembles centroid/codebook arrays —
+    // neither may appear in a staged search plan (the only 10⁶-free
+    // constant there is the ADC table's 10⁹ quantizer). The inline gate
+    // twins must KEEP the lineage: they are the self-contained shapes the
+    // oracle retrains against.
+    val lloydMarks = Seq("1000000.0", "ObjectHashAggregate")
+    for (k <- Seq("knn_ivf_staged", "pq_knn_staged", "pq_recon_error"); m <- lloydMarks)
+      assert(!sections(k).contains(m),
+        s"$k plan contains training lineage '$m' — staged search must read the store only")
+    for (k <- Seq("knn_ivf", "pq_knn", "pq_codes"))
+      assert(lloydMarks.forall(sections(k).contains),
+        s"$k (inline oracle twin) lost its training lineage — did it silently switch to the store?")
+  }
+
   test("PLANS_sf1.txt (when present) also covers the registry with no failed explains") {
     // the at-scale audit artifact, regenerated on demand against the
     // ScaleUp-built data/sf1 — optional because that dataset is not

@@ -596,4 +596,67 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
     assert(got.keySet === Set(1L) && got(1L) >= 5L)
   }
+
+  test("streaming doc chunking matches the batch operator row-for-row on sf0.001 documents") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = graft.functions.Curation
+      .docChunks(docs, "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val fed = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[StreamingOps.PackDoc].collect().sortBy(_.doc_id)
+    val input = MemoryStream[StreamingOps.PackDoc]
+    val q = StreamingOps.docChunksStream(
+        input.toDF(), "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .writeStream.format("memory").queryName("chunks_out").outputMode("append").start()
+    try {
+      val (h1, h2) = fed.splitAt(fed.length / 2)
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("chunks_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === batch)
+    assert(batch.size > fed.length) // non-vacuous: chunking actually expands
+  }
+
+  test("streaming seq packing matches the batch packer on sf0.001 documents, fed in doc_id order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      val batch = graft.functions.Curation
+        .seqPacking(docs, "doc_id", "source", "text", budget = 256, nShards = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4)))).toMap
+      val fed = docs.select(col("doc_id"), col("source"), col("text"))
+        .as[StreamingOps.PackDoc].collect().sortBy(_.doc_id)
+      val input = MemoryStream[StreamingOps.PackDoc]
+      val q = StreamingOps.seqPackingStream(input.toDS(), budget = 256, nShards = 4)
+        .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+      try {
+        // three uneven micro-batches so sequences straddle batch borders
+        val (h1, rest) = fed.splitAt(fed.length / 3)
+        val (h2, h3) = rest.splitAt(rest.length / 2)
+        input.addData(h1.toSeq); q.processAllAvailable()
+        input.addData(h2.toSeq); q.processAllAvailable()
+        input.addData(h3.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // the per-doc assignments aggregate to exactly the batch report
+      val got = spark.table("pack_out")
+        .groupBy(col("source"), col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got === batch)
+      assert(batch.size > 20) // non-vacuous: many sequences per (source, shard)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
