@@ -209,6 +209,38 @@ object AnnIndex {
       .select(col("m").cast("int").as("m"), col("n_vecs"), col("mse"))
   }
 
+  /** IVF index-health QA over the stored postings — the inverted-list
+    * balance report every production ANN deployment watches: per cell,
+    * the posting count (a skewed cell means probe cost variance — the
+    * IVF analogue of a hot shuffle key) and the mean vector norm
+    * (quantized floor(nrm·10⁹) integers — the ADC-table quantizer, NOT
+    * training's 10⁶ Lloyd fingerprint — merge-order independent →
+    * engine-portable). Reads ONLY the staged index plus nothing else —
+    * no training lineage (PlanAuditSpec-asserted); the oracle retrains
+    * in SQL and must agree exactly.
+    */
+  def ivfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageOnce(spark, dir)
+    VectorExpressions.register(spark)
+    val postings = spark.read.parquet(s"$base/ivf_postings")
+    Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(floor(col("nrm") * lit(1e9)).cast("long")).cast("double")
+          / (lit(1e9) * count(lit(1))), 6).as("mean_norm"))
+  }
+
+  /** DuckDB twin of [[ivfCellStats]]: unrolled IVF training + full-corpus
+    * assignment, then the per-cell quantized-norm aggregate.
+    */
+  def ivfCellStatsSqlFor(numCells: Int, iters: Int): String =
+    s"""${Similarity.ivfAssignSqlPrefix(numCells, iters)}
+       |SELECT CAST(a.cell AS INT) AS cell, count(*) AS n_vecs,
+       |       round(CAST(CAST(sum(floor(n.nrm * 1000000000.0)) AS BIGINT) AS DOUBLE)
+       |             / (1000000000.0 * count(*)), 6) AS mean_norm
+       |FROM assign a JOIN n USING (vec_id)
+       |GROUP BY 1""".stripMargin
+
   /** DuckDB twin of [[pqReconError]]: the unrolled-training prefix, then
     * the per-subspace quantized-integer MSE.
     */
@@ -243,5 +275,9 @@ object AnnIndex {
       "pq_recon_error",
       (s, dir) => pqReconError(s, dir),
       Some(pqReconErrorSqlFor(Iters))),
+    QueryDef(
+      "ivf_cell_stats",
+      (s, dir) => ivfCellStats(s, dir),
+      Some(ivfCellStatsSqlFor(NumCells, Iters))),
   )
 }

@@ -273,6 +273,35 @@ object Similarity {
     // 4 exchanges / 3 scans). Production stages both to storage —
     // [[AnnIndex.stageOnce]] / qkey knn_ivf_staged is exactly that.
     val centroids = ivfCentroids(emb, idCol, vecCol, numCells, iters).persist()
+    ivfSearch(emb, centroids, queryPred, idCol, vecCol, k, nprobe)
+  }
+
+  /** Incremental (daily-ingest) IVF: centroids train ONLY on the staged
+    * corpus (`trainPred`); the new batch folds into the index purely by
+    * nearest-centroid ASSIGNMENT — a per-row map against the broadcast
+    * centroid table, zero retraining, zero reshuffle of the existing
+    * corpus. The exact mirror of [[Dedup.dedupIncremental]]'s "new batch
+    * joins the staged band index" contract, for the ANN index: at 100 TB
+    * an embedding index absorbs a daily batch by assignment and only
+    * periodically retrains. Queries (typically from the new batch) search
+    * the merged corpus; recall for new-batch queries is spec-measured in
+    * DedupSimilaritySpec against knn_brute.
+    */
+  def knnIvfIncremental(emb: DataFrame, trainPred: Column, queryPred: Column,
+                        idCol: String, vecCol: String, k: Int,
+                        numCells: Int = 16, nprobe: Int = 2, iters: Int = 1): DataFrame = {
+    val centroids =
+      ivfCentroids(emb.filter(trainPred), idCol, vecCol, numCells, iters).persist()
+    ivfSearch(emb, centroids, queryPred, idCol, vecCol, k, nprobe)
+  }
+
+  /** The IVF serving path shared by full ([[knnIvf]]) and incremental
+    * ([[knnIvfIncremental]]) training: assign the corpus to the given
+    * centroids, probe the `nprobe` nearest cells per query, score only
+    * those cells' members.
+    */
+  private def ivfSearch(emb: DataFrame, centroids: DataFrame, queryPred: Column,
+                        idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val corpus = assignCells(emb, centroids, idCol, vecCol).persist()
     val cn = withNorm(corpus, idCol, vecCol, passthrough = Seq("cell"))
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
@@ -302,12 +331,16 @@ object Similarity {
   }
 
   /** The unrolled Lloyd loop of the IVF oracle: iteration i assigns every
-    * vector to its nearest centroid from `cn{i-1}` (cn0 = the seeds) and
-    * rebuilds centroids as the quantized-integer element-wise mean; the
-    * final table is named `cn` so the downstream CTEs are
-    * iteration-count-independent. Each block ends with its trailing comma.
+    * training vector to its nearest centroid from `cn{i-1}` (cn0 = the
+    * seeds) and rebuilds centroids as the quantized-integer element-wise
+    * mean; the final table is named `cn` so the downstream CTEs are
+    * iteration-count-independent. Each block ends with its trailing
+    * comma. `trainPredSql`, when set, restricts training (assignments
+    * AND means) to the staged-corpus slice — the incremental-index
+    * oracle.
     */
-  private def ivfLloydCtes(iters: Int): String =
+  private def ivfLloydCtes(iters: Int, trainPredSql: Option[String] = None): String = {
+    val trainWhere = trainPredSql.map(p => s" WHERE $p").getOrElse("")
     (1 to iters).map { i =>
       val name = if (i == iters) "cn" else s"cn$i"
       s"""assign${i - 1} AS (
@@ -316,7 +349,7 @@ object Similarity {
          |           row_number() OVER (PARTITION BY n.vec_id
          |             ORDER BY list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
          |                      c.cell ASC) AS rn
-         |    FROM n CROSS JOIN cn${i - 1} c) WHERE rn = 1),
+         |    FROM (SELECT * FROM n$trainWhere) n CROSS JOIN cn${i - 1} c) WHERE rn = 1),
          |lloyd$i AS (
          |  SELECT cell, dim,
          |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
@@ -331,6 +364,31 @@ object Similarity {
          |    SELECT cell, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS cv
          |    FROM lloyd$i GROUP BY 1)),""".stripMargin
     }.mkString("\n")
+  }
+
+  /** Everything through the final full-corpus `assign` CTE of the IVF
+    * oracles: base tables, seeds (restricted to `trainPredSql` when set),
+    * the unrolled Lloyd loop, and nearest-centroid assignment of EVERY
+    * vector to the trained centroids. Shared by [[knnIvfSqlFor]] and
+    * [[AnnIndex.ivfCellStatsSqlFor]].
+    */
+  private[functions] def ivfAssignSqlPrefix(numCells: Int, iters: Int,
+                                            trainPredSql: Option[String] = None): String = {
+    val trainWhere = trainPredSql.map(p => s" WHERE $p").getOrElse("")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cn0 AS (
+       |  SELECT vec_id AS cell, v AS cv, sqrt(list_inner_product(v, v)) AS cnrm
+       |  FROM e$trainWhere ORDER BY vec_id LIMIT $numCells),
+       |${ivfLloydCtes(iters, trainPredSql)}
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+       |                      c.cell ASC) AS rn
+       |    FROM n CROSS JOIN cn c) WHERE rn = 1)""".stripMargin
+  }
 
   /** DuckDB twin of [[knnIvf]] at the registered configurations: seeds =
     * first `numCells` vectors by id, then `iters` unrolled Lloyd
@@ -343,20 +401,8 @@ object Similarity {
     * WHAT it searches (nprobe cells), not in reproducibility.
     */
   def knnIvfSqlFor(numCells: Int, nprobe: Int, k: Int, queryPredSql: String,
-                   iters: Int = 1): String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |cn0 AS (
-       |  SELECT vec_id AS cell, v AS cv, sqrt(list_inner_product(v, v)) AS cnrm
-       |  FROM e ORDER BY vec_id LIMIT $numCells),
-       |${ivfLloydCtes(iters)}
-       |assign AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT n.vec_id, c.cell,
-       |           row_number() OVER (PARTITION BY n.vec_id
-       |             ORDER BY list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
-       |                      c.cell ASC) AS rn
-       |    FROM n CROSS JOIN cn c) WHERE rn = 1),
+                   iters: Int = 1, trainPredSql: Option[String] = None): String =
+    s"""${ivfAssignSqlPrefix(numCells, iters, trainPredSql)},
        |q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE $queryPredSql),
        |qc AS (
        |  SELECT q_id, cell FROM (
@@ -808,6 +854,17 @@ object Similarity {
       // oracle recomputes the identical top-k (recall vs knn_brute is
       // separately spec-asserted)
       Some(knnIvfSqlFor(16, 2, 5, "vec_id < 8"))),
+    QueryDef(
+      "knn_ivf_incremental",
+      // staged corpus = vec_id % 5 != 0 (centroids train ONLY here);
+      // new batch = vec_id % 5 = 0 folds in by assignment, and the
+      // queries are the first 8 new-batch vectors — the daily-ingest
+      // shape: index absorbs the batch with zero retraining
+      (s, dir) => knnIvfIncremental(Tables.embeddings(s, dir),
+        col("vec_id") % 5 =!= 0, col("vec_id") % 5 === 0 && col("vec_id") < 40,
+        "vec_id", "embedding", 5),
+      Some(knnIvfSqlFor(16, 2, 5, "vec_id % 5 = 0 AND vec_id < 40",
+        trainPredSql = Some("vec_id % 5 <> 0")))),
     QueryDef(
       "knn_brute",
       (s, dir) => {

@@ -776,6 +776,58 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental IVF: new batch folds in by assignment only; merged corpus is searched; recall floor holds") {
+    // the daily-ingest contract: centroids are a pure function of the
+    // STAGED slice (vec_id % 5 != 0) — training never sees the new batch
+    // — yet the search space is the merged corpus, so new-batch vectors
+    // are findable as neighbors the moment they are assigned.
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val trainPred = col("vec_id") % 5 =!= 0
+    val qPred = col("vec_id") % 5 === 0 && col("vec_id") < 40
+    val res = Similarity.knnIvfIncremental(emb, trainPred, qPred, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.length === 40, "8 new-batch queries x top-5 expected")
+    assert(res.exists(_._2 % 5 == 0),
+      "no new-batch vector ever surfaced as a neighbor — merged corpus is not being searched")
+    val brute = Similarity.knnBrute(emb, emb.filter(qPred), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = res.count(brute.contains).toDouble / brute.size
+    // uniform noise is the adversarial regime for every ANN method here
+    // (sign-LSH measures 0.05 on it); queries the centroids never saw
+    // lose a further slice vs knn_ivf's in-corpus 0.85. Floor, not
+    // target — the regime claim is the clustered assertion below.
+    info(f"incremental IVF recall@5 (uniform, new-batch queries, nprobe 2/16, train on 80%%) = $recall%.2f")
+    assert(recall >= 0.35, f"new-batch recall $recall%.2f below 0.35 uniform floor")
+    // training blindness to the new batch is pinned by the ORACLE, which
+    // retrains on the slice in SQL and must hash-match — no Spark-side
+    // re-derivation needed here (it would re-run the same lineage)
+
+    // clustered mixture — the regime real encoder embeddings live in:
+    // the staged 80% already covers every cluster, so an unseen batch
+    // from the same distribution must be served at high recall
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- 0 until 8; i <- 0 until 40 } yield {
+      val v = centers(c).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      ((c * 40 + i).toLong, v.toSeq)
+    }
+    val cemb = rows.toDF("vec_id", "embedding")
+    val cq = col("vec_id") % 5 === 0 && col("vec_id") % 40 < 10
+    val cBrute = Similarity.knnBrute(cemb, cemb.filter(cq), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cRecall = Similarity
+      .knnIvfIncremental(cemb, col("vec_id") % 5 =!= 0, cq, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count(cBrute.contains).toDouble / cBrute.size
+    info(f"incremental IVF recall@5 (clustered, new-batch queries) = $cRecall%.2f")
+    assert(cRecall >= 0.8,
+      f"clustered-regime new-batch recall $cRecall%.2f below 0.8 — incremental ingest is not serving the distribution it was staged on")
+    spark.catalog.clearCache()
+  }
+
   test("staged IVF == inline iters=3 bit-for-bit; recall floors hold; iters help where clusters exist") {
     // verdict item 4+1, with the claim it actually earned: (a) the staged
     // index is a faithful store round-trip — searching it must equal
