@@ -209,6 +209,33 @@ object AnnIndex {
       .select(col("m").cast("int").as("m"), col("n_vecs"), col("mse"))
   }
 
+  /** The production two-stage search against the STORED index — the
+    * shape a 100 TB deployment actually serves: stage 1 scans the corpus
+    * as 8-byte codes from the store ([[pqKnnStaged]], `shortlist`
+    * candidates per query), stage 2 re-ranks ONLY the shortlist with
+    * full-precision squared-L2 (quantized floor(d2·10⁹), engine-
+    * portable). Full vectors are read for `shortlist` rows per query,
+    * never corpus-wide; zero training lineage in the plan.
+    */
+  def pqKnnRerankStaged(spark: SparkSession, dir: String, queryPred: Column, k: Int,
+                        shortlist: Int = 40): DataFrame = {
+    val adc = pqKnnStaged(spark, dir, queryPred, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val full = Similarity.withNorm(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val qv = full.select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val nv = full.select(col("vec_id").as("n_id"), col("v").as("vn"))
+    val d2 = Similarity.dot(col("vq"), col("vq")) -
+      lit(2.0) * Similarity.dot(col("vq"), col("vn")) +
+      Similarity.dot(col("vn"), col("vn"))
+    val exact = adc.join(qv, Seq("q_id")).join(nv, Seq("n_id"))
+      .select(col("q_id"), col("n_id"), floor(d2 * lit(1e9)).cast("long").as("d2q"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2q").asc, col("n_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"),
+        round(col("d2q").cast("double") / lit(1e9), 4).as("dist"), col("rank"))
+  }
+
   /** IVF index-health QA over the stored postings — the inverted-list
     * balance report every production ANN deployment watches: per cell,
     * the posting count (a skewed cell means probe cost variance — the
@@ -279,5 +306,9 @@ object AnnIndex {
       "ivf_cell_stats",
       (s, dir) => ivfCellStats(s, dir),
       Some(ivfCellStatsSqlFor(NumCells, Iters))),
+    QueryDef(
+      "pq_knn_rerank_staged",
+      (s, dir) => pqKnnRerankStaged(s, dir, col("vec_id") < 8, 5),
+      Some(Similarity.pqKnnRerankSqlFor(NumSub, NumCodes, Dim, 5, 40, "vec_id < 8", Iters))),
   )
 }

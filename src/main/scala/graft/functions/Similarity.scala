@@ -545,6 +545,35 @@ object Similarity {
       .select(col(idCol), col("m").cast("int").as("m"), col("code").cast("int").as("code"))
   }
 
+  /** Incremental (daily-ingest) PQ encode — the codebook mirror of
+    * [[knnIvfIncremental]]: codebooks train ONLY on the staged corpus
+    * (`trainPred`); the new batch (`newPred`) is encoded against them by
+    * pure per-row assignment — a broadcast join against the numSub ×
+    * numCodes codebook, zero retraining. At 100 TB this is how a PQ
+    * index absorbs an ingest batch: the stored codes are immutable, the
+    * batch appends `numSub` one-byte codes per vector, and the codebook
+    * retrains only on schedule.
+    */
+  def pqCodesIncremental(emb: DataFrame, trainPred: Column, newPred: Column,
+                         idCol: String, vecCol: String,
+                         numSub: Int = 8, numCodes: Int = 16, dim: Int = 64,
+                         iters: Int = 1): DataFrame = {
+    val (_, cb) = pqTrain(emb.filter(trainPred), idCol, vecCol, numSub, numCodes, dim, iters)
+    val subNew = pqSubVectors(emb.filter(newPred), idCol, vecCol, numSub, dim / numSub)
+    pqAssign(subNew, cb, idCol)
+      .select(col(idCol), col("m").cast("int").as("m"), col("code").cast("int").as("code"))
+  }
+
+  /** DuckDB twin of [[pqCodesIncremental]]: training CTEs restricted to
+    * the staged slice, final assignment filtered to the new batch.
+    */
+  def pqCodesIncrementalSqlFor(numSub: Int, numCodes: Int, dim: Int,
+                               trainPredSql: String, newPredSql: String,
+                               iters: Int = 1): String =
+    s"""${pqSqlPrefix(numSub, numCodes, dim, iters, Some(trainPredSql))}
+       |SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
+       |FROM codes WHERE $newPredSql""".stripMargin
+
   /** PQ top-k search via asymmetric distance computation (ADC) — the
     * search half of the compressed index: queries stay full-precision,
     * the corpus exists only as codes. Per query, a distance TABLE of
@@ -652,9 +681,15 @@ object Similarity {
     * a float round-trip; the final codebook is always named `cb` so the
     * downstream CTEs are iteration-count-independent.
     */
-  private[functions] def pqSqlPrefix(numSub: Int, numCodes: Int, dim: Int, iters: Int = 1): String = {
+  private[functions] def pqSqlPrefix(numSub: Int, numCodes: Int, dim: Int, iters: Int = 1,
+                                     trainPredSql: Option[String] = None): String = {
     val subDim = dim / numSub
     val d2 = "list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv) + list_inner_product(c.cv, c.cv)"
+    // training (seeds + every Lloyd assignment/mean) restricts to the
+    // staged-corpus slice when trainPredSql is set; the final `codes`
+    // assignment always covers every vector
+    val trainWhere = trainPredSql.map(p => s" WHERE $p").getOrElse("")
+    val trainSub = trainPredSql.map(p => s"(SELECT * FROM sub WHERE $p) s").getOrElse("sub s")
     val lloydCtes = (1 to iters).map { i =>
       val name = if (i == iters) "cb" else s"cb$i"
       s"""a${i - 1} AS (
@@ -662,7 +697,7 @@ object Similarity {
          |    SELECT s.vec_id, s.m, c.code,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m
          |             ORDER BY ($d2) ASC, c.code ASC) AS rn
-         |    FROM sub s JOIN cb${i - 1} c ON c.m = s.m) WHERE rn = 1),
+         |    FROM $trainSub JOIN cb${i - 1} c ON c.m = s.m) WHERE rn = 1),
          |lloyd$i AS (
          |  SELECT m, code, pos,
          |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
@@ -682,7 +717,7 @@ object Similarity {
        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${numSub - 1})) AS m) mm),
        |seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code
-       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numCodes)),
+       |  FROM (SELECT vec_id FROM e$trainWhere ORDER BY vec_id LIMIT $numCodes)),
        |cb0 AS (SELECT s.m, sd.code, s.sv AS cv FROM sub s JOIN seeds sd USING (vec_id)),
        |$lloydCtes
        |codes AS (
@@ -834,6 +869,13 @@ object Similarity {
       "pq_knn_rerank",
       (s, dir) => pqKnnRerank(Tables.embeddings(s, dir), col("vec_id") < 8, "vec_id", "embedding", 5),
       Some(pqKnnRerankSqlFor(8, 16, 64, 5, 40, "vec_id < 8"))),
+    QueryDef(
+      "pq_codes_incremental",
+      // staged corpus = vec_id % 5 != 0 trains the codebooks; the new
+      // batch vec_id % 5 = 0 is encoded against them by assignment only
+      (s, dir) => pqCodesIncremental(Tables.embeddings(s, dir),
+        col("vec_id") % 5 =!= 0, col("vec_id") % 5 === 0, "vec_id", "embedding"),
+      Some(pqCodesIncrementalSqlFor(8, 16, 64, "vec_id % 5 <> 0", "vec_id % 5 = 0"))),
     QueryDef(
       "embedding_quantize_int8",
       (s, dir) => quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding"),

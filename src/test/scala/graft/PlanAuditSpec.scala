@@ -58,11 +58,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // twins must KEEP the lineage: they are the self-contained shapes the
     // oracle retrains against.
     val lloydMarks = Seq("1000000.0", "ObjectHashAggregate")
-    for (k <- Seq("knn_ivf_staged", "pq_knn_staged", "pq_recon_error", "ivf_cell_stats");
+    for (k <- Seq("knn_ivf_staged", "pq_knn_staged", "pq_knn_rerank_staged",
+                  "pq_recon_error", "ivf_cell_stats");
          m <- lloydMarks)
       assert(!sections(k).contains(m),
         s"$k plan contains training lineage '$m' — staged search must read the store only")
-    for (k <- Seq("knn_ivf", "knn_ivf_incremental", "pq_knn", "pq_codes"))
+    for (k <- Seq("knn_ivf", "knn_ivf_incremental", "pq_knn", "pq_codes", "pq_codes_incremental"))
       assert(lloydMarks.forall(sections(k).contains),
         s"$k (inline oracle twin) lost its training lineage — did it silently switch to the store?")
   }
