@@ -257,6 +257,49 @@ object AnnIndex {
           / (lit(1e9) * count(lit(1))), 6).as("mean_norm"))
   }
 
+  /** SemDeDup-style semantic dedup over the STORED IVF cells: candidate
+    * pairs are generated within a cell only (the clustering IS the
+    * blocking structure — two embeddings in different Voronoi cells are
+    * far by construction), then scored exactly; pairs at cosine ≥
+    * `threshold` are the semantic near-duplicates a curation pass prunes
+    * (keep-lowest-id is the usual rule; the pair list is the auditable
+    * artifact). This is the embedding-space analogue of the minhash band
+    * join: Σ|cell|² candidate pairs, never n².
+    *
+    * Scale shape: reads only the staged postings (no training lineage —
+    * PlanAuditSpec-asserted), and the self-join keys on the hive
+    * partition column. At 100 TB the cell count grows with the corpus
+    * (numCells ≈ √n is the standard rule, making candidate work ~n^1.5
+    * with a per-cell cap as the skew guard); the fixed 16-cell geometry
+    * here is the oracle gate configuration, same as the inline ANN twins.
+    */
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val base = stageOnce(spark, dir)
+    VectorExpressions.register(spark)
+    val postings = spark.read.parquet(s"$base/ivf_postings")
+    val n = Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
+    val a = n.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
+      .withColumn("cs", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cs") >= threshold)
+      .select(col("cell").cast("int").as("cell"), col("a_id"), col("b_id"),
+        round(col("cs"), 4).as("cos_sim"))
+  }
+
+  /** DuckDB twin of [[semDedup]]: unrolled IVF training + assignment,
+    * then the within-cell exact-cosine pair scan. The threshold compares
+    * the UNROUNDED cosine (both engines), rounding only the output.
+    */
+  def semDedupSqlFor(numCells: Int, iters: Int, threshold: Double): String =
+    s"""${Similarity.ivfAssignSqlPrefix(numCells, iters)},
+       |p AS (SELECT a.vec_id, a.cell, n.v, n.nrm FROM assign a JOIN n USING (vec_id))
+       |SELECT CAST(x.cell AS INT) AS cell, x.vec_id AS a_id, y.vec_id AS b_id,
+       |       round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos_sim
+       |FROM p x JOIN p y ON y.cell = x.cell AND x.vec_id < y.vec_id
+       |WHERE list_inner_product(x.v, y.v) / (x.nrm * y.nrm) >= $threshold""".stripMargin
+
   /** DuckDB twin of [[ivfCellStats]]: unrolled IVF training + full-corpus
     * assignment, then the per-cell quantized-norm aggregate.
     */
@@ -310,5 +353,9 @@ object AnnIndex {
       "pq_knn_rerank_staged",
       (s, dir) => pqKnnRerankStaged(s, dir, col("vec_id") < 8, 5),
       Some(Similarity.pqKnnRerankSqlFor(NumSub, NumCodes, Dim, 5, 40, "vec_id < 8", Iters))),
+    QueryDef(
+      "semdedup_pairs",
+      (s, dir) => semDedup(s, dir, threshold = 0.4),
+      Some(semDedupSqlFor(NumCells, Iters, 0.4))),
   )
 }

@@ -491,6 +491,43 @@ object Curation {
        |SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY 1""".stripMargin
   }
 
+  /** Train/val/test leakage audit — the split-hygiene check every
+    * training pipeline must run AFTER near-dedup: a near-duplicate pair
+    * straddling two splits silently leaks evaluation data into training
+    * (the model is "tested" on paraphrases of what it memorized).
+    * Candidates come from the production MinHash-LSH band index
+    * ([[Dedup.minhashLshPairs]]), split assignment from the
+    * hash-deterministic [[TextAnalysis.dataSplit]]; output is exactly the
+    * offending cross-split pairs — the quarantine list.
+    *
+    * Scale shape: both inputs are already-scaling primitives (banded
+    * equi-join candidates; a per-row hash map); the audit adds two
+    * id-equi-joins of the pair list against a (id, split) frame — no new
+    * shuffle family, no text movement. Runs at full corpus scale
+    * whenever the dedup pass itself does.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, idCol, textCol)
+    val splits = TextAnalysis.dataSplit(docs, idCol)
+    val sa = splits.select(col(idCol).as("doc_a"), col("split").as("split_a"))
+    val sb = splits.select(col(idCol).as("doc_b"), col("split").as("split_b"))
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+  }
+
+  /** DuckDB twin of [[splitLeakage]]: the minhash pair query as a
+    * derived table, joined twice against the split CASE expression.
+    */
+  val splitLeakageSql: String =
+    s"""WITH pairs AS (SELECT * FROM (${Dedup.minhashSql}) mp),
+       |sp AS (${TextAnalysis.dataSplitSql})
+       |SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+       |FROM pairs p
+       |  JOIN sp a ON a.doc_id = p.doc_a
+       |  JOIN sp b ON b.doc_id = p.doc_b
+       |WHERE a.split <> b.split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("source_cap",
       (s, dir) => sourceCap(Tables.documents(s, dir), "doc_id", "source", "n_chars", 20),
@@ -517,5 +554,8 @@ object Curation {
     QueryDef("span_dedup",
       (s, dir) => spanDedup(Tables.documents(s, dir), "doc_id", "text", spanTokens = 8, maxDf = 1),
       Some(spanDedupSqlFor(8, 1))),
+    QueryDef("split_leakage",
+      (s, dir) => splitLeakage(Tables.documents(s, dir), "doc_id", "text"),
+      Some(splitLeakageSql)),
   )
 }

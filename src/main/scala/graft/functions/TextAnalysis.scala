@@ -178,6 +178,91 @@ object TextAnalysis {
       |       CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_millibits
       |FROM scored GROUP BY 1""".stripMargin
 
+  /** Bigram-LM fluency scoring — one context order up from
+    * [[tokenSurprisal]], the same engine-portable stand-in for the
+    * KenLM-perplexity stage: each bigram occurrence scores
+    * floor(log2(count(w1·))) − floor(log2(count(w1 w2))) bits, a
+    * 1-bit-accurate −log2 of the conditional MLE P(w2|w1) with zero
+    * transcendentals (floor(log2 n) = length(bin(n)) − 1). Unlike the
+    * unigram score, this catches locally-shuffled word salad: common
+    * words in improbable ORDER score high even when each word is
+    * frequent. Docs with < 2 tokens have no bigrams and drop out.
+    *
+    * Scale shape: the bigram table shuffles |distinct bigrams| (the
+    * vocabulary-squared worst case never materializes on natural text —
+    * Heaps' law keeps it near-linear in corpus tokens); the context
+    * table re-aggregates that table, so no second pass over the corpus;
+    * per-doc sums are map-side-combined exact integers. The occurrence→
+    * frequency joins key on bigram/first-word — AQE's skew split handles
+    * the inevitable hot function words.
+    */
+  def bigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = ws.select(col(idCol), explode(expr(
+      "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+      .as("bigram"))
+    val bf = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bg_freq"))
+    val cf = bf.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("bg_freq")).as("ctx_freq"))
+    val bits = (length(bin(col("ctx_freq"))) - 1) - (length(bin(col("bg_freq"))) - 1)
+    bg.join(bf, Seq("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(cf, Seq("w1"))
+      .select(col(idCol), bits.cast("long").as("bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .withColumn("mean_millibits", expr("(total_bits * 1000) div n_bigrams"))
+  }
+
+  val bigramLogprobSql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |            WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |       FROM ws),
+      |bf AS (SELECT bigram, count(*) AS bg_freq FROM bg GROUP BY 1),
+      |cf AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(bg_freq) AS BIGINT) AS ctx_freq
+      |       FROM bf GROUP BY 1),
+      |scored AS (
+      |  SELECT g.doc_id,
+      |         CAST((len(bin(c.ctx_freq)) - 1) - (len(bin(f.bg_freq)) - 1) AS BIGINT) AS bits
+      |  FROM bg g JOIN bf f USING (bigram)
+      |    JOIN cf c ON c.w1 = split_part(g.bigram, ' ', 1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(bits) AS BIGINT) AS total_bits,
+      |       CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_millibits
+      |FROM scored GROUP BY 1""".stripMargin
+
+  /** BPE tokenizer training, the pair-counting stage: adjacent symbol-pair
+    * frequencies over the character sequences of whitespace tokens —
+    * iteration 1 of byte-pair encoding, where symbols are still single
+    * characters, so pair (i) = substring(tok, i, 2). Real BPE training
+    * loops merge-then-recount; each round is THIS aggregation over a
+    * re-segmented corpus, and the counting pass is all the distributed
+    * engine does (the merge-table update is driver-side and vocabulary-
+    * sized). Top-k with a deterministic (count desc, pair asc) tie-break.
+    *
+    * Scale shape: explode is in-task; the count shuffles |distinct
+    * pairs| ≤ alphabet², i.e. constant-bounded; the top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def bpeMergePairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
+  val bpeMergePairsSql: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |prs AS (SELECT unnest(list_transform(generate_series(1, CAST(length(tok) - 1 AS BIGINT)),
+      |                                     i -> substr(tok, CAST(i AS INT), 2))) AS pair
+      |        FROM toks WHERE length(tok) >= 2)
+      |SELECT pair, count(*) AS cnt FROM prs GROUP BY 1
+      |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
+
   /** Document fingerprint: full-content hash plus a winnowing-style
     * min-shingle-hash (stable under small appends, unlike the full hash).
     */
@@ -827,6 +912,8 @@ object TextAnalysis {
     QueryDef("lang_id", (s, dir) => langId(Tables.documents(s, dir), "doc_id", "text"), Some(langIdSql)),
     QueryDef("text_quality", (s, dir) => qualityScore(Tables.documents(s, dir), "doc_id", "text"), Some(qualityScoreSql)),
     QueryDef("token_surprisal", (s, dir) => tokenSurprisal(Tables.documents(s, dir), "doc_id", "text"), Some(tokenSurprisalSql)),
+    QueryDef("bigram_logprob", (s, dir) => bigramLogprob(Tables.documents(s, dir), "doc_id", "text"), Some(bigramLogprobSql)),
+    QueryDef("bpe_merge_pairs", (s, dir) => bpeMergePairs(Tables.documents(s, dir), "text", 20), Some(bpeMergePairsSql)),
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
     QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
     QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),

@@ -255,4 +255,20 @@ class CurationSpec extends SparkSpec {
     assert(bloomTotal <= exactTotal * 3 + 50,
       s"bloom total $bloomTotal implausibly far above exact $exactTotal")
   }
+
+  test("splitLeakage returns exactly the cross-split minhash pairs") {
+    val docs = Tables.documents(spark, dir)
+    val got = Curation.splitLeakage(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // reference: compose the two primitives independently collect-side
+    val splits = TextAnalysis.dataSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.functions.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.filter { case (a, b) => splits(a) != splits(b) }
+      .map { case (a, b) => (a, b, splits(a), splits(b)) }
+    assert(got.toSet === expect.toSet)
+    // every reported pair is a genuine leak (splits differ by construction)
+    assert(got.forall { case (_, _, sa, sb) => sa != sb })
+  }
 }

@@ -509,6 +509,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3)
   }
 
+  test("bigram logprob: improbable word order scores more bits than probable order") {
+    // corpus bigram counts: "a b"=4, "b a"=3, "a c"=1; contexts: a=5, b=3.
+    // bits: "a b" -> fl2(5)-fl2(4) = 0; "b a" -> fl2(3)-fl2(3) = 0;
+    //       "a c" -> fl2(5)-fl2(1) = 2. Single-token docs have no bigrams.
+    val d = docs(1L -> "a b a b a b a b", 2L -> "a c", 3L -> "z")
+    val got = TextAnalysis.bigramLogprob(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((7L, 0L, 0L)),    // 4x"a b" + 3x"b a", all modal continuations
+      2L -> ((1L, 2L, 2000L)))) // the rare continuation of a common context
+  }
+
+  test("bpe merge pairs: counts adjacent char pairs per symbol sequence, deterministic top-k") {
+    // "abab" -> ab,ba,ab; "cd" -> cd; "ab" -> ab  ==> ab=3, ba=1, cd=1
+    val d = docs(1L -> "abab cd", 2L -> "ab")
+    val got = TextAnalysis.bpeMergePairs(d, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("ab", 3L), ("ba", 1L))) // tie ba/cd breaks on pair asc
+  }
+
+  test("semdedup: staged-cell pairs equal an inline-trained within-cell exact scan") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.functions.AnnIndex.semDedup(spark, dir, threshold = 0.4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // independent reference: inline training at the same geometry, then
+    // collect-side nearest-centroid assignment (cosine argmax, cell-asc
+    // tie-break — the assignCells contract) and a brute pair scan
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def nrm(a: Array[Float]): Double = math.sqrt(dotd(a, a))
+    val emb = Tables.embeddings(spark, dir)
+    val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      graft.functions.AnnIndex.NumCells, graft.functions.AnnIndex.Iters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = vecs.map { case (id, v) =>
+      val best = cent.map { case (cell, cv) => (cell, dotd(v, cv) / (nrm(v) * nrm(cv))) }
+        .sortBy { case (cell, sim) => (-sim, cell) }.head._1
+      (id, best, v)
+    }
+    val expect = (for {
+      (ia, ca, va) <- assigned; (ib, cb, vb) <- assigned
+      if ca == cb && ia < ib && dotd(va, vb) / (nrm(va) * nrm(vb)) >= 0.4
+    } yield (ca.toInt, ia, ib)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "threshold 0.4 should surface at least one within-cell near-dup")
+  }
+
   test("connected components: transitive chains merge, singletons keep their id") {
     import spark.implicits._
     // 1-2, 2-3 chain → {1,2,3} labeled 1; 5-6 → labeled 5; 4 and 7 singletons

@@ -59,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // oracle retrains against.
     val lloydMarks = Seq("1000000.0", "ObjectHashAggregate")
     for (k <- Seq("knn_ivf_staged", "pq_knn_staged", "pq_knn_rerank_staged",
-                  "pq_recon_error", "ivf_cell_stats");
+                  "pq_recon_error", "ivf_cell_stats", "semdedup_pairs");
          m <- lloydMarks)
       assert(!sections(k).contains(m),
         s"$k plan contains training lineage '$m' — staged search must read the store only")
