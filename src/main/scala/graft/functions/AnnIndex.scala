@@ -55,9 +55,12 @@ object AnnIndex {
   private def basePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    // r2: layout revision — r2 added the residual-PQ (IVF-PQ) artifacts;
+    // bumping the suffix orphans pre-revision dirs instead of serving an
+    // index that lacks the new artifacts behind a valid marker
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_ann_${tag}_c${NumCells}s${NumSub}x${NumCodes}i$Iters")
+      s"graft_ann_${tag}_c${NumCells}s${NumSub}x${NumCodes}i${Iters}r2")
   }
 
   /** Build-once staging: a `_GRAFT_ANN_OK` marker written AFTER all four
@@ -87,6 +90,19 @@ object AnnIndex {
     Similarity.pqAssign(sub, cbStored, "vec_id")
       .write.mode("overwrite").parquet(s"$base/pq_codes")
     sub.unpersist()
+    // IVF-PQ residual artifacts: codebooks train on (vector − stored
+    // centroid) residuals, codes carry the cell so search can key the
+    // candidate join on (cell, m, code)
+    val resid = IvfPq.residuals(emb, centStored, "vec_id", "embedding").persist()
+    val (rsub, rcb) = Similarity.pqTrain(resid, "vec_id", "rv", NumSub, NumCodes, Dim, Iters)
+    rcb.write.mode("overwrite").parquet(s"$base/ivfpq_codebook")
+    val rcbStored = spark.read.parquet(s"$base/ivfpq_codebook")
+    Similarity.pqAssign(rsub, rcbStored, "vec_id")
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("m"), col("code"))
+      .write.mode("overwrite").parquet(s"$base/ivfpq_codes")
+    rsub.unpersist()
+    resid.unpersist()
     fs.create(marker).close()
     base.toString
   }
@@ -218,9 +234,28 @@ object AnnIndex {
     * never corpus-wide; zero training lineage in the plan.
     */
   def pqKnnRerankStaged(spark: SparkSession, dir: String, queryPred: Column, k: Int,
-                        shortlist: Int = 40): DataFrame = {
-    val adc = pqKnnStaged(spark, dir, queryPred, shortlist)
-      .select(col("q_id"), col("n_id"))
+                        shortlist: Int = 40): DataFrame =
+    exactRerank(spark, dir,
+      pqKnnStaged(spark, dir, queryPred, shortlist).select(col("q_id"), col("n_id")), k)
+
+  /** The same two-stage serve over the composed IVF-PQ store: shortlist
+    * from [[ivfPqKnnStaged]] (cell-probed ADC over stored residual
+    * codes), exact re-rank touching only shortlist-many full vectors per
+    * query. Cell-probing caps ADC recall at IVF's cell recall, and ADC
+    * quantization error coarsens the shortlist ORDER — the re-rank
+    * repairs the latter for free, which is why production IVFADC always
+    * serves shortlist+rerank, never raw ADC ranks.
+    */
+  def ivfPqKnnRerankStaged(spark: SparkSession, dir: String, queryPred: Column, k: Int,
+                           shortlist: Int = 40): DataFrame =
+    exactRerank(spark, dir,
+      ivfPqKnnStaged(spark, dir, queryPred, shortlist).select(col("q_id"), col("n_id")), k)
+
+  /** Exact full-precision squared-L2 re-rank of an ADC shortlist —
+    * quantized floor(d2·10⁹) so ranking is engine-portable; full vectors
+    * are read for shortlist rows only, never corpus-wide.
+    */
+  private def exactRerank(spark: SparkSession, dir: String, adc: DataFrame, k: Int): DataFrame = {
     val full = Similarity.withNorm(Tables.embeddings(spark, dir), "vec_id", "embedding")
     val qv = full.select(col("vec_id").as("q_id"), col("v").as("vq"))
     val nv = full.select(col("vec_id").as("n_id"), col("v").as("vn"))
@@ -235,6 +270,48 @@ object AnnIndex {
       .select(col("q_id"), col("n_id"),
         round(col("d2q").cast("double") / lit(1e9), 4).as("dist"), col("rank"))
   }
+
+  /** Residual (IVF-PQ) reconstruction-error QA over the stored index —
+    * the quantitative case for encoding residuals instead of raw
+    * vectors: per subspace, the mean squared L2 between each vector's
+    * RESIDUAL slice and its assigned residual-codebook entry, on the
+    * same quantized floor(d2·10⁹) integers as [[pqReconError]] so the
+    * two are directly comparable (DedupSimilaritySpec asserts the
+    * residual MSE beats the raw MSE — the whole point of IVFADC).
+    * Residuals rebuild from the stored postings (cell already assigned)
+    * joined to the stored centroids — no training lineage.
+    */
+  def ivfPqReconError(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageOnce(spark, dir)
+    VectorExpressions.register(spark)
+    val postings = spark.read.parquet(s"$base/ivf_postings")
+    val cent = spark.read.parquet(s"$base/ivf_centroids")
+    val resid = postings.join(broadcast(cent), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cv"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rv"))
+    val rsub = Similarity.pqSubVectors(resid, "vec_id", "rv", NumSub, SubDim)
+    val rcodes = spark.read.parquet(s"$base/ivfpq_codes")
+    val rcb = spark.read.parquet(s"$base/ivfpq_codebook")
+    pqMse(rsub, rcodes, rcb)
+  }
+
+  /** DuckDB twin of [[ivfPqReconError]]: both trainings unrolled, then
+    * the per-subspace quantized-integer MSE over residual space.
+    */
+  def ivfPqReconErrorSqlFor(iters: Int): String =
+    s"""${IvfPq.sqlPrefix(NumCells, NumSub, NumCodes, Dim, iters)},
+       |err AS (
+       |  SELECT s.m,
+       |         CAST(floor((list_inner_product(s.sv, s.sv)
+       |                     - 2 * list_inner_product(s.sv, c.cv)
+       |                     + list_inner_product(c.cv, c.cv)) * 1000000000.0) AS BIGINT) AS d2q
+       |  FROM rsub s
+       |    JOIN rcodes co ON co.vec_id = s.vec_id AND co.m = s.m
+       |    JOIN rcb c ON c.m = co.m AND c.code = co.code)
+       |SELECT CAST(m AS INT) AS m, count(*) AS n_vecs,
+       |       round(CAST(CAST(sum(d2q) AS BIGINT) AS DOUBLE) / (1000000000.0 * count(*)), 6) AS mse
+       |FROM err GROUP BY 1""".stripMargin
 
   /** IVF index-health QA over the stored postings — the inverted-list
     * balance report every production ANN deployment watches: per cell,
@@ -255,6 +332,53 @@ object AnnIndex {
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(floor(col("nrm") * lit(1e9)).cast("long")).cast("double")
           / (lit(1e9) * count(lit(1))), 6).as("mean_norm"))
+  }
+
+  /** IVF-PQ top-k search against the STORED index — the full production
+    * serving shape ([[IvfPq.ivfPqKnn]] is the inline oracle twin): probe
+    * `nprobe` cells against the stored centroids, rebuild each query's
+    * per-probed-cell residual, ADC-score ONLY the probed cells' stored
+    * residual codes. The corpus appears in this plan exclusively as
+    * (cell, 8-byte code) rows; no Lloyd lineage anywhere
+    * (PlanAuditSpec-asserted).
+    */
+  def ivfPqKnnStaged(spark: SparkSession, dir: String, queryPred: Column, k: Int,
+                     nprobe: Int = Nprobe): DataFrame = {
+    val base = stageOnce(spark, dir)
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$base/ivf_centroids")
+    val rcb = spark.read.parquet(s"$base/ivfpq_codebook")
+    val cand = spark.read.parquet(s"$base/ivfpq_codes")
+      .select(col("vec_id").as("n_id"), col("cell").cast("long").as("cell"),
+        col("m"), col("code"))
+    val qn = Similarity.withNorm(
+      Tables.embeddings(spark, dir).filter(queryPred), "vec_id", "embedding")
+    val cn = centroids.withColumn("cnrm", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    val qc = qn.crossJoin(broadcast(cn))
+      .withColumn("sim", Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        zip_with(col("v"), col("cv"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rv"))
+    val qsub = qc.select(col("q_id"), col("cell"),
+      posexplode(array((0 until NumSub).map(m => slice(col("rv"), m * SubDim + 1, SubDim)): _*))
+        .as(Seq("m", "sv")))
+    val d2 = Similarity.dot(col("sv"), col("sv")) -
+      lit(2.0) * Similarity.dot(col("sv"), col("cv")) +
+      Similarity.dot(col("cv"), col("cv"))
+    val dtab = qsub.join(broadcast(rcb), Seq("m"))
+      .select(col("q_id"), col("cell"), col("m"), col("code"),
+        floor(d2 * lit(1e9)).cast("long").as("d2q"))
+    val scored = cand.join(broadcast(dtab), Seq("cell", "m", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg((sum(col("d2q")).cast("double") / lit(1e9)).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("adist"), 4).as("adist"), col("rank"))
   }
 
   /** SemDeDup-style semantic dedup over the STORED IVF cells: candidate
@@ -357,5 +481,19 @@ object AnnIndex {
       "semdedup_pairs",
       (s, dir) => semDedup(s, dir, threshold = 0.4),
       Some(semDedupSqlFor(NumCells, Iters, 0.4))),
+    QueryDef(
+      "ivfpq_knn_staged",
+      (s, dir) => ivfPqKnnStaged(s, dir, col("vec_id") < 8, 5),
+      Some(IvfPq.ivfPqKnnSqlFor(NumCells, Nprobe, NumSub, NumCodes, Dim, 5,
+        "vec_id < 8", Iters))),
+    QueryDef(
+      "ivfpq_recon_error",
+      (s, dir) => ivfPqReconError(s, dir),
+      Some(ivfPqReconErrorSqlFor(Iters))),
+    QueryDef(
+      "ivfpq_knn_rerank_staged",
+      (s, dir) => ivfPqKnnRerankStaged(s, dir, col("vec_id") < 8, 5),
+      Some(IvfPq.ivfPqKnnRerankSqlFor(NumCells, Nprobe, NumSub, NumCodes, Dim, 5, 40,
+        "vec_id < 8", Iters))),
   )
 }

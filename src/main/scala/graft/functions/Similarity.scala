@@ -681,52 +681,65 @@ object Similarity {
     * a float round-trip; the final codebook is always named `cb` so the
     * downstream CTEs are iteration-count-independent.
     */
-  private[functions] def pqSqlPrefix(numSub: Int, numCodes: Int, dim: Int, iters: Int = 1,
-                                     trainPredSql: Option[String] = None): String = {
-    val subDim = dim / numSub
+  /** The PQ training/encode CTE chain over an arbitrary vector source
+    * CTE `src` (columns: vec_id, v DOUBLE[]), with every emitted CTE name
+    * prefixed by `p` so two chains can coexist in one statement (the
+    * IVF-PQ oracle trains a second, residual-space chain next to the IVF
+    * one — [[IvfPq.sqlPrefix]]). `p` = "" and `src` = "e" reproduces the
+    * classic [[pqSqlPrefix]] chain: seeds → cb0 → `iters` unrolled Lloyd
+    * steps (quantized-integer means, float round-trip) → final `${p}cb`
+    * and full-corpus `${p}codes`.
+    */
+  private[functions] def pqCtes(src: String, p: String, numSub: Int, numCodes: Int,
+                                subDim: Int, iters: Int,
+                                trainPredSql: Option[String] = None): String = {
     val d2 = "list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv) + list_inner_product(c.cv, c.cv)"
     // training (seeds + every Lloyd assignment/mean) restricts to the
     // staged-corpus slice when trainPredSql is set; the final `codes`
     // assignment always covers every vector
-    val trainWhere = trainPredSql.map(p => s" WHERE $p").getOrElse("")
-    val trainSub = trainPredSql.map(p => s"(SELECT * FROM sub WHERE $p) s").getOrElse("sub s")
+    val trainWhere = trainPredSql.map(pr => s" WHERE $pr").getOrElse("")
+    val trainSub = trainPredSql.map(pr => s"(SELECT * FROM ${p}sub WHERE $pr) s").getOrElse(s"${p}sub s")
     val lloydCtes = (1 to iters).map { i =>
-      val name = if (i == iters) "cb" else s"cb$i"
-      s"""a${i - 1} AS (
+      val name = if (i == iters) s"${p}cb" else s"${p}cb$i"
+      s"""${p}a${i - 1} AS (
          |  SELECT vec_id, m, code FROM (
          |    SELECT s.vec_id, s.m, c.code,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m
          |             ORDER BY ($d2) ASC, c.code ASC) AS rn
-         |    FROM $trainSub JOIN cb${i - 1} c ON c.m = s.m) WHERE rn = 1),
-         |lloyd$i AS (
+         |    FROM $trainSub JOIN ${p}cb${i - 1} c ON c.m = s.m) WHERE rn = 1),
+         |${p}lloyd$i AS (
          |  SELECT m, code, pos,
          |         CAST(CAST(sum(floor(val * 1000000.0)) AS BIGINT) AS DOUBLE)
          |           / (1000000.0 * count(*)) AS cm
          |  FROM (SELECT a.m, a.code,
          |               unnest(s.sv) AS val,
          |               unnest(generate_series(0, ${subDim - 1})) AS pos
-         |        FROM a${i - 1} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m)
+         |        FROM ${p}a${i - 1} a JOIN ${p}sub s ON s.vec_id = a.vec_id AND s.m = a.m)
          |  GROUP BY 1, 2, 3),
          |$name AS (
          |  SELECT m, code, list(CAST(CAST(cm AS FLOAT) AS DOUBLE) ORDER BY pos) AS cv
-         |  FROM lloyd$i GROUP BY 1, 2),""".stripMargin
+         |  FROM ${p}lloyd$i GROUP BY 1, 2),""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sub AS (
+    s"""${p}sub AS (
        |  SELECT vec_id, m, list_slice(v, m * $subDim + 1, m * $subDim + $subDim) AS sv
-       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${numSub - 1})) AS m) mm),
-       |seeds AS (
+       |  FROM $src CROSS JOIN (SELECT unnest(generate_series(0, ${numSub - 1})) AS m) mm),
+       |${p}seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code
-       |  FROM (SELECT vec_id FROM e$trainWhere ORDER BY vec_id LIMIT $numCodes)),
-       |cb0 AS (SELECT s.m, sd.code, s.sv AS cv FROM sub s JOIN seeds sd USING (vec_id)),
+       |  FROM (SELECT vec_id FROM $src$trainWhere ORDER BY vec_id LIMIT $numCodes)),
+       |${p}cb0 AS (SELECT s.m, sd.code, s.sv AS cv FROM ${p}sub s JOIN ${p}seeds sd USING (vec_id)),
        |$lloydCtes
-       |codes AS (
+       |${p}codes AS (
        |  SELECT vec_id, m, code FROM (
        |    SELECT s.vec_id, s.m, c.code,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
        |             ORDER BY ($d2) ASC, c.code ASC) AS rn
-       |    FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+       |    FROM ${p}sub s JOIN ${p}cb c ON c.m = s.m) WHERE rn = 1)""".stripMargin
   }
+
+  private[functions] def pqSqlPrefix(numSub: Int, numCodes: Int, dim: Int, iters: Int = 1,
+                                     trainPredSql: Option[String] = None): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${pqCtes("e", "", numSub, numCodes, dim / numSub, iters, trainPredSql)}""".stripMargin
 
   /** DuckDB twin of [[pqKnn]]: the trained-code prefix plus the per-query
     * ADC distance table (quantized to floor(d2·10⁹) integers before the

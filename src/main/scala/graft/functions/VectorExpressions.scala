@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -18,23 +19,41 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Determinism contract (oracle parity): accumulation is sequential
   * left-to-right in double after an exact float→double widening per
   * element — bit-identical to both the HOF formulation and DuckDB's
-  * `list_inner_product` on `DOUBLE[]`.
+  * `list_inner_product` on `DOUBLE[]`. Each side independently accepts
+  * ARRAY&lt;FLOAT&gt; (raw embeddings) or ARRAY&lt;DOUBLE&gt; (derived
+  * vectors — IVF-PQ residuals are double by construction, the exact
+  * difference semantics both engines share); double elements are used
+  * as-is, so the accumulated value is the one DuckDB computes either way.
   */
 case class VectorDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
+
+  private def isDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += (if (xd) x.getDouble(i) else x.getFloat(i).toDouble) *
+        (if (yd) y.getDouble(i) else y.getFloat(i).toDouble)
       i += 1
     }
     s
@@ -45,11 +64,13 @@ case class VectorDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def get(arr: String, e: Expression): String =
+        if (isDouble(e)) s"$arr.getDouble($i)" else s"((double) $arr.getFloat($i))"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += ${get(a, left)} * ${get(b, right)};
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -559,6 +559,59 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "threshold 0.4 should surface at least one within-cell near-dup")
   }
 
+  test("ivfpq: staged search equals inline same-iters training bit-for-bit") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.01"
+    val staged = graft.functions.AnnIndex.ivfPqKnnStaged(spark, dir, col("vec_id") < 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = graft.functions.IvfPq.ivfPqKnn(Tables.embeddings(spark, dir),
+      col("vec_id") < 8, "vec_id", "embedding", 5,
+      iters = graft.functions.AnnIndex.Iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(staged === inline,
+      "store round-trip must not change a single ADC distance or rank")
+  }
+
+  test("ivfpq: residual quantization beats raw PQ reconstruction MSE in every subspace") {
+    val dir = "/root/testdata/sf0.01"
+    val resid = graft.functions.AnnIndex.ivfPqReconError(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val raw = graft.functions.AnnIndex.pqReconError(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(resid.keySet === raw.keySet)
+    // the reason IVFADC encodes residuals: centering on the cell centroid
+    // removes the coarse component, so the same 4-bit-per-subspace budget
+    // quantizes what remains more finely (measured ~10% even on uniform
+    // vectors; real clustered embeddings gain far more)
+    resid.foreach { case (m, mse) =>
+      assert(mse < raw(m), s"subspace $m: residual MSE $mse !< raw ${raw(m)}")
+    }
+  }
+
+  test("ivfpq rerank: exact re-rank recovers most of the ADC ordering loss") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = pairs(graft.functions.AnnIndex.ivfPqKnnStaged(spark, dir, col("vec_id") < 8, 5))
+    val rr = pairs(graft.functions.AnnIndex.ivfPqKnnRerankStaged(spark, dir, col("vec_id") < 8, 5))
+    // collect-side exact L2 truth (the metric the index approximates)
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    val truth = (for ((q, qv) <- vecs if q < 8) yield {
+      vecs.filter(_._1 != q).map { case (n, nv) => (n, d2(qv, nv)) }
+        .sortBy { case (n, d) => (d, n) }.take(5).map { case (n, _) => (q, n) }
+    }).flatten.toSet
+    val adcRecall = (adc & truth).size.toDouble / truth.size
+    val rrRecall = (rr & truth).size.toDouble / truth.size
+    assert(rrRecall >= adcRecall,
+      s"re-rank recall $rrRecall dropped below raw-ADC recall $adcRecall")
+    assert(rrRecall >= 0.6,
+      s"shortlist-40 + exact re-rank should clear 0.6 recall@5, got $rrRecall")
+  }
+
   test("connected components: transitive chains merge, singletons keep their id") {
     import spark.implicits._
     // 1-2, 2-3 chain → {1,2,3} labeled 1; 5-6 → labeled 5; 4 and 7 singletons

@@ -59,11 +59,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // oracle retrains against.
     val lloydMarks = Seq("1000000.0", "ObjectHashAggregate")
     for (k <- Seq("knn_ivf_staged", "pq_knn_staged", "pq_knn_rerank_staged",
-                  "pq_recon_error", "ivf_cell_stats", "semdedup_pairs");
+                  "pq_recon_error", "ivf_cell_stats", "semdedup_pairs",
+                  "ivfpq_knn_staged", "ivfpq_recon_error", "ivfpq_knn_rerank_staged");
          m <- lloydMarks)
       assert(!sections(k).contains(m),
         s"$k plan contains training lineage '$m' — staged search must read the store only")
-    for (k <- Seq("knn_ivf", "knn_ivf_incremental", "pq_knn", "pq_codes", "pq_codes_incremental"))
+    for (k <- Seq("knn_ivf", "knn_ivf_incremental", "pq_knn", "pq_codes",
+                  "pq_codes_incremental", "ivfpq_knn"))
       assert(lloydMarks.forall(sections(k).contains),
         s"$k (inline oracle twin) lost its training lineage — did it silently switch to the store?")
   }
