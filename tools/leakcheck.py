@@ -33,6 +33,9 @@ def main():
     rnd = int(sys.argv[1])
     files = subprocess.run(["git", "ls-files"], capture_output=True,
                            text=True, check=True).stdout.split()
+    # the scanner's own PATTERNS literals match themselves — the one
+    # file whose hits are false by construction
+    files = [f for f in files if f != "tools/leakcheck.py"]
     hits = {k: [] for k in PATTERNS}
     scanned = 0
     for f in files:
