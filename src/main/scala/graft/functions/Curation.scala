@@ -491,6 +491,68 @@ object Curation {
        |SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY 1""".stripMargin
   }
 
+  /** Curriculum ordering — the deterministic training schedule a data
+    * pipeline emits after curation: within each source, documents rank
+    * by a quality proxy (best first, id tie-break); across sources the
+    * schedule interleaves round-robin by PURE POSITION ARITHMETIC
+    * (`pos = rank_in_source · n_sources + source_index`) — no global
+    * sort, no global window, nothing sequential anywhere. `pos` is an
+    * ordinal (sparse once short sources exhaust); consumers sort by it,
+    * which Spark range-partitions — the one global order operation left
+    * is a sort, which distributes, rather than a rank, which does not.
+    *
+    * The per-source rank itself avoids the mega-source window trap (one
+    * task sorting half the corpus — see [[sourceCap]]): quality
+    * bucketing makes exact ranks task-bounded. Bucket b = floor(q / w)
+    * is monotone in q, so ordering by (bucket desc, q desc, id) equals
+    * ordering by (q desc, id); rank = prefix-count of better buckets
+    * (a window over the tiny (source, bucket) count table) + row_number
+    * within (source, bucket) — no task ever sorts more than one
+    * bucket's rows. Output is bit-identical to the naive single-window
+    * rank (spec-asserted); the oracle uses the naive form.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, sourceCol: String,
+                      qualityCol: String, bucketWidth: Int = 64): DataFrame = {
+    val b = floor(col(qualityCol) / lit(bucketWidth)).as("b")
+    val bucketed = docs.select(col(idCol), col(sourceCol), col(qualityCol), b)
+    // (source, bucket) histogram — |sources|·|buckets| rows, never text
+    val cnts = bucketed.groupBy(col(sourceCol), col("b")).agg(count(lit(1)).as("c"))
+    val wPrefix = Window.partitionBy(col(sourceCol)).orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = cnts.withColumn("pfx", coalesce(sum(col("c")).over(wPrefix), lit(0L)))
+      .select(col(sourceCol), col("b"), col("pfx"))
+    val wLocal = Window.partitionBy(col(sourceCol), col("b"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    val ranked = bucketed
+      .withColumn("lr", row_number().over(wLocal).cast("long") - 1)
+      .join(prefix, Seq(sourceCol, "b"))
+      .select(col(idCol), col(sourceCol), (col("pfx") + col("lr")).as("rank_in_source"))
+    val srcIdx = docs.select(col(sourceCol)).distinct()
+      .withColumn("si", row_number().over(Window.orderBy(col(sourceCol))).cast("long") - 1)
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(srcIdx), Seq(sourceCol))
+      .crossJoin(broadcast(nSrc))
+      .select(col(idCol), col(sourceCol), col("rank_in_source"),
+        (col("rank_in_source") * col("n_src") + col("si")).as("pos"))
+  }
+
+  /** DuckDB twin of [[curriculumOrder]]: the naive per-source window
+    * rank (tiny data — the bucketed guard exists for Spark task bounds,
+    * not semantics) plus the same position arithmetic.
+    */
+  val curriculumOrderSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY n_chars DESC, doc_id ASC) - 1 AS BIGINT) AS rank_in_source
+      |  FROM documents),
+      |si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS si
+      |       FROM (SELECT DISTINCT source FROM documents)),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si)
+      |SELECT r.doc_id, r.source, r.rank_in_source,
+      |       r.rank_in_source * n.n_src + si.si AS pos
+      |FROM r JOIN si USING (source) CROSS JOIN n""".stripMargin
+
   /** Train/val/test leakage audit — the split-hygiene check every
     * training pipeline must run AFTER near-dedup: a near-duplicate pair
     * straddling two splits silently leaks evaluation data into training
@@ -557,5 +619,8 @@ object Curation {
     QueryDef("split_leakage",
       (s, dir) => splitLeakage(Tables.documents(s, dir), "doc_id", "text"),
       Some(splitLeakageSql)),
+    QueryDef("curriculum_order",
+      (s, dir) => curriculumOrder(Tables.documents(s, dir), "doc_id", "source", "n_chars"),
+      Some(curriculumOrderSql)),
   )
 }

@@ -295,6 +295,69 @@ object Similarity {
     ivfSearch(emb, centroids, queryPred, idCol, vecCol, k, nprobe)
   }
 
+  /** Index drift monitor — the health check a production ANN deployment
+    * runs per ingest batch: with centroids trained ONLY on the staged
+    * corpus (`trainPred`, the [[knnIvfIncremental]] contract), compare
+    * how well the NEW batch (`newPred`) fits the existing cells. Per
+    * cell: member counts from each slice and the mean cosine-to-centroid
+    * of each slice (quantized floor(sim·10⁹) integer means — engine-
+    * portable); `drift` = new-batch mean − corpus mean. A strongly
+    * negative drift in many cells means the ingest distribution has
+    * moved and the index wants retraining — the signal that closes the
+    * build → serve → ingest → monitor lifecycle loop.
+    *
+    * Scale shape: one broadcast of the centroid table, one map-side
+    * aggregation to numCells rows; the batch-vs-corpus split is a
+    * per-row flag, not a second pass.
+    */
+  def ivfDriftReport(emb: DataFrame, trainPred: Column, newPred: Column,
+                     idCol: String, vecCol: String,
+                     numCells: Int = 16, iters: Int = 1): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val cent = ivfCentroids(emb.filter(trainPred), idCol, vecCol, numCells, iters)
+    val assigned = assignCells(emb, cent, idCol, vecCol)
+    val n = withNorm(assigned, idCol, vecCol, passthrough = Seq("cell"))
+    val cw = cent.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    val sims = n.join(broadcast(cw), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        floor(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")) * lit(1e9))
+          .cast("long").as("simq"),
+        when(newPred, 1L).otherwise(0L).as("is_new"))
+    sims.groupBy(col("cell").cast("int").as("cell"))
+      .agg(
+        sum(lit(1L) - col("is_new")).as("n_corpus"),
+        sum(col("is_new")).as("n_new"),
+        round(sum(when(col("is_new") === 0, col("simq")).otherwise(lit(0L))).cast("double")
+          / (lit(1e9) * nullif(sum(lit(1L) - col("is_new")), lit(0L))), 6).as("mean_sim_corpus"),
+        round(sum(when(col("is_new") === 1, col("simq")).otherwise(lit(0L))).cast("double")
+          / (lit(1e9) * nullif(sum(col("is_new")), lit(0L))), 6).as("mean_sim_new"))
+      .withColumn("drift", round(col("mean_sim_new") - col("mean_sim_corpus"), 6))
+  }
+
+  /** DuckDB twin of [[ivfDriftReport]]: staged-slice training via the
+    * trainPred'd assign prefix, then the per-cell conditional
+    * quantized-integer means and their difference.
+    */
+  def ivfDriftReportSqlFor(numCells: Int, iters: Int,
+                           trainPredSql: String, newPredSql: String): String =
+    s"""${ivfAssignSqlPrefix(numCells, iters, Some(trainPredSql))},
+       |sims AS (
+       |  SELECT a.vec_id, a.cell,
+       |         CAST(floor(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 1000000000.0) AS BIGINT) AS simq,
+       |         CASE WHEN $newPredSql THEN 1 ELSE 0 END AS is_new
+       |  FROM assign a JOIN n USING (vec_id) JOIN cn c USING (cell))
+       |SELECT cell, n_corpus, n_new, mean_sim_corpus, mean_sim_new,
+       |       round(mean_sim_new - mean_sim_corpus, 6) AS drift
+       |FROM (
+       |  SELECT CAST(cell AS INT) AS cell,
+       |         CAST(sum(1 - is_new) AS BIGINT) AS n_corpus,
+       |         CAST(sum(is_new) AS BIGINT) AS n_new,
+       |         round(CAST(CAST(sum(CASE WHEN is_new = 0 THEN simq ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |               / (1000000000.0 * nullif(CAST(sum(1 - is_new) AS BIGINT), 0)), 6) AS mean_sim_corpus,
+       |         round(CAST(CAST(sum(CASE WHEN is_new = 1 THEN simq ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |               / (1000000000.0 * nullif(CAST(sum(is_new) AS BIGINT), 0)), 6) AS mean_sim_new
+       |  FROM sims GROUP BY 1)""".stripMargin
+
   /** The IVF serving path shared by full ([[knnIvf]]) and incremental
     * ([[knnIvfIncremental]]) training: assign the corpus to the given
     * centroids, probe the `nprobe` nearest cells per query, score only
@@ -920,6 +983,13 @@ object Similarity {
         "vec_id", "embedding", 5),
       Some(knnIvfSqlFor(16, 2, 5, "vec_id % 5 = 0 AND vec_id < 40",
         trainPredSql = Some("vec_id % 5 <> 0")))),
+    QueryDef(
+      "ivf_drift_report",
+      // same slice convention as the incremental family: cells trained
+      // on the staged corpus, the new batch graded against them
+      (s, dir) => ivfDriftReport(Tables.embeddings(s, dir),
+        col("vec_id") % 5 =!= 0, col("vec_id") % 5 === 0, "vec_id", "embedding"),
+      Some(ivfDriftReportSqlFor(16, 1, "vec_id % 5 <> 0", "vec_id % 5 = 0"))),
     QueryDef(
       "knn_brute",
       (s, dir) => {

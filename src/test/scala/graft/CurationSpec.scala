@@ -256,6 +256,32 @@ class CurationSpec extends SparkSpec {
       s"bloom total $bloomTotal implausibly far above exact $exactTotal")
   }
 
+  test("curriculumOrder: bucketed rank equals the naive per-source window, interleave holds") {
+    val docs = Tables.documents(spark, dir)
+    val got = Curation.curriculumOrder(docs, "doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // naive reference: single window per source, position arithmetic
+    val naiveRank = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs.withColumn("r", row_number().over(w).cast("long") - 1)
+        .select("doc_id", "source", "r").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    val sources = got.map(_._2).distinct.sorted
+    val si = sources.zipWithIndex.toMap
+    got.foreach { case (id, src, rank, pos) =>
+      assert(rank === naiveRank((id, src)),
+        s"doc $id: bucketed rank $rank != naive ${naiveRank((id, src))}")
+      assert(pos === rank * sources.length + si(src))
+    }
+    // the schedule interleaves: the first |sources| positions are one doc
+    // per source, each source's best
+    val head = got.sortBy(_._4).take(sources.length)
+    assert(head.map(_._2).toSet === sources.toSet)
+    assert(head.forall(_._3 == 0L))
+  }
+
   test("splitLeakage returns exactly the cross-split minhash pairs") {
     val docs = Tables.documents(spark, dir)
     val got = Curation.splitLeakage(docs, "doc_id", "text")

@@ -612,6 +612,60 @@ class DedupSimilaritySpec extends SparkSpec {
       s"shortlist-40 + exact re-rank should clear 0.6 recall@5, got $rrRecall")
   }
 
+  test("ivf drift report: same-distribution ingest is flat, shifted ingest alarms") {
+    import spark.implicits._
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val counts = Similarity.ivfDriftReport(emb,
+      col("vec_id") % 5 =!= 0, col("vec_id") % 5 === 0, "vec_id", "embedding")
+      .collect()
+    // partition totals: every vector lands in exactly one cell, one slice
+    val total = counts.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total === emb.count())
+    // a same-distribution batch shows only the in-sample/held-out fit gap
+    // (centroids are means OF the corpus slice, so corpus members fit
+    // better by construction — measured ≈ −0.09 on uniform vectors with
+    // 1 Lloyd iter): mildly negative, never a mass alarm. Uniform noise
+    // is also the adversarial regime for DETECTING drift — every
+    // direction fits ~0.25, so masking/negating the batch barely moves
+    // fit-after-reassignment (measured: −0.13 vs −0.09) — hence the
+    // behavioral alarm check below runs on the clustered fixture.
+    val drifts = counts.filter(!_.isNullAt(5)).map(_.getDouble(5))
+    val flatMean = drifts.sum / drifts.size
+    assert(drifts.nonEmpty && flatMean < 0.02 && flatMean > -0.2,
+      s"same-distribution batch should sit in the held-out-gap band, got mean $flatMean")
+    // clustered fixture (the real-encoder regime, same mixture as the
+    // LSH/PQ recall tests): corpus fit is ~0.98, so an off-distribution
+    // ingest (uniform noise) collapses fit and the monitor must alarm
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val clustered = for { c <- 0 until 8; i <- 0 until 40 } yield {
+      val v = centers(c).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      ((c * 40 + i).toLong, v.toSeq)
+    }
+    val cdf = clustered.toDF("vec_id", "embedding")
+    val flatC = Similarity.ivfDriftReport(cdf,
+      col("vec_id") % 5 =!= 0, col("vec_id") % 5 === 0, "vec_id", "embedding",
+      numCells = 8)
+      .collect().filter(r => !r.isNullAt(5)).map(_.getDouble(5))
+    val flatCMean = flatC.sum / flatC.size
+    val noisy = clustered.map { case (id, v) =>
+      if (id % 5 == 0) (id, Seq.fill(dim)(rnd.nextGaussian().toFloat)) else (id, v)
+    }.toDF("vec_id", "embedding")
+    val alarm = Similarity.ivfDriftReport(noisy,
+      col("vec_id") % 5 =!= 0, col("vec_id") % 5 === 0, "vec_id", "embedding",
+      numCells = 8)
+      .collect().filter(r => !r.isNullAt(5)).map(_.getDouble(5))
+    val alarmMean = alarm.sum / alarm.size
+    info(f"clustered drift: same-dist $flatCMean%.3f, off-dist $alarmMean%.3f")
+    assert(math.abs(flatCMean) < 0.1,
+      s"same-distribution clustered ingest should be ~flat, got $flatCMean")
+    assert(alarm.nonEmpty && alarmMean < flatCMean - 0.3,
+      s"off-distribution ingest must alarm: $alarmMean vs flat $flatCMean")
+  }
+
   test("connected components: transitive chains merge, singletons keep their id") {
     import spark.implicits._
     // 1-2, 2-3 chain → {1,2,3} labeled 1; 5-6 → labeled 5; 4 and 7 singletons
