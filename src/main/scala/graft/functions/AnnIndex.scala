@@ -107,6 +107,139 @@ object AnnIndex {
     base.toString
   }
 
+  /** The incremental-index slice convention, mirroring the inline
+    * incremental family ([[Similarity.knnIvfIncremental]],
+    * [[Similarity.pqCodesIncremental]]): the staged corpus is
+    * `vec_id % IncrMod != 0`, the ingest batch `vec_id % IncrMod == 0`.
+    */
+  val IncrMod = 5
+  def incrTrainPred: Column = col("vec_id") % IncrMod =!= 0
+  def incrNewPred: Column = col("vec_id") % IncrMod === 0
+
+  /** Incremental-store base: same four IVF/PQ artifacts as [[stageOnce]]
+    * but trained on — and holding postings/codes for — ONLY the staged
+    * corpus slice, so ingest batches can later be appended by pure
+    * encode-against-store ([[appendToIndex]]). Own fingerprint directory
+    * (the `mN_incr` suffix) so the full-corpus store can never be
+    * mistaken for the sliced one.
+    */
+  def stageIncrBase(spark: SparkSession, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_ann_${tag}_c${NumCells}s${NumSub}x${NumCodes}i${Iters}m${IncrMod}_incr_r1")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_ANN_OK")
+    if (fs.exists(marker)) return base.toString
+    if (fs.exists(base)) fs.delete(base, true)
+    val emb = Tables.embeddings(spark, dir).filter(incrTrainPred)
+    VectorExpressions.register(spark)
+    val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", NumCells, Iters)
+    cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
+    val centStored = spark.read.parquet(s"$base/ivf_centroids")
+    Similarity.assignCells(emb, centStored, "vec_id", "embedding")
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
+    val (sub, cb) = Similarity.pqTrain(emb, "vec_id", "embedding", NumSub, NumCodes, Dim, Iters)
+    cb.write.mode("overwrite").parquet(s"$base/pq_codebook")
+    val cbStored = spark.read.parquet(s"$base/pq_codebook")
+    Similarity.pqAssign(sub, cbStored, "vec_id")
+      .write.mode("overwrite").parquet(s"$base/pq_codes")
+    sub.unpersist()
+    fs.create(marker).close()
+    base.toString
+  }
+
+  /** Append an ingest batch to the staged incremental index WITHOUT
+    * touching the stored base: the batch is encoded against the STORED
+    * centroids and codebook (pure per-row assignment — zero retraining,
+    * zero reshuffle of the existing corpus, the
+    * [[Similarity.knnIvfIncremental]] contract applied to the store) and
+    * written as a self-contained delta segment
+    * `delta_<batchTag>/{ivf_postings,pq_codes}` with its own completion
+    * marker — an interrupted append self-heals by rebuilding only its
+    * delta, never the base (the segment model every production index
+    * store uses: immutable base plus append-only revisions). Serving
+    * reads base ∪ deltas ([[knnIvfStagedIncr]]/[[pqKnnStagedIncr]]);
+    * both sides stay hive-partitioned by cell, so file-level pruning on
+    * probed cells covers the deltas too. Returns the base directory.
+    */
+  def appendToIndex(spark: SparkSession, dir: String, batchPred: Column,
+                    batchTag: String = "b1"): String = {
+    val base = stageIncrBase(spark, dir)
+    val delta = new org.apache.hadoop.fs.Path(base, s"delta_$batchTag")
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(delta, "_GRAFT_DELTA_OK")
+    if (fs.exists(marker)) return base
+    if (fs.exists(delta)) fs.delete(delta, true)
+    val batch = Tables.embeddings(spark, dir).filter(batchPred)
+    VectorExpressions.register(spark)
+    val centStored = spark.read.parquet(s"$base/ivf_centroids")
+    Similarity.assignCells(batch, centStored, "vec_id", "embedding")
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$delta/ivf_postings")
+    val cbStored = spark.read.parquet(s"$base/pq_codebook")
+    val sub = Similarity.pqSubVectors(batch, "vec_id", "embedding", NumSub, SubDim)
+    Similarity.pqAssign(sub, cbStored, "vec_id")
+      .write.mode("overwrite").parquet(s"$delta/pq_codes")
+    fs.create(marker).close()
+    base
+  }
+
+  /** IVF top-k over the MERGED incremental store (base postings ∪ the
+    * appended delta segment) — the serve that proves the
+    * build→serve→ingest→monitor lifecycle closes: the batch appended by
+    * [[appendToIndex]] is searchable with zero retraining, and the plan
+    * reads only stored artifacts (PlanAuditSpec-asserted Lloyd-free).
+    * Equals [[Similarity.knnIvfIncremental]] at the same iteration count
+    * bit-for-bit (spec-asserted): base ∪ delta IS the full-corpus
+    * assignment to the slice-trained centroids.
+    */
+  def knnIvfStagedIncr(spark: SparkSession, dir: String, queryPred: Column, k: Int,
+                       nprobe: Int = Nprobe): DataFrame = {
+    val base = appendToIndex(spark, dir, incrNewPred)
+    ivfServe(spark, dir,
+      spark.read.parquet(s"$base/ivf_centroids"),
+      spark.read.parquet(s"$base/ivf_postings")
+        .unionByName(spark.read.parquet(s"$base/delta_b1/ivf_postings")),
+      queryPred, k, nprobe)
+  }
+
+  /** ADC top-k over the MERGED incremental code store (base codes ∪ the
+    * appended delta segment) — [[knnIvfStagedIncr]]'s PQ twin: the
+    * ingest batch exists at search time purely as its appended 8-byte
+    * codes, encoded against the codebook the base trained.
+    */
+  def pqKnnStagedIncr(spark: SparkSession, dir: String, queryPred: Column, k: Int): DataFrame = {
+    val base = appendToIndex(spark, dir, incrNewPred)
+    pqServe(spark, dir,
+      spark.read.parquet(s"$base/pq_codebook"),
+      spark.read.parquet(s"$base/pq_codes")
+        .unionByName(spark.read.parquet(s"$base/delta_b1/pq_codes")),
+      queryPred, k)
+  }
+
+  /** Index drift monitor over the STORED incremental index — the
+    * production form of [[Similarity.ivfDriftReport]], which retrains
+    * centroids inline on every call: here the centroids AND the
+    * assignments come straight from the store (base postings = staged
+    * corpus, delta postings = ingest batch — their union is exactly the
+    * full-corpus assignment to the slice-trained centroids), so the
+    * monitoring plan carries no Lloyd lineage at all
+    * (PlanAuditSpec-asserted) and its cost is one broadcast join plus a
+    * numCells-row aggregate over data already on disk.
+    */
+  def ivfDriftReportStaged(spark: SparkSession, dir: String): DataFrame = {
+    val base = appendToIndex(spark, dir, incrNewPred)
+    VectorExpressions.register(spark)
+    val cent = spark.read.parquet(s"$base/ivf_centroids")
+    val assigned = spark.read.parquet(s"$base/ivf_postings")
+      .unionByName(spark.read.parquet(s"$base/delta_b1/ivf_postings"))
+      .withColumn("cell", col("cell").cast("long"))
+    Similarity.driftAggregate(assigned, cent, incrNewPred, "vec_id", "embedding")
+  }
+
   /** IVF top-k search against the STORED index: read centroids, probe the
     * `nprobe` nearest cells per query, score only those cells' postings.
     * No Lloyd lineage anywhere in this plan (PlanAuditSpec-asserted) —
@@ -118,10 +251,22 @@ object AnnIndex {
   def knnIvfStaged(spark: SparkSession, dir: String, queryPred: Column, k: Int,
                    nprobe: Int = Nprobe): DataFrame = {
     val base = stageOnce(spark, dir)
+    ivfServe(spark, dir,
+      spark.read.parquet(s"$base/ivf_centroids"),
+      spark.read.parquet(s"$base/ivf_postings"),
+      queryPred, k, nprobe)
+  }
+
+  /** The IVF serve plan over an arbitrary stored centroid/postings pair —
+    * shared by the build-once ([[knnIvfStaged]]) and base+delta
+    * ([[knnIvfStagedIncr]]) stores; both hand in frames read straight
+    * from parquet, so the plan stays training-lineage-free either way.
+    */
+  private def ivfServe(spark: SparkSession, dir: String, centroids: DataFrame,
+                       rawPostings: DataFrame, queryPred: Column, k: Int,
+                       nprobe: Int): DataFrame = {
     VectorExpressions.register(spark)
-    val centroids = spark.read.parquet(s"$base/ivf_centroids")
-    val postings = spark.read.parquet(s"$base/ivf_postings")
-      .withColumn("cell", col("cell").cast("long"))
+    val postings = rawPostings.withColumn("cell", col("cell").cast("long"))
     val cn = Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
     val qnorm = Similarity.withNorm(
@@ -155,10 +300,20 @@ object AnnIndex {
     */
   def pqKnnStaged(spark: SparkSession, dir: String, queryPred: Column, k: Int): DataFrame = {
     val base = stageOnce(spark, dir)
+    pqServe(spark, dir,
+      spark.read.parquet(s"$base/pq_codebook"),
+      spark.read.parquet(s"$base/pq_codes"),
+      queryPred, k)
+  }
+
+  /** The ADC serve plan over an arbitrary stored codebook/codes pair —
+    * shared by the build-once ([[pqKnnStaged]]) and base+delta
+    * ([[pqKnnStagedIncr]]) stores.
+    */
+  private def pqServe(spark: SparkSession, dir: String, cb: DataFrame,
+                      rawCodes: DataFrame, queryPred: Column, k: Int): DataFrame = {
     VectorExpressions.register(spark)
-    val cb = spark.read.parquet(s"$base/pq_codebook")
-    val codes = spark.read.parquet(s"$base/pq_codes")
-      .select(col("vec_id").as("n_id"), col("m"), col("code"))
+    val codes = rawCodes.select(col("vec_id").as("n_id"), col("m"), col("code"))
     val qSub = Similarity.pqSubVectors(
       Tables.embeddings(spark, dir).filter(queryPred), "vec_id", "embedding", NumSub, SubDim)
       .select(col("vec_id").as("q_id"), col("m"), col("sv"))
@@ -394,14 +549,37 @@ object AnnIndex {
     * PlanAuditSpec-asserted), and the self-join keys on the hive
     * partition column. At 100 TB the cell count grows with the corpus
     * (numCells ≈ √n is the standard rule, making candidate work ~n^1.5
-    * with a per-cell cap as the skew guard); the fixed 16-cell geometry
-    * here is the oracle gate configuration, same as the inline ANN twins.
+    * with the `maxCellSize` cap as the skew guard); the fixed 16-cell
+    * geometry here is the oracle gate configuration, same as the inline
+    * ANN twins.
+    *
+    * `maxCellSize`: a hot cell makes the within-cell self-join
+    * Θ(|cell|²), the IVF analogue of a skewed shuffle key. When set,
+    * cells over the cap are DETERMINISTICALLY thinned before the join:
+    * keep a member iff xxhash64(vec_id) mod ceil(|cell|/cap) = 0 — the
+    * same hash-mod idiom as [[Dedup.dedupQaReport]]'s `sampleMod` knob,
+    * so the thinned pair set is reproducible (and a subset of the full
+    * one — spec-bounded recall in DedupSimilaritySpec). The oracle qkey
+    * pins cap = None (exact gate); production sets the cap to its skew
+    * budget.
     */
-  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.4,
+               maxCellSize: Option[Int] = None): DataFrame = {
     val base = stageOnce(spark, dir)
     VectorExpressions.register(spark)
     val postings = spark.read.parquet(s"$base/ivf_postings")
-    val n = Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
+    val full = Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
+    val n = maxCellSize match {
+      case None => full
+      case Some(cap) =>
+        require(cap >= 1, s"semDedup: maxCellSize must be >= 1, got $cap")
+        // numCells-row histogram — AQE broadcasts it into the thinning join
+        val sizes = full.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+        full.join(sizes, Seq("cell"))
+          .filter(pmod(xxhash64(col("vec_id")),
+            ceil(col("csz").cast("double") / cap).cast("long")) === 0)
+          .drop("csz")
+    }
     val a = n.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
       col("v").as("vb"), col("nrm").as("nb"))
@@ -452,6 +630,62 @@ object AnnIndex {
        |       round(CAST(CAST(sum(d2q) AS BIGINT) AS DOUBLE) / (1000000000.0 * count(*)), 6) AS mse
        |FROM err GROUP BY 1""".stripMargin
 
+  /** ANN recall QA as a first-class operator — the monitored artifact a
+    * production deployment alerts on, not a test constant: each staged
+    * method's top-k is joined against the exact brute-force-cosine top-k
+    * (the [[Similarity.knnBrute]] ground truth, same query batch), and
+    * recall@k = |approx ∩ exact| / (|queries| · k) is emitted per method.
+    * Both sides are deterministic, so unlike most recall metrics this one
+    * is EXACTLY reproducible — the oracle recomputes identical numbers
+    * (the spec-asserted 0.90 IVF figure becomes a hash-checked row).
+    *
+    * Scale shape: the three top-k frames are |queries| · k rows each —
+    * the report costs its inputs, the joins and the per-method aggregate
+    * are noise; at 100 TB this runs on a sampled query batch exactly as
+    * it does here.
+    */
+  def annRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val methods = Seq(
+      "knn_ivf_staged" -> knnIvfStaged(spark, dir, col("vec_id") < 8, k),
+      "ivfpq_knn_rerank_staged" -> ivfPqKnnRerankStaged(spark, dir, col("vec_id") < 8, k))
+    val all = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("q_id"), col("n_id"))
+    }.reduce(_ unionByName _)
+    all.join(brute, Seq("q_id", "n_id"), "left")
+      .groupBy(col("method"))
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_retrieved"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / col("n_retrieved"), 4))
+  }
+
+  /** DuckDB twin of [[annRecallReport]]: the brute, staged-IVF, and
+    * staged-rerank top-k queries as CTEs (each retrained/recomputed in
+    * SQL), then the same membership join and per-method aggregate.
+    */
+  val annRecallReportSql: String =
+    s"""WITH brute AS (SELECT q_id, n_id FROM (${Similarity.knnBruteSql})),
+       |ivf AS (SELECT q_id, n_id FROM (
+       |${Similarity.knnIvfSqlFor(NumCells, Nprobe, 5, "vec_id < 8", Iters)})),
+       |rer AS (SELECT q_id, n_id FROM (
+       |${IvfPq.ivfPqKnnRerankSqlFor(NumCells, Nprobe, NumSub, NumCodes, Dim, 5, 40,
+            "vec_id < 8", Iters)})),
+       |allm AS (
+       |  SELECT 'knn_ivf_staged' AS method, q_id, n_id FROM ivf
+       |  UNION ALL
+       |  SELECT 'ivfpq_knn_rerank_staged' AS method, q_id, n_id FROM rer),
+       |mk AS (
+       |  SELECT a.method, a.q_id, a.n_id,
+       |         CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM allm a LEFT JOIN brute b ON b.q_id = a.q_id AND b.n_id = a.n_id)
+       |SELECT method, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+       |       count(*) AS n_retrieved, CAST(sum(hit) AS BIGINT) AS n_hits,
+       |       round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
+       |FROM mk GROUP BY 1""".stripMargin
+
   /** Same oracles as the inline twins, at the staged index's iters=3 —
     * the index contents are deterministic, so "train in SQL, search the
     * store in Spark" must produce identical bytes.
@@ -495,5 +729,27 @@ object AnnIndex {
       (s, dir) => ivfPqKnnRerankStaged(s, dir, col("vec_id") < 8, 5),
       Some(IvfPq.ivfPqKnnRerankSqlFor(NumCells, Nprobe, NumSub, NumCodes, Dim, 5, 40,
         "vec_id < 8", Iters))),
+    QueryDef(
+      "knn_ivf_staged_incr",
+      // base trained on vec_id % 5 != 0, the % 5 == 0 batch appended by
+      // encode-against-store; queries are the first 8 new-batch vectors —
+      // the oracle trains on the slice in SQL and searches the union
+      (s, dir) => knnIvfStagedIncr(s, dir, incrNewPred && col("vec_id") < 40, 5),
+      Some(Similarity.knnIvfSqlFor(NumCells, Nprobe, 5,
+        "vec_id % 5 = 0 AND vec_id < 40", Iters, Some("vec_id % 5 <> 0")))),
+    QueryDef(
+      "pq_knn_staged_incr",
+      (s, dir) => pqKnnStagedIncr(s, dir, incrNewPred && col("vec_id") < 40, 5),
+      Some(Similarity.pqKnnSqlFor(NumSub, NumCodes, Dim, 5,
+        "vec_id % 5 = 0 AND vec_id < 40", Iters, Some("vec_id % 5 <> 0")))),
+    QueryDef(
+      "ivf_drift_report_staged",
+      (s, dir) => ivfDriftReportStaged(s, dir),
+      Some(Similarity.ivfDriftReportSqlFor(NumCells, Iters,
+        "vec_id % 5 <> 0", "vec_id % 5 = 0"))),
+    QueryDef(
+      "ann_recall_report",
+      (s, dir) => annRecallReport(s, dir),
+      Some(annRecallReportSql)),
   )
 }

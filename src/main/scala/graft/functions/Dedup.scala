@@ -124,6 +124,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Public (id, band, sig) band index over a document frame — the staged
+    * candidate-generation artifact that cross-corpus consumers join a new
+    * batch against: [[dedupIncremental]] builds it in-plan, and the
+    * streaming leakage monitor
+    * ([[graft.streaming.StreamingOps.splitLeakageStream]]) takes it as
+    * its static side (at 100 TB it is written to storage once per corpus
+    * revision, exactly like the ANN postings).
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
+    minhashBands(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, rowsPerBand)
+  }
+
   /** (id, band, sig) LSH band index off a signature frame — the shared
     * candidate-generation structure of the self-join ([[minhashLshPairsFrom]])
     * and cross-corpus ([[dedupIncremental]]) paths.

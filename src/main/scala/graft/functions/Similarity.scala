@@ -316,6 +316,18 @@ object Similarity {
     VectorExpressions.register(emb.sparkSession)
     val cent = ivfCentroids(emb.filter(trainPred), idCol, vecCol, numCells, iters)
     val assigned = assignCells(emb, cent, idCol, vecCol)
+    driftAggregate(assigned, cent, newPred, idCol, vecCol)
+  }
+
+  /** The aggregation half of the drift report, over an already-assigned
+    * (id, vector, cell) frame and a centroid table from ANY provenance —
+    * inline training ([[ivfDriftReport]]) or the staged store
+    * ([[AnnIndex.ivfDriftReportStaged]], where the assignment is the
+    * stored postings and the plan carries no Lloyd lineage).
+    */
+  private[functions] def driftAggregate(assigned: DataFrame, cent: DataFrame,
+                                        newPred: Column, idCol: String,
+                                        vecCol: String): DataFrame = {
     val n = withNorm(assigned, idCol, vecCol, passthrough = Seq("cell"))
     val cw = cent.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
     val sims = n.join(broadcast(cw), Seq("cell"))
@@ -810,8 +822,9 @@ object Similarity {
     * and the final per-query top-k.
     */
   def pqKnnSqlFor(numSub: Int, numCodes: Int, dim: Int, k: Int,
-                  queryPredSql: String, iters: Int = 1): String =
-    s"""${pqSqlPrefix(numSub, numCodes, dim, iters)},
+                  queryPredSql: String, iters: Int = 1,
+                  trainPredSql: Option[String] = None): String =
+    s"""${pqSqlPrefix(numSub, numCodes, dim, iters, trainPredSql)},
        |qsub AS (SELECT vec_id AS q_id, m, sv FROM sub WHERE $queryPredSql),
        |dtab AS (
        |  SELECT s.q_id, c.m, c.code,

@@ -263,6 +263,133 @@ object TextAnalysis {
       |SELECT pair, count(*) AS cnt FROM prs GROUP BY 1
       |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
 
+  /** Iterative BPE tokenizer training — the full merge loop
+    * [[bpeMergePairs]] is one step of: each round counts adjacent
+    * symbol-pair frequencies, adopts the most frequent pair (count desc,
+    * pair asc tie-break) as a merge rule, and re-segments; symbols grow
+    * from single characters to learned subwords. The merge is the
+    * standard greedy left-to-right scan (non-overlapping: "aaa" + rule
+    * (a,a) → [aa, a]), expressed as a fold over each token's symbol
+    * array — per-row, zero shuffle. Output: one row per adopted rule,
+    * (step, "a b", count-at-adoption).
+    *
+    * Scale shape — the reason real BPE trainers scale: all per-round
+    * work runs on the DISTINCT-token vocabulary weighted by corpus
+    * frequency, so the corpus is scanned exactly once (the vocab count);
+    * each round is a vocabulary-bounded pair aggregation plus a per-row
+    * re-segmentation fold, and the only driver-side state is the merge
+    * table itself — `merges` rows, the same driver-side fixed-point
+    * shape as doc_pagerank's rank rounds. A round's top-pair selection
+    * is a 1-row TakeOrdered, not a global sort.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, "bpeTrain: need at least one merge round")
+    val spark = docs.sparkSession
+    var vocab = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(tok)), i -> substring(tok, CAST(i AS INT), 1))"))
+      .persist()
+    val adopted = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // guard size >= 2 BEFORE sequence(0, size-2): sequence infers a
+      // negative step when stop < start, which would fabricate pairs
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> concat(element_at(syms, i+1), ' ', element_at(syms, i+2)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        adopted += ((step, pair, cnt))
+        val Array(a, b) = pair.split(" ", 2)
+        // greedy left-to-right merge as a fold: append each symbol; when
+        // the tail is a literal `a` and the next is `b`, replace the tail
+        // with the merged symbol — a fresh merge's tail is a+b ≠ a (b is
+        // never empty), so it can never chain into an overlapping merge,
+        // which is exactly the non-overlapping scan semantics
+        val next = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+          .persist()
+        next.count() // materialize off the parent's cache before dropping it
+        vocab.unpersist(blocking = false)
+        vocab = next
+        step += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    import spark.implicits._
+    adopted.toSeq.toDF("step", "pair", "cnt")
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the merge loop unrolled `merges` times
+    * over a (token, freq, pos, symbol) row representation. The greedy
+    * non-overlapping scan is the run-parity identity: consecutive match
+    * positions (only possible when a = b) form runs, and the scan adopts
+    * exactly the odd (1st, 3rd, …) positions of each run — window
+    * functions, no recursion. Each round: weighted pair counts → 1-row
+    * top pair → match marks → run-parity selection → re-segmented rows
+    * (consumed positions dropped, selected positions rewritten to the
+    * merged symbol, positions renumbered).
+    */
+  def bpeTrainSqlFor(merges: Int): String = {
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (
+         |  SELECT a.sym || ' ' || b.sym AS pair, CAST(sum(a.freq) AS BIGINT) AS cnt
+         |  FROM s${i - 1} a JOIN s${i - 1} b ON b.tok = a.tok AND b.pos = a.pos + 1
+         |  GROUP BY 1),
+         |t$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |m$i AS (
+         |  SELECT a.tok, a.freq, a.pos, a.sym,
+         |         coalesce(a.sym || ' ' || b.sym = (SELECT pair FROM t$i), false) AS mt
+         |  FROM s${i - 1} a LEFT JOIN s${i - 1} b ON b.tok = a.tok AND b.pos = a.pos + 1),
+         |r$i AS (
+         |  SELECT tok, pos, pos - row_number() OVER (PARTITION BY tok ORDER BY pos) AS grp
+         |  FROM m$i WHERE mt),
+         |sel$i AS (
+         |  SELECT tok, pos FROM (
+         |    SELECT tok, pos, row_number() OVER (PARTITION BY tok, grp ORDER BY pos) AS rn
+         |    FROM r$i) WHERE rn % 2 = 1),
+         |s$i AS (
+         |  SELECT tok, freq, CAST(row_number() OVER (PARTITION BY tok ORDER BY opos) AS BIGINT) AS pos, sym
+         |  FROM (
+         |    SELECT m.tok, m.freq, m.pos AS opos,
+         |           CASE WHEN sl.pos IS NOT NULL THEN replace((SELECT pair FROM t$i), ' ', '')
+         |                ELSE m.sym END AS sym
+         |    FROM m$i m
+         |      LEFT JOIN sel$i sl ON sl.tok = m.tok AND sl.pos = m.pos
+         |      LEFT JOIN sel$i pr ON pr.tok = m.tok AND pr.pos = m.pos - 1
+         |    WHERE pr.pos IS NULL)),""".stripMargin
+    }.mkString("\n")
+    val steps = (1 to merges).map { i =>
+      if (i == 1) s"SELECT 1 AS step, pair, cnt FROM t1"
+      else s"SELECT $i, pair, cnt FROM t$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) >= 1 GROUP BY 1),
+       |s0 AS (
+       |  SELECT tok, freq, CAST(i AS BIGINT) AS pos, substr(tok, CAST(i AS INT), 1) AS sym
+       |  FROM (SELECT tok, freq, unnest(generate_series(1, CAST(length(tok) AS BIGINT))) AS i
+       |        FROM toks)),
+       |$rounds
+       |fin AS (
+       |  $steps)
+       |SELECT CAST(step AS INT) AS step, pair, cnt FROM fin""".stripMargin
+  }
+
   /** Document fingerprint: full-content hash plus a winnowing-style
     * min-shingle-hash (stable under small appends, unlike the full hash).
     */
@@ -367,12 +494,17 @@ object TextAnalysis {
     * it portable across engines. Split fractions: test = first two hex
     * chars < '1a' (~10.2%), val < '33' (~19.9% − test), train otherwise.
     */
-  def dataSplit(docs: DataFrame, idCol: String): DataFrame = {
-    val h = substring(md5(col(idCol).cast("string")), 1, 2)
-    docs.select(
-      col(idCol),
-      when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("split"))
+  /** The split assignment as a pure column expression — usable per-row on
+    * a STREAM (no lookup table, no state), which is what makes the
+    * streaming leakage monitor stateless on the split side.
+    */
+  def splitOf(id: Column): Column = {
+    val h = substring(md5(id.cast("string")), 1, 2)
+    when(h < "1a", "test").when(h < "33", "val").otherwise("train")
   }
+
+  def dataSplit(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol), splitOf(col(idCol)).as("split"))
 
   val dataSplitSql: String =
     """SELECT doc_id,
@@ -914,6 +1046,7 @@ object TextAnalysis {
     QueryDef("token_surprisal", (s, dir) => tokenSurprisal(Tables.documents(s, dir), "doc_id", "text"), Some(tokenSurprisalSql)),
     QueryDef("bigram_logprob", (s, dir) => bigramLogprob(Tables.documents(s, dir), "doc_id", "text"), Some(bigramLogprobSql)),
     QueryDef("bpe_merge_pairs", (s, dir) => bpeMergePairs(Tables.documents(s, dir), "text", 20), Some(bpeMergePairsSql)),
+    QueryDef("bpe_merges_k4", (s, dir) => bpeTrain(Tables.documents(s, dir), "text", 4), Some(bpeTrainSqlFor(4))),
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
     QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
     QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),

@@ -529,6 +529,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Seq(("ab", 3L), ("ba", 1L))) // tie ba/cd breaks on pair asc
   }
 
+  test("bpe train: greedy non-overlapping merges, re-count per round, stop when pairs run out") {
+    // vocab: "aaaa" (freq 1), "ab" (freq 2)
+    // round 1: pairs a·a=3 (overlapping count), a·b=2 -> adopt (a a, 3);
+    //          greedy merge "aaaa" -> [aa, aa] (NOT [aa, a, ...])
+    // round 2: aa·aa=1, a·b=2 -> adopt (a b, 2); "ab" -> [ab]
+    // round 3: aa·aa=1 -> adopt (aa aa, 1); "aaaa" -> [aaaa]
+    // round 4: no pairs left -> 3 rows despite merges=4
+    val d = docs(1L -> "aaaa ab", 2L -> "ab")
+    val got = TextAnalysis.bpeTrain(d, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, "a a", 3L), (2, "a b", 2L), (3, "aa aa", 1L)))
+  }
+
   test("semdedup: staged-cell pairs equal an inline-trained within-cell exact scan") {
     import graft.engine.Tables
     val dir = "/root/testdata/sf0.01"
@@ -1031,6 +1044,73 @@ class DedupSimilaritySpec extends SparkSpec {
     val (r1, r3) = (recallAt(1), recallAt(3))
     info(f"clustered recall@5 iters=1 $r1%.2f -> iters=3 $r3%.2f")
     assert(r3 >= r1, f"clustered-regime recall dropped with training: $r1%.2f -> $r3%.2f")
+  }
+
+  test("incremental staged index: base+delta serve and delta codes equal inline slice-training bit-for-bit") {
+    // the append contract: encoding an ingest batch against the STORED
+    // centroids/codebook and unioning its delta segment must be
+    // indistinguishable from the inline incremental operators at the
+    // same iteration count — base ∪ delta IS the full-corpus assignment
+    // to the slice-trained index
+    import graft.engine.Tables
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val qPred = col("vec_id") % 5 === 0 && col("vec_id") < 40
+    val staged = AnnIndex.knnIvfStagedIncr(spark, dir, qPred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = Similarity.knnIvfIncremental(emb, AnnIndex.incrTrainPred, qPred,
+      "vec_id", "embedding", 5, iters = AnnIndex.Iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(staged === inline,
+      "append-to-store serve drifted from inline incremental training at the same iters")
+    val base = AnnIndex.appendToIndex(spark, dir, AnnIndex.incrNewPred)
+    val deltaCodes = spark.read.parquet(s"$base/delta_b1/pq_codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val inlineCodes = Similarity.pqCodesIncremental(emb,
+      AnnIndex.incrTrainPred, AnnIndex.incrNewPred, "vec_id", "embedding",
+      iters = AnnIndex.Iters)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(deltaCodes === inlineCodes,
+      "delta segment codes drifted from the frozen-codebook inline encode")
+    spark.catalog.clearCache()
+  }
+
+  test("semdedup maxCellSize: generous cap is the identity, tight cap thins to a deterministic subset") {
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    def pairs(cap: Option[Int]) = AnnIndex.semDedup(spark, dir, 0.4, cap)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val full = pairs(None)
+    assert(pairs(Some(1000000)) === full,
+      "a cap above every cell size must not change a single pair")
+    val capped = pairs(Some(16))
+    assert(capped.subsetOf(full),
+      "hash-mod thinning can only drop pairs, never invent them")
+    assert(capped.size < full.size, "cap 16 on ~30-member cells must actually thin")
+    assert(pairs(Some(16)) === capped, "thinning must be deterministic across runs")
+    val recall = capped.size.toDouble / full.size
+    info(f"semdedup pair recall at cap=16 (cells ~30, thin factor ~2) = $recall%.2f")
+    assert(recall >= 0.05, f"capped pair recall $recall%.2f collapsed below the 0.05 floor")
+  }
+
+  test("ann recall report equals independently recomputed recall@5") {
+    import graft.engine.Tables
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stagedPairs = AnnIndex.knnIvfStaged(spark, dir, col("vec_id") < 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = math.rint(stagedPairs.count(brute.contains).toDouble / stagedPairs.length * 10000) / 10000
+    val rep = AnnIndex.annRecallReport(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    val (nq, nr, rec) = rep("knn_ivf_staged")
+    assert(nq === 8L && nr === 40L, "8 queries x top-5 expected")
+    assert(rec === expect, f"report recall $rec%.4f != recomputed $expect%.4f")
+    assert(rep.contains("ivfpq_knn_rerank_staged"))
+    spark.catalog.clearCache()
   }
 
   test("staged PQ reconstruction MSE (iters=3) <= inline iters=1 MSE, every subspace") {

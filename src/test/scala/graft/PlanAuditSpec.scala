@@ -60,12 +60,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val lloydMarks = Seq("1000000.0", "ObjectHashAggregate")
     for (k <- Seq("knn_ivf_staged", "pq_knn_staged", "pq_knn_rerank_staged",
                   "pq_recon_error", "ivf_cell_stats", "semdedup_pairs",
-                  "ivfpq_knn_staged", "ivfpq_recon_error", "ivfpq_knn_rerank_staged");
+                  "ivfpq_knn_staged", "ivfpq_recon_error", "ivfpq_knn_rerank_staged",
+                  "knn_ivf_staged_incr", "pq_knn_staged_incr",
+                  "ivf_drift_report_staged", "ann_recall_report");
          m <- lloydMarks)
       assert(!sections(k).contains(m),
         s"$k plan contains training lineage '$m' — staged search must read the store only")
     for (k <- Seq("knn_ivf", "knn_ivf_incremental", "pq_knn", "pq_codes",
-                  "pq_codes_incremental", "ivfpq_knn"))
+                  "pq_codes_incremental", "ivfpq_knn", "ivf_drift_report"))
       assert(lloydMarks.forall(sections(k).contains),
         s"$k (inline oracle twin) lost its training lineage — did it silently switch to the store?")
   }
