@@ -283,8 +283,35 @@ object TextAnalysis {
     * is a 1-row TakeOrdered, not a global sort.
     */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val (vocab, adopted) = bpeLoop(docs, textCol, merges)
+    vocab.unpersist(blocking = false)
+    import docs.sparkSession.implicits._
+    adopted.toDF("step", "pair", "cnt")
+  }
+
+  /** The trained tokenizer's effective vocabulary after `merges` BPE
+    * rounds: every distinct token's final segmentation, exploded and
+    * weighted by corpus frequency — top-k symbols by corpus count
+    * (desc, symbol asc). The distribution a tokenizer report plots:
+    * high-frequency subwords emerge, their constituent characters'
+    * counts drain away. Leaves the final vocab persisted for the plan's
+    * consumers (query-lifetime persist — the runner releases, same
+    * contract as the dedup indexes).
+    */
+  def bpeVocab(docs: DataFrame, textCol: String, merges: Int, k: Int): DataFrame = {
+    val (vocab, _) = bpeLoop(docs, textCol, merges)
+    vocab.select(col("freq"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(k)
+  }
+
+  /** The shared merge loop: returns the final (tok, freq, syms) vocab —
+    * persisted — and the adopted (step, pair, count) rules.
+    */
+  private def bpeLoop(docs: DataFrame, textCol: String,
+                      merges: Int): (DataFrame, Seq[(Int, String, Long)]) = {
     require(merges >= 1, "bpeTrain: need at least one merge round")
-    val spark = docs.sparkSession
     var vocab = docs.select(explode(split(col(textCol), " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
@@ -328,9 +355,7 @@ object TextAnalysis {
         step += 1
       }
     }
-    vocab.unpersist(blocking = false)
-    import spark.implicits._
-    adopted.toSeq.toDF("step", "pair", "cnt")
+    (vocab, adopted.toSeq)
   }
 
   /** DuckDB twin of [[bpeTrain]]: the merge loop unrolled `merges` times
@@ -344,24 +369,39 @@ object TextAnalysis {
     * merged symbol, positions renumbered).
     */
   def bpeTrainSqlFor(merges: Int): String = {
-    val rounds = (1 to merges).map { i =>
+    val steps = (1 to merges).map { i =>
+      if (i == 1) s"SELECT 1 AS step, pair, cnt FROM t1"
+      else s"SELECT $i, pair, cnt FROM t$i"
+    }.mkString("\n  UNION ALL ")
+    s"""${bpeSqlCtes(merges)}
+       |fin AS (
+       |  $steps)
+       |SELECT CAST(step AS INT) AS step, pair, cnt FROM fin""".stripMargin
+  }
+
+  /** One unrolled round block per merge — see [[bpeTrainSqlFor]]'s
+    * scaladoc for the run-parity greedy-merge identity each block
+    * implements.
+    */
+  private def bpeRoundCtes(merges: Int): String =
+    (1 to merges).map { i =>
       s"""p$i AS (
          |  SELECT a.sym || ' ' || b.sym AS pair, CAST(sum(a.freq) AS BIGINT) AS cnt
          |  FROM s${i - 1} a JOIN s${i - 1} b ON b.tok = a.tok AND b.pos = a.pos + 1
          |  GROUP BY 1),
-         |t$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
-         |m$i AS (
+         |t$i AS MATERIALIZED (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |m$i AS MATERIALIZED (
          |  SELECT a.tok, a.freq, a.pos, a.sym,
          |         coalesce(a.sym || ' ' || b.sym = (SELECT pair FROM t$i), false) AS mt
          |  FROM s${i - 1} a LEFT JOIN s${i - 1} b ON b.tok = a.tok AND b.pos = a.pos + 1),
          |r$i AS (
          |  SELECT tok, pos, pos - row_number() OVER (PARTITION BY tok ORDER BY pos) AS grp
          |  FROM m$i WHERE mt),
-         |sel$i AS (
+         |sel$i AS MATERIALIZED (
          |  SELECT tok, pos FROM (
          |    SELECT tok, pos, row_number() OVER (PARTITION BY tok, grp ORDER BY pos) AS rn
          |    FROM r$i) WHERE rn % 2 = 1),
-         |s$i AS (
+         |s$i AS MATERIALIZED (
          |  SELECT tok, freq, CAST(row_number() OVER (PARTITION BY tok ORDER BY opos) AS BIGINT) AS pos, sym
          |  FROM (
          |    SELECT m.tok, m.freq, m.pos AS opos,
@@ -372,23 +412,33 @@ object TextAnalysis {
          |      LEFT JOIN sel$i pr ON pr.tok = m.tok AND pr.pos = m.pos - 1
          |    WHERE pr.pos IS NULL)),""".stripMargin
     }.mkString("\n")
-    val steps = (1 to merges).map { i =>
-      if (i == 1) s"SELECT 1 AS step, pair, cnt FROM t1"
-      else s"SELECT $i, pair, cnt FROM t$i"
-    }.mkString("\n  UNION ALL ")
+
+  /** The shared CTE chain of the BPE oracles: vocab rows s0 through the
+    * `merges`-times-unrolled round blocks ending at s`merges`. A round
+    * whose pair CTE is empty (corpus exhausted) passes its rows through
+    * unchanged — matching [[bpeTrain]]'s early stop.
+    */
+  private def bpeSqlCtes(merges: Int): String = {
+    val rounds = bpeRoundCtes(merges)
     s"""WITH toks AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
        |  WHERE length(tok) >= 1 GROUP BY 1),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT tok, freq, CAST(i AS BIGINT) AS pos, substr(tok, CAST(i AS INT), 1) AS sym
        |  FROM (SELECT tok, freq, unnest(generate_series(1, CAST(length(tok) AS BIGINT))) AS i
        |        FROM toks)),
-       |$rounds
-       |fin AS (
-       |  $steps)
-       |SELECT CAST(step AS INT) AS step, pair, cnt FROM fin""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** DuckDB twin of [[bpeVocab]]: the same unrolled chain, then the
+    * weighted symbol histogram of the final segmentation.
+    */
+  def bpeVocabSqlFor(merges: Int, k: Int): String =
+    s"""${bpeSqlCtes(merges)}
+       |fin AS (
+       |  SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM s$merges GROUP BY 1)
+       |SELECT sym, cnt FROM fin ORDER BY cnt DESC, sym ASC LIMIT $k""".stripMargin
 
   /** Document fingerprint: full-content hash plus a winnowing-style
     * min-shingle-hash (stable under small appends, unlike the full hash).
@@ -1047,6 +1097,7 @@ object TextAnalysis {
     QueryDef("bigram_logprob", (s, dir) => bigramLogprob(Tables.documents(s, dir), "doc_id", "text"), Some(bigramLogprobSql)),
     QueryDef("bpe_merge_pairs", (s, dir) => bpeMergePairs(Tables.documents(s, dir), "text", 20), Some(bpeMergePairsSql)),
     QueryDef("bpe_merges_k4", (s, dir) => bpeTrain(Tables.documents(s, dir), "text", 4), Some(bpeTrainSqlFor(4))),
+    QueryDef("bpe_vocab_k4", (s, dir) => bpeVocab(Tables.documents(s, dir), "text", 4, 30), Some(bpeVocabSqlFor(4, 30))),
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
     QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
     QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),

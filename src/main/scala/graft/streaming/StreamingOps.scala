@@ -403,6 +403,83 @@ object StreamingOps {
       .select(col(idCol), col("n_shared"))
   }
 
+  /** Streaming split-leakage monitor — the per-batch twin of
+    * [[graft.functions.Curation.splitLeakage]], flagging ingest documents
+    * whose near-duplicates already sit in a DIFFERENT train/val/test
+    * split of the staged corpus (the quarantine signal, caught at
+    * ingestion time instead of in the nightly audit).
+    *
+    * The batch operator's two primitives restate cleanly on a stream:
+    *  - the corpus side is the STATIC minhash band index
+    *    ([[graft.functions.Dedup.bandIndex]]) plus the (id, split)
+    *    assignment — at 100 TB both are read from storage, and they are
+    *    the SMALL side of every stream-static join here;
+    *  - the stream side computes its signature ROW-LOCALLY: a document's
+    *    shingles live inside its own text column, so min-hashing is an
+    *    `array_min` over in-row md5 digests — zero cross-row state where
+    *    the batch path's `groupBy(doc)` would be a stateful aggregation.
+    *    Identical values by construction (min over the same shingle set,
+    *    same digest slices, same band composition as
+    *    [[graft.functions.Dedup.minhashSignatures]]), spec-pinned against
+    *    the batch pairs in StreamingSpec.
+    * The split of the INCOMING document is the per-row hash expression
+    * [[graft.functions.TextAnalysis.splitOf]] — stateless by design.
+    *
+    * Stateful steps are watermark-bounded exactly like
+    * [[contaminationStream]]: redelivered documents drop via
+    * `dropDuplicatesWithinWatermark(id)`, and band-collision duplicate
+    * candidates collapse via `dropDuplicatesWithinWatermark(doc_a,
+    * doc_b)` — state is the watermark horizon, never corpus lifetime.
+    * Output: one (doc_a = new, doc_b = staged, split_a, split_b) row per
+    * offending cross-split pair.
+    */
+  def splitLeakageStream(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, delay: String,
+                         corpusBands: DataFrame, corpusSplits: DataFrame,
+                         numHashes: Int = 8, rowsPerBand: Int = 2,
+                         width: Int = 8, stride: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    val dstride = if (numHashes == 1) 0 else math.max(1, (32 - 8) / (numHashes - 1))
+    val uniq = docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCol)
+    // in-row digests: one md5 per sampled shingle position, shared by all
+    // numHashes signature slots
+    val digests = uniq.filter(length(col(textCol)) >= width)
+      .select(col(idCol), col(tsCol),
+        transform(expr(
+          s"""transform(sequence(1, length($textCol) - ${width - 1}, $stride),
+             |  i -> substring($textCol, CAST(i AS INT), $width))""".stripMargin),
+          s => md5(s)).as("ds"))
+    val mh = (1 to numHashes).map { j =>
+      array_min(transform(col("ds"),
+        d => substring(d, (j - 1) * dstride + 1, 8))).as(s"mh_$j")
+    }
+    val sigs = digests.select(col(idCol) +: col(tsCol) +: mh: _*)
+    // band composition mirrors Dedup.minhashBands: slot j pairs with
+    // j + numBands so band slices stay digest-disjoint
+    val bandStructs = (0 until numBands).map { b =>
+      val sig = concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"mh_${b + 1 + r * numBands}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val newBands = sigs
+      .select(col(idCol).as("doc_a"), col(tsCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_a"), col(tsCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val ex = corpusBands.select(col(idCol).as("doc_b"),
+      col("band").as("band_b"), col("sig").as("sig_b"))
+    val cand = newBands
+      .join(ex, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+        col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col(tsCol))
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+    val sb = corpusSplits.select(col(idCol).as("doc_b"), col("split").as("split_b"))
+    cand
+      .withColumn("split_a", graft.functions.TextAnalysis.splitOf(col("doc_a")))
+      .join(sb, Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+  }
+
   case class FunnelEvent(user_id: Long, event_type: String, us: Long)
   case class FunnelHit(user_id: Long, step: String, t_us: Long)
   case class FunnelProgress(hits: Seq[Long])

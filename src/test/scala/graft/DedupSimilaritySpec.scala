@@ -540,6 +540,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = TextAnalysis.bpeTrain(d, "text", 4)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === Seq((1, "a a", 3L), (2, "a b", 2L), (3, "aa aa", 1L)))
+    // after those merges both tokens are single symbols: ab (freq 2), aaaa (1)
+    val vocab = TextAnalysis.bpeVocab(d, "text", 4, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab === Seq(("ab", 2L), ("aaaa", 1L)))
+    spark.catalog.clearCache()
   }
 
   test("semdedup: staged-cell pairs equal an inline-trained within-cell exact scan") {

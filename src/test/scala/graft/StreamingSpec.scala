@@ -597,6 +597,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.keySet === Set(1L) && got(1L) >= 5L)
   }
 
+  test("streaming split-leakage monitor matches the batch cross-split pairs on sf0.001 documents") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = col("doc_id") % 5 === 0
+    val corpus = docs.filter(!isNew)
+    val corpusBands = graft.functions.Dedup.bandIndex(corpus, "doc_id", "text")
+    val corpusSplits = graft.functions.TextAnalysis.dataSplit(corpus, "doc_id")
+    // batch expectation: all-pairs minhash candidates restricted to
+    // (new, corpus), oriented new-first, cross-split only — signatures
+    // are per-doc, so computing them jointly or separately is identical
+    val newIds = docs.filter(isNew).select("doc_id").collect().map(_.getLong(0)).toSet
+    val splitsAll = graft.functions.TextAnalysis.dataSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = graft.functions.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => newIds.contains(a) != newIds.contains(b) }
+      .map { case (a, b) => if (newIds.contains(a)) (a, b) else (b, a) }
+      .collect { case (nw, ex) if splitsAll(nw) != splitsAll(ex) =>
+        (nw, ex, splitsAll(nw), splitsAll(ex)) }
+      .toSet
+    val fed = docs.filter(isNew).select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamingOps.splitLeakageStream(
+        input.toDF().toDF("doc_id", "text", "ts_s")
+          .withColumn("ts", timestamp_seconds(col("ts_s"))),
+        "doc_id", "text", "ts", "30 seconds", corpusBands, corpusSplits)
+      .writeStream.format("memory").queryName("leak_out").outputMode("append").start()
+    try {
+      // event times increase across batches: a batch-2 stamp below
+      // batch-1's watermark would be (correctly) dropped as late
+      val stamped = fed.zipWithIndex.map { case ((id, t), i) => (id, t, i.toLong + 1) }
+      val (h1, h2) = stamped.splitAt(stamped.length / 2)
+      input.addData(h1.toSeq)
+      q.processAllAvailable()
+      // redelivery inside the watermark horizon must not duplicate pairs
+      input.addData(h1.last)
+      input.addData(h2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("leak_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture should contain at least one cross-split near-dup pair")
+  }
+
   test("streaming doc chunking matches the batch operator row-for-row on sf0.001 documents") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
