@@ -49,7 +49,13 @@ object Bench {
     // grows with every round's additions, so round-over-round comparisons
     // of it conflate engine speed with registry size — this fixed subset
     // is the like-for-like series (recorded per round in BASELINE.md).
-    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET").map(_ => Round1Keys)
+    // The value is matched, not discarded: a typo must fail loudly rather
+    // than silently run (and mislabel) the r1 subset.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET").map {
+      case "r1" => Round1Keys
+      case other => sys.error(
+        s"SPARK_GRAFT_BENCH_SUBSET=$other not recognized (known: r1)")
+    }
     // The Θ(n²)-by-construction gate twins are correctness baselines, not
     // production paths; above this corpus size their plans would dominate
     // the bench with work no pipeline should run: dedup_embedding is the
@@ -102,8 +108,10 @@ object Bench {
     }
     // 3-decimal (ms) precision: sub-ms digits are pure noise, and the
     // shorter line matters — the driver keeps only a bounded stdout tail,
-    // and full-precision doubles truncated BENCH_r07.json mid-JSON
-    def fmt(v: Double): String = "%.3f".format(v)
+    // and full-precision doubles truncated BENCH_r07.json mid-JSON.
+    // Locale.ROOT pins the decimal POINT: a comma-decimal default locale
+    // (de_DE...) would emit "value":1,234 — invalid JSON.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failed queries are listed explicitly — a planning error must not read
