@@ -22,6 +22,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_BENCH_SUBSET=r1 pins the run to the ROUND-1 registry
+    // (the 59 qkeys of CORRECTNESS_r01.json): the full-registry total
+    // grows with every round's additions, so round-over-round comparisons
+    // of it conflate engine speed with registry size — this fixed subset
+    // is the like-for-like series (recorded per round in BASELINE.md).
+    // The value is matched, not discarded — and validated FIRST, before
+    // the session build and table warm-up, so a typo fails in
+    // milliseconds instead of after the multi-second warm-up.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET").map {
+      case "r1" => Round1Keys
+      case other => sys.error(
+        s"SPARK_GRAFT_BENCH_SUBSET=$other not recognized (known: r1)")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,18 +57,6 @@ object Bench {
 
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (unset → all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // SPARK_GRAFT_BENCH_SUBSET=r1 pins the run to the ROUND-1 registry
-    // (the 59 qkeys of CORRECTNESS_r01.json): the full-registry total
-    // grows with every round's additions, so round-over-round comparisons
-    // of it conflate engine speed with registry size — this fixed subset
-    // is the like-for-like series (recorded per round in BASELINE.md).
-    // The value is matched, not discarded: a typo must fail loudly rather
-    // than silently run (and mislabel) the r1 subset.
-    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET").map {
-      case "r1" => Round1Keys
-      case other => sys.error(
-        s"SPARK_GRAFT_BENCH_SUBSET=$other not recognized (known: r1)")
-    }
     // The Θ(n²)-by-construction gate twins are correctness baselines, not
     // production paths; above this corpus size their plans would dominate
     // the bench with work no pipeline should run: dedup_embedding is the

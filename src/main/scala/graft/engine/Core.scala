@@ -18,15 +18,19 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as raw nanos (legacy conf, dynamic) and
-    * convert to a microsecond TimestampType — the same truncation DuckDB
-    * applies, so both engines see identical instants.
+  /** `events.ts` has shipped in two parquet encodings: TIMESTAMP(NANOS),
+    * which Spark 4 refuses to map to TimestampType, and TIMESTAMP(MICROS)
+    * without timezone, which Spark reads as TIMESTAMP_NTZ (rejected by
+    * `unix_micros` and friends). Normalize both to a microsecond
+    * TimestampType here — the single seam every events query reads
+    * through. Nanos are truncated to micros (the same truncation DuckDB
+    * applies); the NTZ cast is value-preserving because the session
+    * timezone is pinned to UTC.
     *
-    * Session-wide side effect, by design: the conf stays set, so OTHER
-    * nanos-parquet reads in this session also come back as LongType
-    * instead of erroring. The conf must stay on for this query's own
-    * execution (it is consulted again at scan time), so it cannot be
+    * Session-wide side effect, by design: the nanosAsLong conf stays set,
+    * so OTHER nanos-parquet reads in this session also come back as
+    * LongType instead of erroring. The conf must stay on for this query's
+    * own execution (it is consulted again at scan time), so it cannot be
     * safely restored here; callers reading foreign nanos parquet should
     * convert explicitly as done below.
     */
@@ -36,6 +40,9 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -151,27 +151,49 @@ object AnnIndex {
     base.toString
   }
 
+  /** The serve manifest: which ingest batches a staged-incremental serve
+    * reads on top of the base. The default is the single canonical
+    * ingest batch of the incremental-slice convention; specs and
+    * multi-batch deployments pass their own list.
+    */
+  def defaultBatches: Seq[(Column, String)] = Seq((incrNewPred, "b1"))
+
+  /** Delta directory name for an ingest batch: the batch PREDICATE is
+    * fingerprinted into the name alongside the human tag, so re-running
+    * an append with a different predicate under the same tag can never
+    * silently serve the stale segment — a changed predicate lands in a
+    * fresh directory and the old one is orphaned (same idiom as the
+    * geometry fingerprint in [[basePath]]).
+    */
+  private def deltaDirName(batchPred: Column, batchTag: String): String = {
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(batchPred.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"delta_${batchTag}_$fp"
+  }
+
   /** Append an ingest batch to the staged incremental index WITHOUT
     * touching the stored base: the batch is encoded against the STORED
     * centroids and codebook (pure per-row assignment — zero retraining,
     * zero reshuffle of the existing corpus, the
     * [[Similarity.knnIvfIncremental]] contract applied to the store) and
     * written as a self-contained delta segment
-    * `delta_<batchTag>/{ivf_postings,pq_codes}` with its own completion
-    * marker — an interrupted append self-heals by rebuilding only its
-    * delta, never the base (the segment model every production index
-    * store uses: immutable base plus append-only revisions). Serving
-    * reads base ∪ deltas ([[knnIvfStagedIncr]]/[[pqKnnStagedIncr]]);
-    * both sides stay hive-partitioned by cell, so file-level pruning on
-    * probed cells covers the deltas too. Returns the base directory.
+    * `delta_<batchTag>_<predFp>/{ivf_postings,pq_codes}` with its own
+    * completion marker — an interrupted append self-heals by rebuilding
+    * only its delta, never the base (the segment model every production
+    * index store uses: immutable base plus append-only revisions).
+    * Serving reads base ∪ the manifest's deltas
+    * ([[knnIvfStagedIncr]]/[[pqKnnStagedIncr]]); both sides stay
+    * hive-partitioned by cell, so file-level pruning on probed cells
+    * covers the deltas too. Returns the DELTA directory (the base is
+    * recoverable via [[stageIncrBase]], which is idempotent).
     */
   def appendToIndex(spark: SparkSession, dir: String, batchPred: Column,
                     batchTag: String = "b1"): String = {
     val base = stageIncrBase(spark, dir)
-    val delta = new org.apache.hadoop.fs.Path(base, s"delta_$batchTag")
+    val delta = new org.apache.hadoop.fs.Path(base, deltaDirName(batchPred, batchTag))
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(delta, "_GRAFT_DELTA_OK")
-    if (fs.exists(marker)) return base
+    if (fs.exists(marker)) return delta.toString
     if (fs.exists(delta)) fs.delete(delta, true)
     val batch = Tables.embeddings(spark, dir).filter(batchPred)
     VectorExpressions.register(spark)
@@ -184,7 +206,23 @@ object AnnIndex {
     Similarity.pqAssign(sub, cbStored, "vec_id")
       .write.mode("overwrite").parquet(s"$delta/pq_codes")
     fs.create(marker).close()
-    base
+    delta.toString
+  }
+
+  /** Append every batch in the manifest and return the stored artifact
+    * under `sub` unioned across base + all delta segments — the shared
+    * merge step of the incremental serves. An explicit manifest (not a
+    * `delta_*` directory glob) is deliberate: the serve set is exactly
+    * what the caller declares, so abandoned or experimental segments
+    * left in the warehouse can never leak into a query's corpus.
+    */
+  private def mergedArtifact(spark: SparkSession, dir: String, sub: String,
+                             batches: Seq[(Column, String)]): DataFrame = {
+    val base = stageIncrBase(spark, dir)
+    val deltas = batches.map { case (pred, tag) => appendToIndex(spark, dir, pred, tag) }
+    deltas.foldLeft(spark.read.parquet(s"$base/$sub")) { (acc, d) =>
+      acc.unionByName(spark.read.parquet(s"$d/$sub"))
+    }
   }
 
   /** IVF top-k over the MERGED incremental store (base postings ∪ the
@@ -197,12 +235,12 @@ object AnnIndex {
     * assignment to the slice-trained centroids.
     */
   def knnIvfStagedIncr(spark: SparkSession, dir: String, queryPred: Column, k: Int,
-                       nprobe: Int = Nprobe): DataFrame = {
-    val base = appendToIndex(spark, dir, incrNewPred)
+                       nprobe: Int = Nprobe,
+                       batches: Seq[(Column, String)] = defaultBatches): DataFrame = {
+    val base = stageIncrBase(spark, dir)
     ivfServe(spark, dir,
       spark.read.parquet(s"$base/ivf_centroids"),
-      spark.read.parquet(s"$base/ivf_postings")
-        .unionByName(spark.read.parquet(s"$base/delta_b1/ivf_postings")),
+      mergedArtifact(spark, dir, "ivf_postings", batches),
       queryPred, k, nprobe)
   }
 
@@ -211,12 +249,12 @@ object AnnIndex {
     * ingest batch exists at search time purely as its appended 8-byte
     * codes, encoded against the codebook the base trained.
     */
-  def pqKnnStagedIncr(spark: SparkSession, dir: String, queryPred: Column, k: Int): DataFrame = {
-    val base = appendToIndex(spark, dir, incrNewPred)
+  def pqKnnStagedIncr(spark: SparkSession, dir: String, queryPred: Column, k: Int,
+                      batches: Seq[(Column, String)] = defaultBatches): DataFrame = {
+    val base = stageIncrBase(spark, dir)
     pqServe(spark, dir,
       spark.read.parquet(s"$base/pq_codebook"),
-      spark.read.parquet(s"$base/pq_codes")
-        .unionByName(spark.read.parquet(s"$base/delta_b1/pq_codes")),
+      mergedArtifact(spark, dir, "pq_codes", batches),
       queryPred, k)
   }
 
@@ -230,12 +268,12 @@ object AnnIndex {
     * (PlanAuditSpec-asserted) and its cost is one broadcast join plus a
     * numCells-row aggregate over data already on disk.
     */
-  def ivfDriftReportStaged(spark: SparkSession, dir: String): DataFrame = {
-    val base = appendToIndex(spark, dir, incrNewPred)
+  def ivfDriftReportStaged(spark: SparkSession, dir: String,
+                           batches: Seq[(Column, String)] = defaultBatches): DataFrame = {
+    val base = stageIncrBase(spark, dir)
     VectorExpressions.register(spark)
     val cent = spark.read.parquet(s"$base/ivf_centroids")
-    val assigned = spark.read.parquet(s"$base/ivf_postings")
-      .unionByName(spark.read.parquet(s"$base/delta_b1/ivf_postings"))
+    val assigned = mergedArtifact(spark, dir, "ivf_postings", batches)
       .withColumn("cell", col("cell").cast("long"))
     Similarity.driftAggregate(assigned, cent, incrNewPred, "vec_id", "embedding")
   }
@@ -554,14 +592,15 @@ object AnnIndex {
     * ANN twins.
     *
     * `maxCellSize`: a hot cell makes the within-cell self-join
-    * Θ(|cell|²), the IVF analogue of a skewed shuffle key. When set,
-    * cells over the cap are DETERMINISTICALLY thinned before the join:
-    * keep a member iff xxhash64(vec_id) mod ceil(|cell|/cap) = 0 — the
-    * same hash-mod idiom as [[Dedup.dedupQaReport]]'s `sampleMod` knob,
-    * so the thinned pair set is reproducible (and a subset of the full
-    * one — spec-bounded recall in DedupSimilaritySpec). The oracle qkey
-    * pins cap = None (exact gate); production sets the cap to its skew
-    * budget.
+    * Θ(|cell|²), the IVF analogue of a skewed shuffle key. When set, it
+    * is a STRICT cap: members rank by xxhash64(vec_id) within their cell
+    * (vec_id tie-break) and only the first `cap` survive — a
+    * deterministic uniform-ish sample, so no cell can ever exceed the
+    * cap (spec-asserted in DedupSimilaritySpec) and the capped pair set
+    * is a reproducible subset of the full one. The rank is one window
+    * over the cell partitioning the join already shuffles by — no extra
+    * exchange. The oracle qkey pins cap = None (exact gate); production
+    * sets the cap to its skew budget.
     */
   def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.4,
                maxCellSize: Option[Int] = None): DataFrame = {
@@ -573,12 +612,11 @@ object AnnIndex {
       case None => full
       case Some(cap) =>
         require(cap >= 1, s"semDedup: maxCellSize must be >= 1, got $cap")
-        // numCells-row histogram — AQE broadcasts it into the thinning join
-        val sizes = full.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
-        full.join(sizes, Seq("cell"))
-          .filter(pmod(xxhash64(col("vec_id")),
-            ceil(col("csz").cast("double") / cap).cast("long")) === 0)
-          .drop("csz")
+        full.withColumn("rnk", row_number().over(
+            Window.partitionBy(col("cell"))
+              .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)))
+          .filter(col("rnk") <= cap)
+          .drop("rnk")
     }
     val a = n.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
@@ -635,9 +673,15 @@ object AnnIndex {
     * method's top-k is joined against the exact brute-force-cosine top-k
     * (the [[Similarity.knnBrute]] ground truth, same query batch), and
     * recall@k = |approx ∩ exact| / (|queries| · k) is emitted per method.
-    * Both sides are deterministic, so unlike most recall metrics this one
-    * is EXACTLY reproducible — the oracle recomputes identical numbers
-    * (the spec-asserted 0.90 IVF figure becomes a hash-checked row).
+    * The denominator is the TRUE query-batch size times k — counted from
+    * the query predicate itself, never from what the method returned —
+    * so a method that retrieves fewer than k rows (or drops a query
+    * entirely) earns proportionally LOWER recall, not inflated recall
+    * (spec-asserted with a sparse nprobe=1 probe in
+    * DedupSimilaritySpec). Both sides are deterministic, so unlike most
+    * recall metrics this one is EXACTLY reproducible — the oracle
+    * recomputes identical numbers (the spec-asserted 0.90 IVF figure
+    * becomes a hash-checked row).
     *
     * Scale shape: the three top-k frames are |queries| · k rows each —
     * the report costs its inputs, the joins and the per-method aggregate
@@ -645,21 +689,36 @@ object AnnIndex {
     * it does here.
     */
   def annRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qPred = col("vec_id") < 8
+    annRecallReportFor(spark, dir, qPred, k, Seq(
+      "knn_ivf_staged" -> knnIvfStaged(spark, dir, qPred, k),
+      "ivfpq_knn_rerank_staged" -> ivfPqKnnRerankStaged(spark, dir, qPred, k)))
+  }
+
+  /** [[annRecallReport]] over an arbitrary (queryPred, k, methods) set —
+    * the same join/aggregate with the |queries|·k denominator, exposed
+    * so specs and deployments can score their own method panels.
+    */
+  def annRecallReportFor(spark: SparkSession, dir: String, queryPred: Column, k: Int,
+                         methods: Seq[(String, DataFrame)]): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val brute = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k)
+    val brute = Similarity.knnBrute(emb, emb.filter(queryPred), "vec_id", "embedding", k)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
-    val methods = Seq(
-      "knn_ivf_staged" -> knnIvfStaged(spark, dir, col("vec_id") < 8, k),
-      "ivfpq_knn_rerank_staged" -> ivfPqKnnRerankStaged(spark, dir, col("vec_id") < 8, k))
+    // the true batch size, from the predicate — NOT countDistinct over
+    // method output, which would silently forgive dropped queries
+    val nq = emb.filter(queryPred).agg(count(lit(1)).as("n_queries"))
     val all = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("q_id"), col("n_id"))
     }.reduce(_ unionByName _)
     all.join(brute, Seq("q_id", "n_id"), "left")
       .groupBy(col("method"))
-      .agg(countDistinct(col("q_id")).as("n_queries"),
-        count(lit(1)).as("n_retrieved"),
+      .agg(count(lit(1)).as("n_retrieved"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .withColumn("recall", round(col("n_hits").cast("double") / col("n_retrieved"), 4))
+      .crossJoin(broadcast(nq))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / (col("n_queries") * lit(k)), 4))
+      .select(col("method"), col("n_queries"), col("n_retrieved"),
+        col("n_hits"), col("recall"))
   }
 
   /** DuckDB twin of [[annRecallReport]]: the brute, staged-IVF, and
@@ -681,9 +740,11 @@ object AnnIndex {
        |  SELECT a.method, a.q_id, a.n_id,
        |         CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END AS hit
        |  FROM allm a LEFT JOIN brute b ON b.q_id = a.q_id AND b.n_id = a.n_id)
-       |SELECT method, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+       |SELECT method,
+       |       (SELECT count(*) FROM embeddings WHERE vec_id < 8) AS n_queries,
        |       count(*) AS n_retrieved, CAST(sum(hit) AS BIGINT) AS n_hits,
-       |       round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
+       |       round(CAST(sum(hit) AS DOUBLE)
+       |             / ((SELECT count(*) FROM embeddings WHERE vec_id < 8) * 5), 4) AS recall
        |FROM mk GROUP BY 1""".stripMargin
 
   /** Same oracles as the inline twins, at the staged index's iters=3 —

@@ -134,23 +134,23 @@ object Extended {
     * conversion). Returns one (step, n_users) row per step.
     *
     * Each step is an aggregate-then-join on the user key: step N's
-    * per-user first-hit table joins step N-1's — all stages
-    * hash-partition on user_id, so the partitioning is established once.
-    * The per-user tables feed both their own count and the next step →
-    * persisted (else the events scan re-executes per step). Ordering
-    * compares epoch MICROSECONDS explicitly: the events source is nanos
-    * parquet and engines truncate differently below µs.
-    *
-    * The per-step counts run EAGERLY (the result is one long per step)
-    * so every persisted frame can be unpersisted before returning —
-    * self-cleaning in a long-lived session, no runner cooperation
-    * needed. Counting in step order means step N's count materializes
-    * its cache right before step N+1's count consumes it.
+    * per-user first-hit table joins step N-1's — every stage
+    * hash-partitions on user_id, so one partitioning carries the whole
+    * funnel. The result is ONE declarative plan (a union of the per-step
+    * counts), not a driver loop of actions: step N's first-hit subtree
+    * appears verbatim inside step N+1's, so Spark's ReuseExchange
+    * dedupes the repeated shuffles at physical planning — the executed
+    * plan builds each step's first-hit table once, exactly what the old
+    * persist()-per-step version bought, but visible to (and optimizable
+    * by) Catalyst, auditable in PLANS.txt, and with no driver-side
+    * count() round-trips. Ordering compares epoch MICROSECONDS
+    * explicitly: engines truncate sub-µs timestamp precision
+    * differently, so the contract is µs everywhere.
     */
   def funnelSteps(events: DataFrame, steps: Seq[(String, String)], winUs: Long): DataFrame = {
     val ev = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-    val firstHits = steps.map(_._1).zipWithIndex.foldLeft(List.empty[DataFrame]) {
-      case (acc, (evType, i)) =>
+    val firstHits = steps.map(_._1).foldLeft(List.empty[DataFrame]) {
+      case (acc, evType) =>
         val hits = ev.filter(col("event_type") === evType)
         val gated = acc match {
           case Nil => hits
@@ -159,14 +159,11 @@ object Extended {
                 col("user_id") === col("pu"))
               .filter(col("us") > col("pt") && col("us") <= col("pt") + winUs)
         }
-        gated.groupBy(col("user_id")).agg(min(col("us")).as("t")).persist() :: acc
+        gated.groupBy(col("user_id")).agg(min(col("us")).as("t")) :: acc
     }.reverse
-    val counts =
-      try steps.zip(firstHits).map { case ((_, label), hits) => (label, hits.count()) }
-      finally firstHits.foreach(_.unpersist(blocking = false))
-    val spark = events.sparkSession
-    import spark.implicits._
-    counts.toDF("step", "n_users")
+    steps.zip(firstHits).map { case ((_, label), hits) =>
+      hits.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
   }
 
   /** Cohort retention: day-granularity cohort (first-seen day) ×
@@ -357,13 +354,12 @@ object Extended {
       // Funnel analysis: view → click → purchase with a 2-day conversion
       // window per step — the product-analytics staple. Each step is an
       // aggregate-then-join on user_id: step N's per-user first-hit table
-      // joins step N-1's (same key ⇒ the partitioning established by the
-      // first aggregation is reusable; at 100 TB all three steps
-      // hash-partition on user_id once). Ordering compares epoch
-      // MICROSECONDS explicitly — the events source is nanos parquet and
-      // the two engines truncate differently at sub-µs, so the contract
-      // is µs everywhere. Strict '>' between steps: a same-instant
-      // view+click is NOT a conversion.
+      // joins step N-1's (same key ⇒ one hash partitioning carries the
+      // whole chain — PlanAuditSpec-asserted that user_id is the ONLY
+      // shuffle key in the plan). Ordering compares epoch MICROSECONDS
+      // explicitly — engines truncate sub-µs precision differently, so
+      // the contract is µs everywhere. Strict '>' between steps: a
+      // same-instant view+click is NOT a conversion.
       (s, dir) => funnelSteps(Tables.events(s, dir),
         Seq("view" -> "step1_view", "click" -> "step2_click", "purchase" -> "step3_purchase"),
         2L * 86400L * 1000000L),

@@ -1069,8 +1069,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(staged === inline,
       "append-to-store serve drifted from inline incremental training at the same iters")
-    val base = AnnIndex.appendToIndex(spark, dir, AnnIndex.incrNewPred)
-    val deltaCodes = spark.read.parquet(s"$base/delta_b1/pq_codes")
+    val delta = AnnIndex.appendToIndex(spark, dir, AnnIndex.incrNewPred)
+    val deltaCodes = spark.read.parquet(s"$delta/pq_codes")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     val inlineCodes = Similarity.pqCodesIncremental(emb,
       AnnIndex.incrTrainPred, AnnIndex.incrNewPred, "vec_id", "embedding",
@@ -1081,19 +1081,30 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("semdedup maxCellSize: generous cap is the identity, tight cap thins to a deterministic subset") {
+  test("semdedup maxCellSize: generous cap is the identity, tight cap is a STRICT per-cell bound") {
     import graft.functions.AnnIndex
     val dir = "/root/testdata/sf0.01"
-    def pairs(cap: Option[Int]) = AnnIndex.semDedup(spark, dir, 0.4, cap)
-      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
-    val full = pairs(None)
-    assert(pairs(Some(1000000)) === full,
+    def rows(cap: Option[Int]) = AnnIndex.semDedup(spark, dir, 0.4, cap)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    def pairSet(rs: Array[(Int, Long, Long)]) = rs.map(t => (t._2, t._3)).toSet
+    val full = pairSet(rows(None))
+    assert(pairSet(rows(Some(1000000))) === full,
       "a cap above every cell size must not change a single pair")
-    val capped = pairs(Some(16))
+    val cap = 16
+    val cappedRows = rows(Some(cap))
+    val capped = pairSet(cappedRows)
     assert(capped.subsetOf(full),
-      "hash-mod thinning can only drop pairs, never invent them")
+      "rank-based thinning can only drop pairs, never invent them")
     assert(capped.size < full.size, "cap 16 on ~30-member cells must actually thin")
-    assert(pairs(Some(16)) === capped, "thinning must be deterministic across runs")
+    assert(pairSet(rows(Some(cap))) === capped, "thinning must be deterministic across runs")
+    // the cap is a hard bound, not expected-value thinning: no cell may
+    // contribute more distinct members (or pairs) than `cap` allows
+    cappedRows.groupBy(_._1).foreach { case (cell, rs) =>
+      val members = (rs.map(_._2) ++ rs.map(_._3)).distinct.size
+      assert(members <= cap, s"cell $cell surfaced $members distinct members > cap $cap")
+      assert(rs.length <= cap * (cap - 1) / 2,
+        s"cell $cell emitted ${rs.length} pairs > C($cap,2)")
+    }
     val recall = capped.size.toDouble / full.size
     info(f"semdedup pair recall at cap=16 (cells ~30, thin factor ~2) = $recall%.2f")
     assert(recall >= 0.05, f"capped pair recall $recall%.2f collapsed below the 0.05 floor")
@@ -1108,13 +1119,62 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val stagedPairs = AnnIndex.knnIvfStaged(spark, dir, col("vec_id") < 8, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val expect = math.rint(stagedPairs.count(brute.contains).toDouble / stagedPairs.length * 10000) / 10000
+    // contract denominator: |queries| * k, never n_retrieved
+    val expect = math.rint(stagedPairs.count(brute.contains).toDouble / (8 * 5) * 10000) / 10000
     val rep = AnnIndex.annRecallReport(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
     val (nq, nr, rec) = rep("knn_ivf_staged")
     assert(nq === 8L && nr === 40L, "8 queries x top-5 expected")
     assert(rec === expect, f"report recall $rec%.4f != recomputed $expect%.4f")
     assert(rep.contains("ivfpq_knn_rerank_staged"))
+    spark.catalog.clearCache()
+  }
+
+  test("ann recall report does NOT inflate when a sparse probe returns fewer than k rows") {
+    // a method retrieving < k rows per query used to divide by what it
+    // returned — rewarding sparse retrieval; the contract denominator
+    // |queries|*k must make it strictly cheaper to return less
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.001"
+    val qPred = col("vec_id") < 8
+    val k = 100 // >> any single cell at sf0.001, so nprobe=1 starves
+    val sparse = AnnIndex.knnIvfStaged(spark, dir, qPred, k, nprobe = 1)
+    val row = AnnIndex.annRecallReportFor(spark, dir, qPred, k, Seq("sparse" -> sparse))
+      .collect().head
+    val (nq, nr, nh, rec) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(nr < nq * k, s"probe must starve for this test to bite: retrieved $nr of ${nq * k}")
+    assert(rec === math.rint(nh.toDouble / (nq * k) * 10000) / 10000,
+      "recall must divide by |queries|*k")
+    assert(rec < nh.toDouble / nr,
+      "under-retrieval must lower recall, not inflate it")
+    spark.catalog.clearCache()
+  }
+
+  test("staged incr serve reads EVERY appended batch, not just the first") {
+    // regression for the delta_b1 hardcoding: split the canonical ingest
+    // batch into two disjoint halves, append both, and the two-segment
+    // serve must equal the one-segment serve of their union bit-for-bit —
+    // if the second segment were dropped, its vectors would vanish from
+    // the corpus and the top-k sets would differ
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val qPred = col("vec_id") % 5 === 0 && col("vec_id") < 40
+    val half1 = col("vec_id") % 10 === 0
+    val half2 = col("vec_id") % 5 === 0 && col("vec_id") % 10 =!= 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val oneSeg = rows(AnnIndex.knnIvfStagedIncr(spark, dir, qPred, 5))
+    val twoSeg = rows(AnnIndex.knnIvfStagedIncr(spark, dir, qPred, 5,
+      batches = Seq((half1, "h1"), (half2, "h2"))))
+    assert(twoSeg === oneSeg, "IVF serve dropped an appended segment")
+    val firstOnly = rows(AnnIndex.knnIvfStagedIncr(spark, dir, qPred, 5,
+      batches = Seq((half1, "h1"))))
+    assert(firstOnly !== oneSeg,
+      "serving only half the ingest must change results — otherwise this test proves nothing")
+    val onePq = rows(AnnIndex.pqKnnStagedIncr(spark, dir, qPred, 5))
+    val twoPq = rows(AnnIndex.pqKnnStagedIncr(spark, dir, qPred, 5,
+      batches = Seq((half1, "h1"), (half2, "h2"))))
+    assert(twoPq === onePq, "PQ serve dropped an appended segment")
     spark.catalog.clearCache()
   }
 

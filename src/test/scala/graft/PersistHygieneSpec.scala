@@ -32,7 +32,11 @@ class PersistHygieneSpec extends SparkSpec {
     assert(leaks.isEmpty, s"queries leaking persisted RDDs past releaseAll:\n${leaks.mkString("\n")}")
   }
 
-  test("funnelSteps is self-cleaning even WITHOUT a runner boundary") {
+  test("funnelSteps leaves no persisted state even WITHOUT a runner boundary") {
+    // historically funnelSteps persisted per-step frames and unpersisted
+    // them eagerly; it is now a single declarative plan (ReuseExchange
+    // dedupes the shared step subtrees), so the invariant is trivial —
+    // kept as a regression guard should persist() ever return
     graft.engine.Scoped.releaseAll(spark)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = graft.operators.Extended.funnelSteps(

@@ -72,6 +72,25 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$k (inline oracle twin) lost its training lineage — did it silently switch to the store?")
   }
 
+  test("funnel_steps is one declarative plan, every shuffle keyed on user_id") {
+    // funnel used to run per-step driver count()s and explain as a bare
+    // LocalTableScan — unauditable. Now it is a single union-of-aggregates
+    // plan: each step's first-hit table aggregates and joins on user_id,
+    // so ONE hash partitioning carries the whole chain; per-step
+    // event_type predicates must reach the parquet scan.
+    val s = sections("funnel_steps")
+    assert(!s.contains("LocalTableScan"),
+      "funnel must be a distributed plan, not a driver-computed local result")
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      "step gating must stay an equi-join")
+    val parts = "hashpartitioning\\(([A-Za-z_0-9]+#)".r.findAllMatchIn(s).map(_.group(1)).toSet
+    assert(parts.nonEmpty && parts.forall(_.startsWith("user_id#")),
+      s"funnel shuffles on non-user_id keys: $parts")
+    for (t <- Seq("view", "click", "purchase"))
+      assert(s.contains(s"EqualTo(event_type,$t)"),
+        s"step filter for '$t' must push into the parquet scan")
+  }
+
   test("PLANS_sf1.txt (when present) also covers the registry with no failed explains") {
     // the at-scale audit artifact, regenerated on demand against the
     // ScaleUp-built data/sf1 — optional because that dataset is not
