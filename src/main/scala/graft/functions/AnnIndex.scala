@@ -275,7 +275,11 @@ object AnnIndex {
     val cent = spark.read.parquet(s"$base/ivf_centroids")
     val assigned = mergedArtifact(spark, dir, "ivf_postings", batches)
       .withColumn("cell", col("cell").cast("long"))
-    Similarity.driftAggregate(assigned, cent, incrNewPred, "vec_id", "embedding")
+    // "new" = member of ANY served ingest batch — derived from the same
+    // manifest the merge reads, so a custom batch list keeps the report
+    // consistent with what is actually being served
+    val newPred = batches.map(_._1).reduce(_ || _)
+    Similarity.driftAggregate(assigned, cent, newPred, "vec_id", "embedding")
   }
 
   /** IVF top-k search against the STORED index: read centroids, probe the

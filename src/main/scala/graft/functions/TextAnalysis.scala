@@ -440,6 +440,52 @@ object TextAnalysis {
        |  SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM s$merges GROUP BY 1)
        |SELECT sym, cnt FROM fin ORDER BY cnt DESC, sym ASC LIMIT $k""".stripMargin
 
+  /** Tokenizer APPLICATION at corpus scale — the encode pass that
+    * follows [[bpeTrain]]: segment every document by the trained merge
+    * table and emit per-document token statistics (words, characters,
+    * BPE tokens, chars-per-token — the "fertility" figure tokenizer
+    * reports track, and the number that converts a corpus byte budget
+    * into a training token budget).
+    *
+    * Scale shape — why encode costs barely more than the trainer:
+    * the trainer's final vocabulary already holds each DISTINCT token's
+    * segmentation, so encoding never re-runs merges per occurrence — the
+    * corpus joins its exploded words to the (tok → |syms|) vocab (a
+    * corpus-vocabulary-sized build side, broadcastable), then one
+    * per-doc aggregation. Text shuffles only as (doc, word) pairs, the
+    * same granularity token_count already pays.
+    */
+  def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Int): DataFrame = {
+    val (vocab, _) = bpeLoop(docs, textCol, merges)
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val vt = vocab.select(col("tok").as("v_tok"), size(col("syms")).cast("long").as("n_syms"))
+    words.join(vt, col("tok") === col("v_tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("tok")).cast("long")).as("n_chars"),
+        sum(col("n_syms")).as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** DuckDB twin of [[bpeEncodeStats]]: the same unrolled training
+    * chain, the per-token symbol counts of the final segmentation, then
+    * the corpus join + per-doc aggregate.
+    */
+  def bpeEncodeStatsSqlFor(merges: Int): String =
+    s"""${bpeSqlCtes(merges)}
+       |vt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_syms FROM s$merges GROUP BY 1),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |j AS (SELECT d.doc_id, d.tok, vt.n_syms FROM dw d JOIN vt ON vt.tok = d.tok
+       |      WHERE length(d.tok) >= 1)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(length(tok)) AS DOUBLE) / sum(n_syms), 4) AS chars_per_token
+       |FROM j GROUP BY 1""".stripMargin
+
   /** Document fingerprint: full-content hash plus a winnowing-style
     * min-shingle-hash (stable under small appends, unlike the full hash).
     */
@@ -1098,6 +1144,9 @@ object TextAnalysis {
     QueryDef("bpe_merge_pairs", (s, dir) => bpeMergePairs(Tables.documents(s, dir), "text", 20), Some(bpeMergePairsSql)),
     QueryDef("bpe_merges_k4", (s, dir) => bpeTrain(Tables.documents(s, dir), "text", 4), Some(bpeTrainSqlFor(4))),
     QueryDef("bpe_vocab_k4", (s, dir) => bpeVocab(Tables.documents(s, dir), "text", 4, 30), Some(bpeVocabSqlFor(4, 30))),
+    QueryDef("bpe_encode_k4",
+      (s, dir) => bpeEncodeStats(Tables.documents(s, dir), "doc_id", "text", 4),
+      Some(bpeEncodeStatsSqlFor(4))),
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
     QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
     QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),

@@ -547,6 +547,36 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bpe encode: per-doc token stats from the trained segmentation") {
+    // one merge on "aa aa b": pair a·a freq 2 adopts (a a); segmentation
+    // aa -> [aa] (1 sym), b -> [b] (1 sym)
+    // doc 1 = "aa aa b": 3 words, 5 chars, 3 bpe tokens, 5/3 chars/token
+    // doc 2 = "aa": 1 word, 2 chars, 1 token, 2.0
+    val d = docs(1L -> "aa aa b", 2L -> "aa")
+    val got = TextAnalysis.bpeEncodeStats(d, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 5L, 3L, 1.6667)),
+      2L -> ((1L, 2L, 1L, 2.0))))
+    spark.catalog.clearCache()
+  }
+
+  test("bpe encode on real docs: every doc encoded, token count between words and chars") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.001"
+    val nDocs = Tables.documents(spark, dir).count()
+    val rows = TextAnalysis.bpeEncodeStats(Tables.documents(spark, dir), "doc_id", "text", 4)
+      .collect()
+    assert(rows.length.toLong === nDocs, "the vocab join must not drop documents")
+    rows.foreach { r =>
+      val (w, c, t) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t >= w && t <= c,
+        s"doc ${r.getLong(0)}: bpe tokens $t outside [words $w, chars $c]")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("semdedup: staged-cell pairs equal an inline-trained within-cell exact scan") {
     import graft.engine.Tables
     val dir = "/root/testdata/sf0.01"
