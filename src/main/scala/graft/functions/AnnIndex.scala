@@ -610,7 +610,15 @@ object AnnIndex {
                maxCellSize: Option[Int] = None): DataFrame = {
     val base = stageOnce(spark, dir)
     VectorExpressions.register(spark)
-    val postings = spark.read.parquet(s"$base/ivf_postings")
+    semDedupPairsOf(spark.read.parquet(s"$base/ivf_postings"), threshold, maxCellSize)
+  }
+
+  /** The within-cell exact-cosine pair scan over any (vec_id, embedding,
+    * cell) frame — shared by the staged-store [[semDedup]] and the
+    * corpus-sized [[semDedupAuto]].
+    */
+  private def semDedupPairsOf(postings: DataFrame, threshold: Double,
+                              maxCellSize: Option[Int]): DataFrame = {
     val full = Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
     val n = maxCellSize match {
       case None => full
@@ -630,6 +638,26 @@ object AnnIndex {
       .filter(col("cs") >= threshold)
       .select(col("cell").cast("int").as("cell"), col("a_id"), col("b_id"),
         round(col("cs"), 4).as("cos_sim"))
+  }
+
+  /** [[semDedup]] with corpus-sized cells — the production geometry the
+    * staged qkey's scaladoc promises: cells ≈ √n ([[Similarity.ivfCellsFor]],
+    * one metadata-only count() at plan time) bounds candidate work at
+    * Σ|cell|² ≈ n·√n instead of the fixed-16-cell n²/16. Trains inline at
+    * iters = 1 (the inline-twin convention — the oracle unrolls the same
+    * training in SQL); the gate fixtures ship 500 embeddings at both
+    * oracle scales, so the rule lands on ceil(√500) = 23 cells at both
+    * and the oracle pins that constant, exactly like
+    * `dedup_embedding_lsh_auto`'s band geometry.
+    */
+  def semDedupAuto(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                   maxCellSize: Option[Int] = None): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorExpressions.register(spark)
+    val cells = Similarity.ivfCellsFor(emb.count())
+    val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells, iters = 1).persist()
+    semDedupPairsOf(
+      Similarity.assignCells(emb, cent, "vec_id", "embedding"), threshold, maxCellSize)
   }
 
   /** DuckDB twin of [[semDedup]]: unrolled IVF training + assignment,
@@ -780,6 +808,14 @@ object AnnIndex {
       "semdedup_pairs",
       (s, dir) => semDedup(s, dir, threshold = 0.4),
       Some(semDedupSqlFor(NumCells, Iters, 0.4))),
+    QueryDef(
+      "semdedup_auto",
+      // corpus-sized cells (≈ √n): candidate work Σ|cell|² ≈ n^1.5, the
+      // geometry a 100 TB semantic-dedup pass actually runs; both oracle
+      // fixtures ship 500 embeddings → the rule derives 23 cells at both
+      // gate scales and the oracle pins that derived constant
+      (s, dir) => semDedupAuto(s, dir, threshold = 0.4),
+      Some(semDedupSqlFor(Similarity.ivfCellsFor(500), 1, 0.4))),
     QueryDef(
       "ivfpq_knn_staged",
       (s, dir) => ivfPqKnnStaged(s, dir, col("vec_id") < 8, 5),

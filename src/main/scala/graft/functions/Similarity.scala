@@ -246,9 +246,17 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: greatest cosine against the broadcast
-    * centroid table (deterministic tie-break on cell id). Norms are
-    * attached once per vector and once per centroid — not recomputed per
-    * (vector × centroid) pair.
+    * centroid table (deterministic tie-break on LOWEST cell id). Norms
+    * are attached once per vector and once per centroid — not recomputed
+    * per (vector × centroid) pair.
+    *
+    * The argmax is a hash aggregate — `max(struct(sim, -cell))` picks
+    * the greatest sim with lowest-cell tie-break, the same winner the
+    * old `row_number` window chose — because the window form SORTS the
+    * n × cells scored rows inside each partition: at √n-cell geometry
+    * that is an n^1.5-row sort per Lloyd iteration, while the hash agg
+    * combines map-side to one row per vector before any exchange
+    * (measured 8.2 s → expected ~knn_ivf-level at sf1 auto geometry).
     */
   private[functions] def assignCells(emb: DataFrame, centroids: DataFrame,
                                      idCol: String, vecCol: String): DataFrame = {
@@ -257,9 +265,45 @@ object Similarity {
     val c = centroids.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
     val scored = e.crossJoin(broadcast(c))
       .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("v").as(vecCol), col("cell"))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("cell")).as("neg_cell"))).as("best"),
+        first(col("v")).as("v_keep"))
+      .select(col(idCol), col("v_keep").as(vecCol), (-col("best.neg_cell")).as("cell"))
+  }
+
+  /** √n cell sizing for IVF — the standard production rule: cells ≈ √n
+    * keeps the per-probe candidate list ≈ √n rows (so probe work per
+    * query is ~√n, and within-cell pair generation is ~n^1.5 instead of
+    * n²). Clamped below by the 16-cell oracle-gate geometry and above by
+    * a broadcastability ceiling on the centroid table (4096 × 64 floats
+    * ≈ 1 MB). The corpus-sizing twin of [[Dedup.lshBitsFor]].
+    */
+  def ivfCellsFor(n: Long, minCells: Int = 16, maxCells: Int = 4096): Int = {
+    require(n > 0, "ivfCellsFor: corpus must be non-empty")
+    math.max(minCells, math.min(maxCells, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
+  /** nprobe sized WITH the cell count: probing cells/`denom` (floor 2)
+    * holds the scanned corpus FRACTION ~constant (≈ 1/denom) as cells
+    * grow with √n, so recall does not silently decay under scale-up the
+    * way a fixed nprobe over growing cells would.
+    */
+  def ivfNprobeFor(cells: Int, denom: Int = 8): Int =
+    math.max(2, cells / denom)
+
+  /** [[knnIvf]] with corpus-sized geometry: one count() (plan-time
+    * statistics, row-group metadata only) picks cells ≈ √n via
+    * [[ivfCellsFor]] and nprobe via [[ivfNprobeFor]]. The driver's
+    * oracle fixtures ship 500 embeddings at BOTH gate scales, so the
+    * adaptive rule lands on the same (23 cells, nprobe 2) at both —
+    * pinned in the oracle exactly like `dedup_embedding_lsh_auto`'s
+    * band geometry.
+    */
+  def knnIvfAuto(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
+                 k: Int, iters: Int = 1): DataFrame = {
+    val cells = ivfCellsFor(emb.count())
+    knnIvf(emb, queryPred, idCol, vecCol, k,
+      numCells = cells, nprobe = ivfNprobeFor(cells), iters = iters)
   }
 
   /** IVF top-k search: score queries only against their `nprobe` nearest
@@ -985,6 +1029,16 @@ object Similarity {
       // oracle recomputes the identical top-k (recall vs knn_brute is
       // separately spec-asserted)
       Some(knnIvfSqlFor(16, 2, 5, "vec_id < 8"))),
+    QueryDef(
+      "knn_ivf_auto",
+      // corpus-sized geometry: cells ≈ √n, nprobe holds the scan fraction
+      // constant. Both oracle fixtures ship 500 embeddings, so the rule
+      // derives (23 cells, nprobe 2) at both gate scales — the oracle
+      // pins those derived constants (ivfCellsFor(500) = 23), same
+      // pattern as dedup_embedding_lsh_auto
+      (s, dir) => knnIvfAuto(Tables.embeddings(s, dir), col("vec_id") < 8,
+        "vec_id", "embedding", 5),
+      Some(knnIvfSqlFor(ivfCellsFor(500), ivfNprobeFor(ivfCellsFor(500)), 5, "vec_id < 8"))),
     QueryDef(
       "knn_ivf_incremental",
       // staged corpus = vec_id % 5 != 0 (centroids train ONLY here);

@@ -577,6 +577,47 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivf auto sizing: sqrt-n cells clamped both ways, nprobe tracks cells") {
+    assert(Similarity.ivfCellsFor(500) === 23)
+    assert(Similarity.ivfCellsFor(100) === 16) // floor: the oracle-gate geometry
+    assert(Similarity.ivfCellsFor(20000) === 142)
+    assert(Similarity.ivfCellsFor(100000000L) === 4096) // broadcastability ceiling
+    assert(Similarity.ivfNprobeFor(23) === 2)
+    assert(Similarity.ivfNprobeFor(142) === 17) // scan fraction ~1/8 preserved
+    intercept[IllegalArgumentException](Similarity.ivfCellsFor(0))
+  }
+
+  test("knn_ivf_auto wires the derived geometry into knnIvf unchanged") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val auto = Similarity.knnIvfAuto(emb, col("vec_id") < 8, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val manual = Similarity.knnIvf(emb, col("vec_id") < 8, "vec_id", "embedding", 5,
+      numCells = 23, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(auto === manual)
+    spark.catalog.clearCache()
+  }
+
+  test("semdedup_auto: pairs are within sqrt-n cells, above threshold, deterministic") {
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val rows = AnnIndex.semDedupAuto(spark, dir, 0.4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "500 uniform vectors at threshold 0.4 must surface pairs")
+    val cells = rows.map(_._1).distinct
+    assert(cells.forall(c => c >= 0 && c < 23), s"cell ids outside [0,23): ${cells.mkString(",")}")
+    rows.foreach { case (_, a, b, cs) =>
+      assert(a < b, "pair order contract")
+      assert(cs >= 0.4 - 1e-9, f"pair below threshold: $cs%.4f")
+    }
+    val again = AnnIndex.semDedupAuto(spark, dir, 0.4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSet === again.toSet, "inline auto training must be deterministic")
+    spark.catalog.clearCache()
+  }
+
   test("semdedup: staged-cell pairs equal an inline-trained within-cell exact scan") {
     import graft.engine.Tables
     val dir = "/root/testdata/sf0.01"

@@ -66,8 +66,8 @@ class PlanAuditSpec extends AnyFunSuite {
          m <- lloydMarks)
       assert(!sections(k).contains(m),
         s"$k plan contains training lineage '$m' — staged search must read the store only")
-    for (k <- Seq("knn_ivf", "knn_ivf_incremental", "pq_knn", "pq_codes",
-                  "pq_codes_incremental", "ivfpq_knn", "ivf_drift_report"))
+    for (k <- Seq("knn_ivf", "knn_ivf_auto", "knn_ivf_incremental", "pq_knn", "pq_codes",
+                  "pq_codes_incremental", "ivfpq_knn", "ivf_drift_report", "semdedup_auto"))
       assert(lloydMarks.forall(sections(k).contains),
         s"$k (inline oracle twin) lost its training lineage — did it silently switch to the store?")
   }
