@@ -660,6 +660,68 @@ object AnnIndex {
       Similarity.assignCells(emb, cent, "vec_id", "embedding"), threshold, maxCellSize)
   }
 
+  /** Build-once staging at CORPUS-SIZED geometry — [[stageOnce]]'s IVF
+    * half at cells ≈ √n: the store every production ANN/semantic-dedup
+    * deployment actually maintains (fixed 16-cell geometry is the oracle
+    * gate configuration; this one grows with the corpus). The cell count
+    * is part of the directory fingerprint, so a corpus growth that
+    * changes the derived geometry triggers a fresh build instead of
+    * serving a stale one. Only the IVF artifacts are staged (centroids +
+    * hive-partitioned postings); trains at [[Iters]] = 3 like
+    * [[stageOnce]] — a one-time build earns better training. Returns
+    * (index dir, cells).
+    */
+  def stageAuto(spark: SparkSession, dir: String): (String, Int) = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorExpressions.register(spark)
+    val cells = Similarity.ivfCellsFor(emb.count())
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_ann_${tag}_auto_c${cells}i${Iters}r1")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_ANN_OK")
+    if (fs.exists(marker)) return (base.toString, cells)
+    if (fs.exists(base)) fs.delete(base, true)
+    val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells, Iters)
+    cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
+    val centStored = spark.read.parquet(s"$base/ivf_centroids")
+    Similarity.assignCells(emb, centStored, "vec_id", "embedding")
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
+    fs.create(marker).close()
+    (base.toString, cells)
+  }
+
+  /** IVF top-k against the CORPUS-SIZED store — the terminal production
+    * shape of the search family: geometry grows with the corpus
+    * ([[stageAuto]]), nprobe holds the scan fraction constant
+    * ([[Similarity.ivfNprobeFor]]), and the serve plan reads only stored
+    * artifacts (no Lloyd lineage — PlanAuditSpec-asserted).
+    */
+  def knnIvfAutoStaged(spark: SparkSession, dir: String, queryPred: Column,
+                       k: Int): DataFrame = {
+    val (base, cells) = stageAuto(spark, dir)
+    ivfServe(spark, dir,
+      spark.read.parquet(s"$base/ivf_centroids"),
+      spark.read.parquet(s"$base/ivf_postings"),
+      queryPred, k, Similarity.ivfNprobeFor(cells))
+  }
+
+  /** SemDeDup over the CORPUS-SIZED store — [[semDedup]]'s blocking at
+    * √n cells with zero training in the plan: the within-cell pair scan
+    * costs Σ|cell|² ≈ n^1.5 AND pays no inline Lloyd, which is exactly
+    * how a production semantic-dedup pass runs daily against a
+    * maintained index.
+    */
+  def semDedupAutoStaged(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                         maxCellSize: Option[Int] = None): DataFrame = {
+    val (base, _) = stageAuto(spark, dir)
+    VectorExpressions.register(spark)
+    semDedupPairsOf(spark.read.parquet(s"$base/ivf_postings"), threshold, maxCellSize)
+  }
+
   /** DuckDB twin of [[semDedup]]: unrolled IVF training + assignment,
     * then the within-cell exact-cosine pair scan. The threshold compares
     * the UNROUNDED cosine (both engines), rounding only the output.
@@ -816,6 +878,18 @@ object AnnIndex {
       // gate scales and the oracle pins that derived constant
       (s, dir) => semDedupAuto(s, dir, threshold = 0.4),
       Some(semDedupSqlFor(Similarity.ivfCellsFor(500), 1, 0.4))),
+    QueryDef(
+      "knn_ivf_auto_staged",
+      // the terminal production shape: corpus-sized store + lineage-free
+      // serve; oracle retrains at the gate-derived geometry (23 cells,
+      // nprobe 2) at the store's iters = 3
+      (s, dir) => knnIvfAutoStaged(s, dir, col("vec_id") < 8, 5),
+      Some(Similarity.knnIvfSqlFor(Similarity.ivfCellsFor(500),
+        Similarity.ivfNprobeFor(Similarity.ivfCellsFor(500)), 5, "vec_id < 8", Iters))),
+    QueryDef(
+      "semdedup_auto_staged",
+      (s, dir) => semDedupAutoStaged(s, dir, threshold = 0.4),
+      Some(semDedupSqlFor(Similarity.ivfCellsFor(500), Iters, 0.4))),
     QueryDef(
       "ivfpq_knn_staged",
       (s, dir) => ivfPqKnnStaged(s, dir, col("vec_id") < 8, 5),

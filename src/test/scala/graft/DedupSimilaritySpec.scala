@@ -618,6 +618,21 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("auto-staged IVF serve equals inline training at the store's iteration count") {
+    import graft.engine.Tables
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val staged = AnnIndex.knnIvfAutoStaged(spark, dir, col("vec_id") < 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = Similarity.knnIvf(emb, col("vec_id") < 8, "vec_id", "embedding", 5,
+      numCells = 23, nprobe = 2, iters = AnnIndex.Iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(staged === inline,
+      "corpus-sized store serve drifted from inline training at the same geometry/iters")
+    spark.catalog.clearCache()
+  }
+
   test("semdedup: staged-cell pairs equal an inline-trained within-cell exact scan") {
     import graft.engine.Tables
     val dir = "/root/testdata/sf0.01"
