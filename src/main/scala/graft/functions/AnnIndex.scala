@@ -786,7 +786,8 @@ object AnnIndex {
     val qPred = col("vec_id") < 8
     annRecallReportFor(spark, dir, qPred, k, Seq(
       "knn_ivf_staged" -> knnIvfStaged(spark, dir, qPred, k),
-      "ivfpq_knn_rerank_staged" -> ivfPqKnnRerankStaged(spark, dir, qPred, k)))
+      "ivfpq_knn_rerank_staged" -> ivfPqKnnRerankStaged(spark, dir, qPred, k),
+      "knn_ivf_auto_staged" -> knnIvfAutoStaged(spark, dir, qPred, k)))
   }
 
   /** [[annRecallReport]] over an arbitrary (queryPred, k, methods) set —
@@ -826,10 +827,15 @@ object AnnIndex {
        |rer AS (SELECT q_id, n_id FROM (
        |${IvfPq.ivfPqKnnRerankSqlFor(NumCells, Nprobe, NumSub, NumCodes, Dim, 5, 40,
             "vec_id < 8", Iters)})),
+       |aut AS (SELECT q_id, n_id FROM (
+       |${Similarity.knnIvfSqlFor(Similarity.ivfCellsFor(500),
+            Similarity.ivfNprobeFor(Similarity.ivfCellsFor(500)), 5, "vec_id < 8", Iters)})),
        |allm AS (
        |  SELECT 'knn_ivf_staged' AS method, q_id, n_id FROM ivf
        |  UNION ALL
-       |  SELECT 'ivfpq_knn_rerank_staged' AS method, q_id, n_id FROM rer),
+       |  SELECT 'ivfpq_knn_rerank_staged' AS method, q_id, n_id FROM rer
+       |  UNION ALL
+       |  SELECT 'knn_ivf_auto_staged' AS method, q_id, n_id FROM aut),
        |mk AS (
        |  SELECT a.method, a.q_id, a.n_id,
        |         CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END AS hit

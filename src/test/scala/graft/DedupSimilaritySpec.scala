@@ -1213,6 +1213,8 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nq === 8L && nr === 40L, "8 queries x top-5 expected")
     assert(rec === expect, f"report recall $rec%.4f != recomputed $expect%.4f")
     assert(rep.contains("ivfpq_knn_rerank_staged"))
+    assert(rep.contains("knn_ivf_auto_staged"),
+      "the corpus-sized production serve must be monitored too")
     spark.catalog.clearCache()
   }
 
