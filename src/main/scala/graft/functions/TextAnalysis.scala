@@ -455,12 +455,23 @@ object TextAnalysis {
     * per-doc aggregation. Text shuffles only as (doc, word) pairs, the
     * same granularity token_count already pays.
     */
+  /** The trained tokenizer as a deployable artifact: each DISTINCT
+    * corpus token's BPE token count after `merges` rounds — the static
+    * frame the streaming encode twin joins against
+    * ([[graft.streaming.StreamingOps.bpeEncodeStream]]), and the build
+    * side of [[bpeEncodeStats]].
+    */
+  def bpeSegmentation(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val (vocab, _) = bpeLoop(docs, textCol, merges)
+    vocab.select(col("tok"), size(col("syms")).cast("long").as("n_syms"))
+  }
+
   def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
                      merges: Int): DataFrame = {
-    val (vocab, _) = bpeLoop(docs, textCol, merges)
     val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
-    val vt = vocab.select(col("tok").as("v_tok"), size(col("syms")).cast("long").as("n_syms"))
+    val vt = bpeSegmentation(docs, textCol, merges)
+      .select(col("tok").as("v_tok"), col("n_syms"))
     words.join(vt, col("tok") === col("v_tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),

@@ -556,6 +556,7 @@ object StreamingOps {
   }
 
   case class PackDoc(doc_id: Long, source: String, text: String)
+  case class TimedDoc(doc_id: Long, text: String, ts: Timestamp)
   case class PackTok(doc_id: Long, source: String, shard: Long, tok: Long)
   case class PackAssign(doc_id: Long, source: String, shard: Long, seq_id: Long, tok: Long)
   case class PackRunning(running: Long)
@@ -570,6 +571,36 @@ object StreamingOps {
   def docChunksStream(docs: DataFrame, idCol: String, textCol: String,
                       chunkTokens: Int, overlap: Int): DataFrame =
     graft.functions.Curation.docChunks(docs, idCol, textCol, chunkTokens, overlap)
+
+  /** Streaming twin of [[graft.functions.TextAnalysis.bpeEncodeStats]] —
+    * tokenizer APPLICATION on the live ingest. The tokenizer itself is
+    * trained OFFLINE (the universal deployment shape: merges are frozen
+    * artifacts, retrained out-of-band), so the trained segmentation
+    * arrives as a STATIC (tok, n_syms) frame
+    * ([[graft.functions.TextAnalysis.bpeSegmentation]]) and the stream
+    * side is a stateless explode + stream-static join, followed by one
+    * watermarked per-(doc, window) aggregation — all of a document's
+    * words carry its single event time, so the window never splits a
+    * document and the per-doc stats equal the batch operator's
+    * (StreamingSpec-asserted).
+    */
+  def bpeEncodeStream(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, delay: String, segmentation: DataFrame,
+                      windowLen: String = "1 day"): DataFrame = {
+    val words = docs.withWatermark(tsCol, delay)
+      .select(col(idCol), col(tsCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val vt = segmentation.select(col("tok").as("v_tok"), col("n_syms"))
+    words.join(vt, col("tok") === col("v_tok"))
+      .groupBy(col(idCol), window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("tok")).cast("long")).as("n_chars"),
+        sum(col("n_syms")).as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 4))
+      .select(col(idCol), col("n_words"), col("n_chars"), col("n_tokens"),
+        col("chars_per_token"))
+  }
 
   /** Streaming twin of [[graft.functions.Curation.seqPacking]]: next-fit
     * token packing as a running budget per (source, shard) key — the

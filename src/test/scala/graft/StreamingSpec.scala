@@ -706,4 +706,42 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming bpe encode matches the batch stats with an offline-trained segmentation") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    // tokenizer trained OFFLINE on the batch corpus — the frozen artifact
+    val seg = graft.functions.TextAnalysis.bpeSegmentation(docs, "text", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("tok", "n_syms")
+    val batch = graft.functions.TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val base = java.time.Instant.parse("2024-01-01T12:00:00Z")
+    val fed = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => StreamingOps.TimedDoc(r.getLong(0), r.getString(1),
+        java.sql.Timestamp.from(base)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[StreamingOps.TimedDoc]
+    val q = StreamingOps.bpeEncodeStream(
+        input.toDF(), "doc_id", "text", "ts", "10 seconds", seg)
+      .writeStream.format("memory").queryName("bpe_out").outputMode("append").start()
+    try {
+      val (h1, h2) = fed.splitAt(fed.length / 2)
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      // advance the watermark past the shared event time so the per-doc
+      // windowed aggregates finalize and append
+      input.addData(StreamingOps.TimedDoc(-1L, "",
+        java.sql.Timestamp.from(base.plusSeconds(7 * 86400))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bpe_out")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got === batch)
+    assert(batch.size === 500, "every sf0.001 document must be encoded")
+    spark.catalog.clearCache()
+  }
 }
