@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.QueryDef
-import graft.functions.{AnnIndex, Curation, Dedup, IvfPq, Similarity, TextAnalysis}
+import graft.functions.{AnnIndex, Curation, Dedup, IvfPq, SigIndex, Similarity, TextAnalysis}
 import graft.operators.{Extended, KeyedAggs, MultiStream, Relational, Scale, Stateless, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,6 +18,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     Stateless.defs ++ KeyedAggs.defs ++ Windows.defs ++ MultiStream.defs ++
       Relational.defs ++ Extended.defs ++ TextAnalysis.defs ++ Dedup.defs ++
+      SigIndex.defs ++
       Similarity.defs ++ AnnIndex.defs ++ IvfPq.defs ++ Scale.defs ++
       graft.multimodal.Multimodal.defs ++ Curation.defs
 

@@ -115,8 +115,14 @@ object Dedup {
     * rows of hashes — the LSH "index"; production stages it to storage).
     */
   private def minhashLshPairsFrom(mh: DataFrame, idCol: String,
-                                  numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val bands = minhashBands(mh, idCol, numHashes, rowsPerBand).persist()
+                                  numHashes: Int, rowsPerBand: Int): DataFrame =
+    pairsFromBands(minhashBands(mh, idCol, numHashes, rowsPerBand).persist(), idCol)
+
+  /** Band self-join → distinct candidate pairs, over ANY (id, band, sig)
+    * frame — shared by the inline path above and the staged index's
+    * serve ([[SigIndex.minhashPairsStaged]]).
+    */
+  private[functions] def pairsFromBands(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") && col("doc_a") < col("doc_b"))
@@ -142,7 +148,7 @@ object Dedup {
     * candidate-generation structure of the self-join ([[minhashLshPairsFrom]])
     * and cross-corpus ([[dedupIncremental]]) paths.
     */
-  private def minhashBands(mh: DataFrame, idCol: String,
+  private[functions] def minhashBands(mh: DataFrame, idCol: String,
                            numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +

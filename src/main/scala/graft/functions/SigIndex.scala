@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryDef, Tables}
+
+/** Staged MinHash signature index — the document-dedup analogue of
+  * [[AnnIndex]]: shingle + md5 + min-aggregate ONCE per corpus revision,
+  * persist the signature table and its LSH band index to storage, and
+  * serve every candidate-generation consumer from the stored artifacts
+  * with zero text lineage in the serve plan. At 100 TB the signature
+  * build is the only pass that touches document TEXT; every downstream
+  * dedup query (pairs, est-Jaccard, clustering, incremental ingest, the
+  * streaming leakage monitor's static side) runs off |docs| × 8 hashes —
+  * kilobytes per million documents, rebuilt only when the corpus
+  * revision changes.
+  *
+  * All signature arithmetic is md5-based (engine-identical bytes), so
+  * staged serves are bit-for-bit equal to the inline operators and share
+  * their DuckDB oracles unchanged — "build the index in Spark, retrain
+  * in SQL, hashes must agree" (spec-pinned, same contract as the ANN
+  * store).
+  *
+  * Layout under one (sf-dir, geometry) fingerprint directory:
+  *  - `minhash_sigs` (doc_id, mh_1..mh_8) — the signature table
+  *  - `band_index`   (doc_id, band, sig)  — the LSH candidate structure
+  * with the same `_GRAFT_SIG_OK` self-healing completion-marker protocol
+  * as [[AnnIndex.stageOnce]].
+  */
+object SigIndex {
+  val NumHashes = 8
+  val RowsPerBand = 2
+
+  private def basePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_sig_${tag}_h${NumHashes}b${RowsPerBand}_r1")
+  }
+
+  def stageOnce(spark: SparkSession, dir: String): String = {
+    val base = basePath(spark, dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_SIG_OK")
+    if (fs.exists(marker)) return base.toString
+    if (fs.exists(base)) fs.delete(base, true)
+    val docs = Tables.documents(spark, dir)
+    val sh = TextAnalysis.shingles(docs, "doc_id", "text", distinct = false)
+    Dedup.minhashSignatures(sh, "doc_id", NumHashes)
+      .write.mode("overwrite").parquet(s"$base/minhash_sigs")
+    // bands derive from the STORED signatures so the index is internally
+    // consistent even if the signature lineage were ever to change
+    val sigsStored = spark.read.parquet(s"$base/minhash_sigs")
+    Dedup.minhashBands(sigsStored, "doc_id", NumHashes, RowsPerBand)
+      .write.mode("overwrite").parquet(s"$base/band_index")
+    fs.create(marker).close()
+    base.toString
+  }
+
+  /** LSH candidate pairs served from the STORED band index — the
+    * dedup_minhash serve that never touches document text: one equi-join
+    * over (band, sig) rows already on disk. Bit-for-bit equal to the
+    * inline [[Dedup.minhashLshPairs]] (same oracle).
+    */
+  def minhashPairsStaged(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageOnce(spark, dir)
+    Dedup.pairsFromBands(spark.read.parquet(s"$base/band_index"), "doc_id")
+  }
+
+  /** Estimated-Jaccard scoring served ENTIRELY from the store: candidate
+    * pairs from the stored band index, similarity as the agreeing-slot
+    * fraction over the stored signature table. The production near-dup
+    * report at 100 TB — text is never read (same oracle as the inline
+    * dedup_minhash_est).
+    */
+  def estJaccardStaged(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageOnce(spark, dir)
+    val mh = spark.read.parquet(s"$base/minhash_sigs")
+    val pairs = Dedup.pairsFromBands(spark.read.parquet(s"$base/band_index"), "doc_id")
+    val a = mh.select(col("doc_id").as("doc_a") +:
+      (1 to NumHashes).map(j => col(s"mh_$j").as(s"a_$j")): _*)
+    val b = mh.select(col("doc_id").as("doc_b") +:
+      (1 to NumHashes).map(j => col(s"mh_$j").as(s"b_$j")): _*)
+    val agree = (1 to NumHashes)
+      .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (agree.cast("double") / NumHashes).as("est_jacc"))
+  }
+
+  /** Same oracles as the inline twins: the index contents are
+    * md5-deterministic, so "hash in SQL, serve the store in Spark" must
+    * produce identical bytes.
+    */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_minhash_staged",
+      (s, dir) => minhashPairsStaged(s, dir),
+      Some(Dedup.minhashSql)),
+    QueryDef(
+      "dedup_minhash_est_staged",
+      (s, dir) => estJaccardStaged(s, dir),
+      Some(Dedup.minhashEstJaccardSql)),
+  )
+}

@@ -633,6 +633,27 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged signature index serves equal the inline minhash operators bit-for-bit") {
+    import graft.engine.Tables
+    import graft.functions.SigIndex
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir)
+    val pairsStaged = SigIndex.minhashPairsStaged(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsInline = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsStaged === pairsInline,
+      "stored band index drifted from the inline signature build")
+    val estStaged = SigIndex.estJaccardStaged(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val estInline = Dedup.minhashEstJaccard(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(estStaged === estInline,
+      "stored signatures drifted from the inline md5 minhash")
+    assert(pairsStaged.nonEmpty && estStaged.size === pairsStaged.size)
+    spark.catalog.clearCache()
+  }
+
   test("semdedup: staged-cell pairs equal an inline-trained within-cell exact scan") {
     import graft.engine.Tables
     val dir = "/root/testdata/sf0.01"

@@ -73,6 +73,18 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$k (inline oracle twin) lost its training lineage — did it silently switch to the store?")
   }
 
+  test("staged signature serves carry no text lineage; inline minhash twins do") {
+    // the SigIndex contract: shingle + md5 + min-aggregate run at staging
+    // time only — a serve plan reading the store must never re-derive
+    // signatures from document text
+    for (k <- Seq("dedup_minhash_staged", "dedup_minhash_est_staged"))
+      assert(!sections(k).contains("md5("),
+        s"$k plan re-computes md5 signatures — staged serve must read the store only")
+    for (k <- Seq("dedup_minhash", "dedup_minhash_est"))
+      assert(sections(k).contains("md5("),
+        s"$k (inline oracle twin) lost its signature lineage — did it silently switch to the store?")
+  }
+
   test("funnel_steps is one declarative plan, every shuffle keyed on user_id") {
     // funnel used to run per-step driver count()s and explain as a bare
     // LocalTableScan — unauditable. Now it is a single union-of-aggregates
