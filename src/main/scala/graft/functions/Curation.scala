@@ -568,8 +568,15 @@ object Curation {
     * shuffle family, no text movement. Runs at full corpus scale
     * whenever the dedup pass itself does.
     */
-  def splitLeakage(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(docs, idCol, textCol)
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    splitLeakageFromPairs(docs, Dedup.minhashLshPairs(docs, idCol, textCol), idCol)
+
+  /** The audit joins over an EXPLICIT candidate-pair frame — shared by
+    * the inline path above and the staged signature store's serve
+    * ([[SigIndex]] `split_leakage_staged`), where the pairs come off
+    * disk and no text is read at all.
+    */
+  def splitLeakageFromPairs(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val splits = TextAnalysis.dataSplit(docs, idCol)
     val sa = splits.select(col(idCol).as("doc_a"), col("split").as("split_a"))
     val sb = splits.select(col(idCol).as("doc_b"), col("split").as("split_b"))

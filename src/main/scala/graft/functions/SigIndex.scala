@@ -89,6 +89,30 @@ object SigIndex {
       .select(col("doc_a"), col("doc_b"), (agree.cast("double") / NumHashes).as("est_jacc"))
   }
 
+  /** Near-dup clustering off the store: stored-band candidate pairs →
+    * the same union-find/iterative connected components as the inline
+    * dedup_clusters — the full corpus-dedup decision, with text read
+    * zero times.
+    */
+  def dedupClustersStaged(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Tables.documents(spark, dir),
+      minhashPairsStaged(spark, dir), "doc_id")
+
+  /** Duplicate-graph PageRank off the store: stored-band candidate graph
+    * → the same integer fixed-point rank rounds as the inline
+    * doc_pagerank.
+    */
+  def docPagerankStaged(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pagerankOnPairs(minhashPairsStaged(spark, dir), "doc_id", 5, 1000000L)
+
+  /** Split-leakage audit off the store: stored-band candidate pairs
+    * joined against the hash-deterministic split assignment — the
+    * quarantine list, with text read zero times.
+    */
+  def splitLeakageStaged(spark: SparkSession, dir: String): DataFrame =
+    Curation.splitLeakageFromPairs(Tables.documents(spark, dir),
+      minhashPairsStaged(spark, dir), "doc_id")
+
   /** Same oracles as the inline twins: the index contents are
     * md5-deterministic, so "hash in SQL, serve the store in Spark" must
     * produce identical bytes.
@@ -102,5 +126,17 @@ object SigIndex {
       "dedup_minhash_est_staged",
       (s, dir) => estJaccardStaged(s, dir),
       Some(Dedup.minhashEstJaccardSql)),
+    QueryDef(
+      "dedup_clusters_staged",
+      (s, dir) => dedupClustersStaged(s, dir),
+      Some(Dedup.dedupClustersSql)),
+    QueryDef(
+      "doc_pagerank_staged",
+      (s, dir) => docPagerankStaged(s, dir),
+      Some(Dedup.docPagerankSqlFor(5, 1000000L))),
+    QueryDef(
+      "split_leakage_staged",
+      (s, dir) => splitLeakageStaged(s, dir),
+      Some(Curation.splitLeakageSql)),
   )
 }

@@ -76,12 +76,21 @@ class PlanAuditSpec extends AnyFunSuite {
   test("staged signature serves carry no text lineage; inline minhash twins do") {
     // the SigIndex contract: shingle + md5 + min-aggregate run at staging
     // time only — a serve plan reading the store must never re-derive
-    // signatures from document text
-    for (k <- Seq("dedup_minhash_staged", "dedup_minhash_est_staged"))
-      assert(!sections(k).contains("md5("),
+    // signatures from document text. The signature fingerprint in a plan
+    // is md5 OVER A SHINGLE SUBSTRING — `md5(cast(substring` — which
+    // distinguishes it from dataSplit's legitimate md5-over-doc_id
+    // (`md5(cast(cast(doc_id`) that split_leakage_staged keeps.
+    val sigMark = "md5(cast(substring"
+    for (k <- Seq("dedup_minhash_staged", "dedup_minhash_est_staged",
+                  "dedup_clusters_staged", "doc_pagerank_staged", "split_leakage_staged"))
+      assert(!sections(k).contains(sigMark),
         s"$k plan re-computes md5 signatures — staged serve must read the store only")
-    for (k <- Seq("dedup_minhash", "dedup_minhash_est"))
-      assert(sections(k).contains("md5("),
+    // dedup_clusters is absent from this list deliberately: its component
+    // labels localCheckpoint eagerly, severing the explained plan's
+    // lineage above the final join — the mark cannot appear either way
+    for (k <- Seq("dedup_minhash", "dedup_minhash_est",
+                  "doc_pagerank", "split_leakage"))
+      assert(sections(k).contains(sigMark),
         s"$k (inline oracle twin) lost its signature lineage — did it silently switch to the store?")
   }
 
