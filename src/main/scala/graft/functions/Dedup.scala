@@ -966,8 +966,17 @@ object Dedup {
     * cluster partitions whose shuffle carries (id, cluster, length)
     * triples — document text never moves.
     */
-  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val clusters = connectedComponents(docs, minhashLshPairs(docs, idCol, textCol), idCol)
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepBestOfClusters(docs,
+      connectedComponents(docs, minhashLshPairs(docs, idCol, textCol), idCol), idCol, textCol)
+
+  /** The keep-best endgame over an EXPLICIT (id, cluster_id) frame —
+    * shared by the inline pipeline above and the staged signature
+    * store's serve ([[SigIndex]] `dedup_pipeline_staged`): per cluster,
+    * keep the longest member (id-asc tie-break) with its member count.
+    */
+  private[functions] def keepBestOfClusters(docs: DataFrame, clusters: DataFrame,
+                                            idCol: String, textCol: String): DataFrame = {
     val slim = docs.select(col(idCol).as("d_id"), length(col(textCol)).cast("long").as("doc_len"))
     val grp = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     clusters.join(slim, col(idCol) === col("d_id"))

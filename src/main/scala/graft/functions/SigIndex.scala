@@ -113,6 +113,16 @@ object SigIndex {
     Curation.splitLeakageFromPairs(Tables.documents(spark, dir),
       minhashPairsStaged(spark, dir), "doc_id")
 
+  /** The full keep-best dedup DECISION off the store: stored-band pairs →
+    * components → longest-member-per-cluster — the end-to-end pipeline a
+    * curation pass applies, amortized onto the staged signature build
+    * (text is read only for the keep-best length lookup, one pruned
+    * column scan).
+    */
+  def dedupPipelineStaged(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestOfClusters(Tables.documents(spark, dir),
+      dedupClustersStaged(spark, dir), "doc_id", "text")
+
   /** Same oracles as the inline twins: the index contents are
     * md5-deterministic, so "hash in SQL, serve the store in Spark" must
     * produce identical bytes.
@@ -138,5 +148,9 @@ object SigIndex {
       "split_leakage_staged",
       (s, dir) => splitLeakageStaged(s, dir),
       Some(Curation.splitLeakageSql)),
+    QueryDef(
+      "dedup_pipeline_staged",
+      (s, dir) => dedupPipelineStaged(s, dir),
+      Some(Dedup.dedupPipelineSql)),
   )
 }

@@ -82,7 +82,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // (`md5(cast(cast(doc_id`) that split_leakage_staged keeps.
     val sigMark = "md5(cast(substring"
     for (k <- Seq("dedup_minhash_staged", "dedup_minhash_est_staged",
-                  "dedup_clusters_staged", "doc_pagerank_staged", "split_leakage_staged"))
+                  "dedup_clusters_staged", "doc_pagerank_staged", "split_leakage_staged",
+                  "dedup_pipeline_staged"))
       assert(!sections(k).contains(sigMark),
         s"$k plan re-computes md5 signatures — staged serve must read the store only")
     // dedup_clusters is absent from this list deliberately: its component
