@@ -193,14 +193,30 @@ object Dedup {
     val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
     val mh = minhashSignatures(sh, idCol, numHashes).persist()
     val bands = minhashBands(mh, idCol, numHashes, rowsPerBand).persist()
-    val ex = bands.filter(!newPred).select(col(idCol).as("doc_ex"), col("band"), col("sig"))
-    val nw = bands.filter(newPred)
+    incrementalMatches(mh.filter(newPred), bands.filter(newPred),
+      mh.filter(!newPred), bands.filter(!newPred), idCol, threshold, numHashes)
+  }
+
+  /** The batch-vs-corpus match report over EXPLICIT signature/band frames
+    * for each side — shared by the inline operator above (both sides
+    * sliced from one in-plan signature build) and the staged store's
+    * serve ([[SigIndex]] `dedup_incremental_staged`: corpus side off
+    * disk, batch side signed on arrival).
+    */
+  private[functions] def incrementalMatches(mhNew: DataFrame, bandsNew: DataFrame,
+                                            mhEx: DataFrame, bandsEx: DataFrame,
+                                            idCol: String, threshold: Double,
+                                            numHashes: Int): DataFrame = {
+    val ex = bandsEx.select(col(idCol).as("doc_ex"), col("band"), col("sig"))
+    val nw = bandsNew
       .select(col(idCol).as("doc_new"), col("band").as("band_n"), col("sig").as("sig_n"))
     val pairs = ex.join(nw, col("band") === col("band_n") && col("sig") === col("sig_n"))
       .select(col("doc_new"), col("doc_ex"))
       .distinct()
-    val a = mh.select(col(idCol).as("doc_new") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"a_$j")): _*)
-    val b = mh.select(col(idCol).as("doc_ex") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"b_$j")): _*)
+    val a = mhNew.select(col(idCol).as("doc_new") +:
+      (1 to numHashes).map(j => col(s"mh_$j").as(s"a_$j")): _*)
+    val b = mhEx.select(col(idCol).as("doc_ex") +:
+      (1 to numHashes).map(j => col(s"mh_$j").as(s"b_$j")): _*)
     val agree = (1 to numHashes).map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)).reduce(_ + _)
     val scored = pairs.join(a, Seq("doc_new")).join(b, Seq("doc_ex"))
       .select(col("doc_new"), col("doc_ex"), (agree.cast("double") / numHashes).as("est"))

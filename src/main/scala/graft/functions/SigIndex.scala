@@ -123,6 +123,28 @@ object SigIndex {
     Dedup.keepBestOfClusters(Tables.documents(spark, dir),
       dedupClustersStaged(spark, dir), "doc_id", "text")
 
+  /** Daily-ingest near-dup check off the store: the CORPUS side's
+    * signatures and bands come from disk (filtered to the existing
+    * slice); only the NEW batch's text is shingled and signed — exactly
+    * what a live ingest pays per batch. md5 determinism makes the match
+    * report bit-for-bit equal to the inline [[Dedup.dedupIncremental]]
+    * (same oracle).
+    */
+  def dedupIncrementalStaged(spark: SparkSession, dir: String,
+                             newPred: org.apache.spark.sql.Column =
+                               pmod(col("doc_id"), lit(5L)) === 0L,
+                             threshold: Double = 0.5): DataFrame = {
+    val base = stageOnce(spark, dir)
+    val batch = Tables.documents(spark, dir).filter(newPred)
+    val mhB = Dedup.minhashSignatures(
+      TextAnalysis.shingles(batch, "doc_id", "text", distinct = false), "doc_id", NumHashes)
+      .persist()
+    val bandsB = Dedup.minhashBands(mhB, "doc_id", NumHashes, RowsPerBand)
+    val mhEx = spark.read.parquet(s"$base/minhash_sigs").filter(!newPred)
+    val bandsEx = spark.read.parquet(s"$base/band_index").filter(!newPred)
+    Dedup.incrementalMatches(mhB, bandsB, mhEx, bandsEx, "doc_id", threshold, NumHashes)
+  }
+
   /** Same oracles as the inline twins: the index contents are
     * md5-deterministic, so "hash in SQL, serve the store in Spark" must
     * produce identical bytes.
@@ -152,5 +174,9 @@ object SigIndex {
       "dedup_pipeline_staged",
       (s, dir) => dedupPipelineStaged(s, dir),
       Some(Dedup.dedupPipelineSql)),
+    QueryDef(
+      "dedup_incremental_staged",
+      (s, dir) => dedupIncrementalStaged(s, dir),
+      Some(Dedup.dedupIncrementalSql)),
   )
 }

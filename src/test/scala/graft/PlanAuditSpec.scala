@@ -93,6 +93,22 @@ class PlanAuditSpec extends AnyFunSuite {
                   "doc_pagerank", "split_leakage"))
       assert(sections(k).contains(sigMark),
         s"$k (inline oracle twin) lost its signature lineage — did it silently switch to the store?")
+    // positive direction: every sig-staged serve must actually SCAN the
+    // store (its fingerprint prefix appears in the plan's file
+    // locations); inline twins must not. dedup_incremental_staged signs
+    // the NEW batch inline by design (that is the per-batch cost a live
+    // ingest pays), so it appears here but not in the no-sigMark list.
+    // The clusters/pipeline staged serves are absent for the same
+    // localCheckpoint-severed-lineage reason as dedup_clusters above.
+    for (k <- Seq("dedup_minhash_staged", "dedup_minhash_est_staged",
+                  "doc_pagerank_staged", "split_leakage_staged",
+                  "dedup_incremental_staged"))
+      assert(sections(k).contains("graft_sig_"),
+        s"$k plan does not read the signature store")
+    for (k <- Seq("dedup_minhash", "dedup_minhash_est", "doc_pagerank",
+                  "split_leakage", "dedup_pipeline", "dedup_incremental"))
+      assert(!sections(k).contains("graft_sig_"),
+        s"$k (inline oracle twin) reads the store — it must stay self-contained")
   }
 
   test("funnel_steps is one declarative plan, every shuffle keyed on user_id") {
