@@ -396,6 +396,18 @@ object Dedup {
     // sh feeds the df-filter AND the index join → persist to stop the
     // scan→explode→distinct lineage running twice.
     val sh = TextAnalysis.shingles(docs, idCol, textCol, width, stride).persist()
+    ngramJaccardFromShingles(sh, idCol, maxDf, threshold)
+  }
+
+  /** [[ngramJaccardPairs]] with the shingle table supplied by the caller —
+    * the serve shape when the distinct stride-sampled shingles are staged
+    * to storage ([[SigIndex.shingleStore]]): document text is never read,
+    * the df-cap and the inverted-index self-join run straight off the
+    * stored (doc_id, sh) rows.
+    */
+  private[functions] def ngramJaccardFromShingles(sh: DataFrame, idCol: String,
+                                                  maxDf: Int = 100,
+                                                  threshold: Double = 0.8): DataFrame = {
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("sh"))
     // The filtered inverted index feeds four branches (both join sides +
@@ -448,6 +460,15 @@ object Dedup {
                             maxDf: Int = 100, threshold: Double = 0.9,
                             width: Int = 8, stride: Int = NgramStride): DataFrame = {
     val sh = TextAnalysis.shingles(docs, idCol, textCol, width, stride).persist()
+    ngramContainmentFromShingles(sh, idCol, maxDf, threshold)
+  }
+
+  /** [[ngramContainmentPairs]] off a caller-supplied shingle table — the
+    * staged-store serve twin (see [[ngramJaccardFromShingles]]).
+    */
+  private[functions] def ngramContainmentFromShingles(sh: DataFrame, idCol: String,
+                                                      maxDf: Int = 100,
+                                                      threshold: Double = 0.9): DataFrame = {
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("sh"))
     val fsh = sh.join(keep, Seq("sh")).persist()
@@ -513,10 +534,20 @@ object Dedup {
     require(sampleMod >= 1, "dedupQaReport: sampleMod must be >= 1")
     val slice = if (sampleMod == 1) docs
       else docs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
+    qaReportFromPairs(minhashLshPairs(slice, idCol, textCol),
+      ngramJaccardPairs(slice, idCol, textCol))
+  }
+
+  /** The QA-report scoring given already-built candidate and truth pair
+    * sets — shared by the inline [[dedupQaReport]] and the staged serve
+    * ([[SigIndex]]), where BOTH sides come off stored artifacts (band
+    * index for candidates, shingle store for truth) and text is read
+    * zero times.
+    */
+  private[functions] def qaReportFromPairs(cand0: DataFrame, truth0: DataFrame): DataFrame = {
     // both pair sets feed two consumers (their count + the intersection)
-    val cand = minhashLshPairs(slice, idCol, textCol).persist()
-    val truth = ngramJaccardPairs(slice, idCol, textCol)
-      .select(col("doc_a"), col("doc_b")).persist()
+    val cand = cand0.select(col("doc_a"), col("doc_b")).persist()
+    val truth = truth0.select(col("doc_a"), col("doc_b")).persist()
     val hit = cand.join(truth, Seq("doc_a", "doc_b"))
     cand.agg(count(lit(1)).as("n_cand"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

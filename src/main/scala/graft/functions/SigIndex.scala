@@ -40,6 +40,72 @@ object SigIndex {
       s"graft_sig_${tag}_h${NumHashes}b${RowsPerBand}_r1")
   }
 
+  /** Fingerprint directory for the staged SHINGLE store — the exact
+    * distinct stride-sampled character shingles the n-gram family
+    * (jaccard, containment, QA-report ground truth) computes inline.
+    * Separate artifact from the minhash store: different geometry
+    * (width 8 / stride [[Dedup.NgramStride]], distinct) and a much
+    * larger footprint (per-token rows, not 8 hashes), staged only for
+    * the consumers that need EXACT set arithmetic. Still far smaller
+    * than text (8-char slices, one per stride), and it turns every
+    * exact-dedup pass after the first into a text-free serve.
+    */
+  private def shingleBasePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_shingle_${tag}_w8s${Dedup.NgramStride}_r1")
+  }
+
+  /** Build the shingle store once per (corpus dir, geometry) — same
+    * `_GRAFT_SHINGLE_OK` self-healing marker protocol as [[stageOnce]].
+    */
+  def stageShingles(spark: SparkSession, dir: String): String = {
+    val base = shingleBasePath(spark, dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_SHINGLE_OK")
+    if (fs.exists(marker)) return base.toString
+    if (fs.exists(base)) fs.delete(base, true)
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.shingles(docs, "doc_id", "text", width = 8, stride = Dedup.NgramStride)
+      .write.mode("overwrite").parquet(s"$base/shingles")
+    fs.create(marker).close()
+    base.toString
+  }
+
+  private def storedShingles(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageShingles(spark, dir)
+    spark.read.parquet(s"$base/shingles")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs served from the shingle store —
+    * df-cap + inverted-index self-join straight off stored (doc_id, sh)
+    * rows; document text is read zero times. Same oracle as the inline
+    * dedup_ngram (the store holds exactly the shingles the inline path
+    * computes).
+    */
+  def ngramJaccardStaged(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardFromShingles(storedShingles(spark, dir), "doc_id")
+
+  /** Exact n-gram containment pairs off the shingle store (see
+    * [[ngramJaccardStaged]]).
+    */
+  def ngramContainmentStaged(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentFromShingles(storedShingles(spark, dir), "doc_id")
+
+  /** The LSH-vs-exact QA report with BOTH sides served from storage:
+    * candidates from the minhash band index, ground truth from the
+    * shingle store. The per-ingest-batch dedup health check at 100 TB —
+    * the one report that deliberately runs the approximate AND the exact
+    * path — without re-reading a byte of document text. Same oracle as
+    * the inline dedup_qa_report.
+    */
+  def dedupQaReportStaged(spark: SparkSession, dir: String): DataFrame =
+    Dedup.qaReportFromPairs(
+      minhashPairsStaged(spark, dir),
+      ngramJaccardStaged(spark, dir))
+
   def stageOnce(spark: SparkSession, dir: String): String = {
     val base = basePath(spark, dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -178,5 +244,17 @@ object SigIndex {
       "dedup_incremental_staged",
       (s, dir) => dedupIncrementalStaged(s, dir),
       Some(Dedup.dedupIncrementalSql)),
+    QueryDef(
+      "dedup_ngram_staged",
+      (s, dir) => ngramJaccardStaged(s, dir),
+      Some(Dedup.ngramJaccardSql)),
+    QueryDef(
+      "dedup_containment_staged",
+      (s, dir) => ngramContainmentStaged(s, dir),
+      Some(Dedup.ngramContainmentSql)),
+    QueryDef(
+      "dedup_qa_report_staged",
+      (s, dir) => dedupQaReportStaged(s, dir),
+      Some(Dedup.dedupQaReportSql)),
   )
 }

@@ -79,6 +79,80 @@ object Similarity {
       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn FROM s)
       |WHERE rn <= 5""".stripMargin
 
+  /** Matryoshka-truncation recall report: how much exact-kNN quality
+    * survives keeping only the first `d` embedding dimensions, for each
+    * `d` in `dims`. For every truncation the report runs the SAME brute
+    * top-k as [[knnBrute]] on prefix-sliced vectors and counts overlap
+    * with the full-dimension top-k; one row per dim with recall@k =
+    * hits / (|queries|·k). The storage-sizing QA a pipeline runs before
+    * committing to a truncated (MRL-style) index: pick the smallest
+    * prefix whose recall clears the product bar, then build the ANN
+    * index at that width — a 4× narrower store scans 4× faster at equal
+    * recall if the curve is flat.
+    *
+    * Scale shape: each truncation is the knnBrute plan (broadcast query
+    * batch, corpus streamed, bounded per-query window) on a NARROWER
+    * vector — strictly cheaper than the full search; the hit join is
+    * |queries|·k rows against |queries|·k rows. Prefix slicing is
+    * zero-shuffle map work; at 100 TB the truncated scan reads fewer
+    * bytes in direct proportion to the dim cut.
+    */
+  def mrlRecallReport(emb: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "mrlRecallReport: no truncation dims")
+    val queries = emb.filter(queryPred)
+    // the full-dim truth set feeds every dim's hit join → persist
+    val full = knnBrute(emb, queries, idCol, vecCol, k)
+      .select(col("q_id"), col("n_id")).persist()
+    val nq = queries.agg(count(lit(1)).as("n_q"))
+    dims.map { d =>
+      val trunc = emb.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val topd = knnBrute(trunc, trunc.filter(queryPred), idCol, vecCol, k)
+        .select(col("q_id"), col("n_id"))
+      topd.join(full, Seq("q_id", "n_id")).agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(nq))
+        .select(lit(d).as("trunc_dim"), col("n_hit"),
+          (col("n_hit").cast("double") / (col("n_q") * lit(k))).as("recall_at_k"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin of [[mrlRecallReport]]: one sliced-vector brute-kNN CTE
+    * chain per dim, recall against the full-width chain.
+    */
+  def mrlRecallSqlFor(dims: Seq[Int], k: Int, queryPredSql: String): String = {
+    val perDim = dims.map { d =>
+      s"""e$d AS (SELECT vec_id, v[1:$d] AS v FROM e),
+         |n$d AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e$d),
+         |s$d AS (
+         |  SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+         |         list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cs
+         |  FROM n$d q JOIN n$d x ON x.vec_id != q.vec_id
+         |  WHERE ${queryPredSql.replace("vec_id", "q.vec_id")}),
+         |k$d AS (SELECT q_id, n_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+         |  FROM s$d) WHERE rn <= $k),
+         |h$d AS (SELECT count(*) AS n_hit FROM k$d JOIN k_full USING (q_id, n_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = dims.map { d =>
+      s"""SELECT $d AS trunc_dim, n_hit,
+         |       CAST(n_hit AS DOUBLE) / (n_q * $k) AS recall_at_k
+         |FROM h$d CROSS JOIN nq""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nq AS (SELECT count(*) AS n_q FROM e WHERE $queryPredSql),
+       |n_full AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |s_full AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+       |         list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cs
+       |  FROM n_full q JOIN n_full x ON x.vec_id != q.vec_id
+       |  WHERE ${queryPredSql.replace("vec_id", "q.vec_id")}),
+       |k_full AS (SELECT q_id, n_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |  FROM s_full) WHERE rn <= $k),
+       |$perDim
+       |$rows""".stripMargin
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the `k` most-similar corpus vectors whose LABEL DIFFERS — maximally
     * confusable non-matches, the negatives that actually move a
@@ -990,6 +1064,11 @@ object Similarity {
       |FROM d""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "mrl_recall",
+      (s, dir) => mrlRecallReport(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 8, 5, Seq(4, 16, 32, 64)),
+      Some(mrlRecallSqlFor(Seq(4, 16, 32, 64), 5, "vec_id < 8"))),
     QueryDef(
       "pq_codes",
       (s, dir) => pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding"),

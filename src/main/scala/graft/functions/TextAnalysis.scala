@@ -581,6 +581,77 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** BM25 lexical retrieval: top-`k` documents per query term under the
+    * Okapi BM25 score (k1 = 1.2, b = 0.75, Lucene's ln(1 + ·) idf so the
+    * score is always positive). The lexical-retrieval primitive a
+    * curation pipeline uses for benchmark-adjacent mining and
+    * quote-source attribution where embedding recall is too fuzzy.
+    *
+    * Within one term, BM25 ordering is exactly the ordering of the
+    * tf-normalization factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — the
+    * idf is a per-term positive constant — so the rank window orders by
+    * that RATIONAL factor (exact-integer inputs, IEEE-identical across
+    * engines) and the transcendental ln() appears only in the reported
+    * score, rounded to 4 decimals.
+    *
+    * Scale shape: the `isin` literal filter prunes the token stream to
+    * query-term postings BEFORE any shuffle (at 100 TB the term
+    * dictionary is a broadcast join against a query-workload table —
+    * same plan); df and corpus stats are broadcast one-row/`|terms|`-row
+    * frames; the per-term top-k window ranks only those postings.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 5): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query-term workload")
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    // tf feeds scoring AND the df aggregation → persist
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).persist()
+    val dl = docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = Window.partitionBy(col("term")).orderBy(col("tfn").desc, col(idCol).asc)
+    tf.join(dl, Seq(idCol))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tfn", tfn)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("term"), col("rnk"), col(idCol), round(idf * col("tfn"), 4).as("bm25"))
+  }
+
+  /** Registered BM25 query workload: three head terms plus the one rare
+    * marker token in the synthetic vocabulary ('dup', df ≈ 5%), so the
+    * report exercises both the high- and low-idf regimes.
+    */
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "vector", "window")
+
+  def bm25TopKSqlFor(queryTerms: Seq[String], k: Int): String = {
+    val set = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE term IN ($set) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+       |          FROM documents),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.term, tf.doc_id,
+       |         (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS tfn,
+       |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+       |r AS (SELECT term, doc_id, round(idf * tfn, 4) AS bm25,
+       |             row_number() OVER (PARTITION BY term ORDER BY tfn DESC, doc_id ASC) AS rnk
+       |      FROM scored)
+       |SELECT term, rnk, doc_id, bm25 FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   val tfidfTopTermsSql: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -1161,6 +1232,9 @@ object TextAnalysis {
     QueryDef("token_count", (s, dir) => tokenCount(Tables.documents(s, dir), "doc_id", "text"), Some(tokenCountSql)),
     QueryDef("doc_fingerprint", (s, dir) => fingerprint(Tables.documents(s, dir), "doc_id", "text"), Some(fingerprintSql)),
     QueryDef("tfidf_top_terms", (s, dir) => tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text"), Some(tfidfTopTermsSql)),
+    QueryDef("bm25_topk",
+      (s, dir) => bm25TopK(Tables.documents(s, dir), "doc_id", "text", Bm25Terms, 5),
+      Some(bm25TopKSqlFor(Bm25Terms, 5))),
     QueryDef("doc_repetition", (s, dir) => docRepetition(Tables.documents(s, dir), "doc_id", "text"), Some(docRepetitionSql)),
     QueryDef("pii_scrub", (s, dir) => piiScrub(Tables.documents(s, dir), "doc_id", "text"), Some(piiScrubSql)),
     QueryDef("doc_len_stats", (s, dir) => docLenStats(Tables.documents(s, dir), "source", "n_chars"), Some(docLenStatsSql)),

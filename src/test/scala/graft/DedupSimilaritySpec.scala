@@ -654,6 +654,86 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged shingle store serves equal the inline exact n-gram operators bit-for-bit") {
+    import graft.engine.Tables
+    import graft.functions.SigIndex
+    val dir = "/root/testdata/sf0.01"
+    val d = Tables.documents(spark, dir)
+    val jacStaged = SigIndex.ngramJaccardStaged(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jacInline = Dedup.ngramJaccardPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(jacStaged === jacInline,
+      "stored shingles drifted from the inline shingle computation (jaccard)")
+    val conStaged = SigIndex.ngramContainmentStaged(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val conInline = Dedup.ngramContainmentPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(conStaged === conInline,
+      "stored shingles drifted from the inline shingle computation (containment)")
+    val qaStaged = SigIndex.dedupQaReportStaged(spark, dir).collect().head
+    val qaInline = Dedup.dedupQaReport(d, "doc_id", "text").collect().head
+    assert(qaStaged.toSeq === qaInline.toSeq,
+      "fully-staged QA report drifted from the inline twin")
+    assert(jacStaged.nonEmpty && qaStaged.getLong(1) === jacStaged.size.toLong)
+    spark.catalog.clearCache()
+  }
+
+  test("bm25TopK: tf monotonicity, length normalization, idf regimes, bounded rank") {
+    // hand fixture: one query term 'x' with controlled tf and doc length
+    val fix = docs(
+      1L -> "x x x pad pad pad pad pad", // tf=3, dl=8
+      2L -> "x pad pad pad pad pad pad pad", // tf=1, dl=8
+      3L -> "x x x pad", // tf=3, dl=4 (shorter → ranks above doc 1)
+      4L -> "pad pad pad pad pad pad pad pad",
+      5L -> "y pad pad pad pad pad pad pad", // rare term y: df=1 vs x's df=3
+    )
+    val got = TextAnalysis.bm25TopK(fix, "doc_id", "text", Seq("x", "y"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val xRows = got.filter(_._1 == "x").sortBy(_._2)
+    assert(xRows.map(_._3).toSeq === Seq(3L, 1L, 2L),
+      "BM25 must rank high-tf-short > high-tf-long > low-tf")
+    assert(xRows.map(_._2).toSeq === Seq(1L, 2L, 3L), "ranks must be contiguous from 1")
+    // doc 4 never matches; scores strictly positive with the ln(1+·) idf
+    assert(!got.exists(_._3 == 4L) && got.forall(_._4 > 0.0))
+    // idf regime: y (df=1) outscores x's best (df=3) at equal tf=1? No —
+    // compare like-for-like: y's single tf=1/dl=8 posting must beat x's
+    // tf=1/dl=8 posting (doc 2) purely on rarity
+    val yScore = got.filter(_._1 == "y").head._4
+    val x2Score = xRows.find(_._3 == 2L).get._4
+    assert(yScore > x2Score, "rarer term must carry higher idf at equal tf and length")
+    // registered workload on the real corpus: k rows per present term
+    import graft.engine.Tables
+    val real = TextAnalysis.bm25TopK(
+      Tables.documents(spark, "/root/testdata/sf0.01"), "doc_id", "text",
+      TextAnalysis.Bm25Terms, 5).collect()
+    assert(real.length === TextAnalysis.Bm25Terms.size * 5)
+    spark.catalog.clearCache()
+  }
+
+  test("mrlRecallReport: full-width recall is exactly 1.0, prefix recall bounded and sane") {
+    import graft.engine.Tables
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val got = Similarity.mrlRecallReport(emb, "vec_id", "embedding",
+        col("vec_id") < 8, 5, Seq(4, 16, 32, 64))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(4, 16, 32, 64))
+    // 8 queries × k=5
+    got.foreach { case (d, hit, rec) =>
+      assert(hit >= 0 && hit <= 40, s"dim $d: hit count $hit out of range")
+      assert(rec === hit / 40.0, s"dim $d: recall must be n_hit/(n_q*k)")
+    }
+    assert(got.last._3 === 1.0, "64-dim truncation IS the full vector — recall must be 1.0")
+    // this corpus is the uniform (noise) regime: a 4-dim prefix keeps
+    // almost none of the 64-dim neighborhood (measured 0.025) — exactly
+    // the cliff the report exists to expose before an MRL index ships
+    assert(got.head._3 < 1.0 && got.head._3 > 0.0)
+    val recs = got.map(_._3)
+    assert(recs.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must not degrade as the kept prefix widens: ${recs.mkString(",")}")
+    spark.catalog.clearCache()
+  }
+
   test("semdedup: staged-cell pairs equal an inline-trained within-cell exact scan") {
     import graft.engine.Tables
     val dir = "/root/testdata/sf0.01"

@@ -111,6 +111,34 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$k (inline oracle twin) reads the store — it must stay self-contained")
   }
 
+  test("staged shingle serves carry no text lineage; inline n-gram twins do") {
+    // the shingle-store contract (SigIndex.stageShingles): the distinct
+    // stride-sampled shingles are derived from document text ONCE at
+    // staging time — a serve plan must read stored (doc_id, sh) rows,
+    // never re-run the substring explode. The shingle derivation's
+    // fingerprint in a formatted plan is `substring(text`.
+    val textMark = "substring(text"
+    for (k <- Seq("dedup_ngram_staged", "dedup_containment_staged",
+                  "dedup_qa_report_staged")) {
+      assert(!sections(k).contains(textMark),
+        s"$k plan re-shingles document text — staged serve must read the store only")
+      assert(sections(k).contains("graft_shingle_"),
+        s"$k plan does not read the shingle store")
+    }
+    // the fully-staged QA report serves BOTH sides from storage:
+    // candidates from the minhash band index, truth from the shingle store
+    assert(sections("dedup_qa_report_staged").contains("graft_sig_"),
+      "dedup_qa_report_staged must take its LSH candidates from the signature store")
+    assert(!sections("dedup_qa_report_staged").contains("md5(cast(substring"),
+      "dedup_qa_report_staged must not re-compute minhash signatures")
+    for (k <- Seq("dedup_ngram", "dedup_containment", "dedup_qa_report")) {
+      assert(sections(k).contains(textMark),
+        s"$k (inline oracle twin) lost its shingle lineage — did it silently switch to the store?")
+      assert(!sections(k).contains("graft_shingle_"),
+        s"$k (inline oracle twin) reads the store — it must stay self-contained")
+    }
+  }
+
   test("funnel_steps is one declarative plan, every shuffle keyed on user_id") {
     // funnel used to run per-step driver count()s and explain as a bare
     // LocalTableScan — unauditable. Now it is a single union-of-aggregates
