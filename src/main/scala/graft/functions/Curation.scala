@@ -597,7 +597,113 @@ object Curation {
        |  JOIN sp b ON b.doc_id = p.doc_b
        |WHERE a.split <> b.split""".stripMargin
 
+  /** Quality survival curve — the inverse view of [[qualityTokenBudget]]:
+    * for each candidate quality threshold (stop-ratio millis 0, 100, ...
+    * 900), how many documents and how many tokens survive a `q >= thr`
+    * cut. The curve a pipeline inspects BEFORE picking the cut: the
+    * token column converts each threshold directly into a training
+    * budget, and the knee of the curve is where quality buys stop
+    * costing data. Same integer q bucketing as the budget operator, so
+    * the two views can never disagree.
+    *
+    * Scale shape: one map-side-combined pass builds the ≤1001-bucket
+    * integer histogram; the threshold sweep is a ≤1001×10 theta-join on
+    * two broadcast-size frames — corpus size never touches the sweep.
+    */
+  def qualitySurvival(docs: DataFrame, textCol: String): DataFrame = {
+    val stops = TextAnalysis.langMarkers.head._2
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    val stopCnt = size(filter(split(col(textCol), " "), t => t.isin(stops: _*))).cast("double")
+    val perdoc = docs.select(
+      floor(lit(1000.0) * (stopCnt / nTok)).cast("long").as("q"), nTok.as("tok"))
+    val hist = perdoc.groupBy(col("q"))
+      .agg(count(lit(1)).as("d"), sum(col("tok")).as("tk"))
+    val thr = docs.sparkSession.range(0, 10).select((col("id") * 100).as("thr"))
+    hist.join(broadcast(thr), col("q") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(sum(col("d")).cast("long").as("n_docs"), sum(col("tk")).cast("long").as("n_tokens"))
+  }
+
+  val qualitySurvivalSql: String = {
+    val stops = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+    s"""WITH perdoc AS (
+       |  SELECT CAST(floor(1000.0 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE)
+       |                             / len(string_split(text, ' ')))) AS BIGINT) AS q,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |hist AS (SELECT q, count(*) AS d, CAST(sum(tok) AS BIGINT) AS tk FROM perdoc GROUP BY 1),
+       |thr AS (SELECT CAST(unnest(generate_series(0, 9)) * 100 AS BIGINT) AS thr)
+       |SELECT thr, CAST(sum(d) AS BIGINT) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
+       |FROM hist JOIN thr ON q >= thr GROUP BY 1""".stripMargin
+  }
+
+  /** Corpus-revision diff: classify every document across two corpus
+    * revisions as added / removed / changed by comparing content digests
+    * (md5 over text — engine-portable), emitting only the non-unchanged
+    * rows. This list IS the incremental work-list the staged stores
+    * consume per revision: added/changed docs get re-signed
+    * ([[SigIndex]]), re-embedded, re-indexed ([[AnnIndex]] delta
+    * segments); removed docs get tombstoned — diff-then-process is what
+    * keeps a daily 100 TB pipeline from re-reading the other 99.9%.
+    *
+    * Scale shape: digests are computed inside each revision's scan
+    * projection (text never shuffles — 16-byte hashes do), and the diff
+    * is one full-outer equi-join on the id, hash-partitioned. Output is
+    * bounded by the churn, not the corpus.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("old_id"), md5(col(textCol)).as("old_h"))
+    val n = newDocs.select(col(idCol).as("new_id"), md5(col(textCol)).as("new_h"))
+    o.join(n, col("old_id") === col("new_id"), "full_outer")
+      .select(
+        coalesce(col("old_id"), col("new_id")).as(idCol),
+        when(col("old_id").isNull, lit("added"))
+          .when(col("new_id").isNull, lit("removed"))
+          .when(col("old_h") =!= col("new_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  /** Registered revision simulation on the static test corpus, chosen so
+    * every status is exercised: revision A = docs with id % 11 != 0;
+    * revision B = docs with id % 17 != 0, with the text of id % 13 == 0
+    * docs edited (upper-cased). So id%11==0 ∧ id%17!=0 → added,
+    * id%17==0 ∧ id%11!=0 → removed, id%13==0 in both → changed.
+    */
+  val corpusDiffSql: String =
+    """WITH olds AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+      |news AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 17 <> 0)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN o.h <> n.h THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+      |WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN o.h <> n.h THEN 'changed'
+      |            ELSE 'unchanged' END) <> 'unchanged'""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("quality_survival",
+      (s, dir) => qualitySurvival(Tables.documents(s, dir), "text"),
+      Some(qualitySurvivalSql)),
+    QueryDef("corpus_diff",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        corpusDiff(
+          d.filter(col("doc_id") % 11 =!= 0),
+          d.filter(col("doc_id") % 17 =!= 0)
+            .withColumn("text",
+              when(col("doc_id") % 13 === 0, upper(col("text"))).otherwise(col("text"))),
+          "doc_id", "text")
+      },
+      Some(corpusDiffSql)),
     QueryDef("source_cap",
       (s, dir) => sourceCap(Tables.documents(s, dir), "doc_id", "source", "n_chars", 20),
       Some(sourceCapSql)),

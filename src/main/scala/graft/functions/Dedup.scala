@@ -633,14 +633,26 @@ object Dedup {
   def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, numPlanes: Int = 32,
                         bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    // id+vector+norm feeds the band table AND both scoring sides → persist
+    // (at cluster scale this is the staged normalized-embedding table)
+    val n = Similarity.withNorm(emb, idCol, vecCol).persist()
+    val bands = embLshBandTable(n, idCol, numPlanes, bitsPerBand, dim).persist()
+    embLshScore(bands, n, idCol, threshold)
+  }
+
+  /** The sign-LSH band/bucket table (id, band, key) over a normalized
+    * embedding frame (`withNorm` output) — the candidate-generation
+    * artifact of [[embeddingLshPairs]], split out so the staged serve
+    * ([[SigIndex.embeddingLshAutoStaged]]) can build it once per corpus
+    * revision and read it from storage thereafter.
+    */
+  private[functions] def embLshBandTable(n: DataFrame, idCol: String, numPlanes: Int,
+                                         bitsPerBand: Int, dim: Int): DataFrame = {
     require(numPlanes % bitsPerBand == 0,
       s"numPlanes ($numPlanes) must be a multiple of bitsPerBand ($bitsPerBand): " +
         "trailing sign bits would silently never band-join")
     require(bitsPerBand <= 62, "band key is packed into one Long")
     val numBands = numPlanes / bitsPerBand
-    // id+vector+norm feeds the band table AND both scoring sides → persist
-    // (at cluster scale this is the staged normalized-embedding table)
-    val n = Similarity.withNorm(emb, idCol, vecCol).persist()
     val planes = Similarity.md5Hyperplanes(numPlanes, dim)
     def bit(p: Int): Column =
       when(Similarity.dot(col("v"), typedLit(planes(p).toSeq)) > 0, lit(1L)).otherwise(lit(0L))
@@ -654,9 +666,16 @@ object Dedup {
       struct(lit(b).as("band"), guarded.as("key"))
     }
     // narrow band index (id, band, key); both self-join sides read it
-    val bands = n.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+    n.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist()
+  }
+
+  /** Candidate band self-join + exact cosine scoring over any (id, band,
+    * key) bucket table and normalized-vector frame — shared by the inline
+    * [[embeddingLshPairs]] and the staged bucket-store serve.
+    */
+  private[functions] def embLshScore(bands: DataFrame, n: DataFrame, idCol: String,
+                                     threshold: Double): DataFrame = {
     val cand = bands.select(col(idCol).as("vec_a"), col("band"), col("key"))
       .join(bands.select(col(idCol).as("vec_b"), col("band").as("band_b"), col("key").as("key_b")),
         col("band") === col("band_b") && col("key") === col("key_b") && col("vec_a") < col("vec_b"))
@@ -747,6 +766,68 @@ object Dedup {
   val embeddingLshAutoSql: String = {
     val bits = lshBitsFor(500)
     embeddingLshSqlFor(8 * bits, bits, 64, "0.4")
+  }
+
+  /** Deterministic QA sample modulus for [[embeddingDedupQa]]: the
+    * smallest hash-mod that brings the sampled slice under `target`
+    * vectors — 1 (no filter at all) at or below the target. The exact
+    * all-pairs truth side is Θ(slice²), so bounding the slice is what
+    * makes the report runnable at ANY corpus size: n²/m² ≤ target².
+    */
+  def embQaSampleModFor(n: Long, target: Long = 500): Int = {
+    require(n > 0 && target > 0, "corpus and target must be positive")
+    math.max(1L, (n + target - 1) / target).toInt
+  }
+
+  /** Embedding-dedup QA — the embedding twin of [[dedupQaReport]]: score
+    * the production banding ([[embeddingLshPairsAuto]]) against the
+    * exact all-pairs truth ([[embeddingNearDups]]) at the same cosine
+    * threshold, on a hash-deterministic sampled slice
+    * ([[embQaSampleModFor]] — the exact side is quadratic, so the slice
+    * is bounded by construction, the [[dedupQaReport]] sampleMod pattern
+    * with the modulus derived from the corpus count the way
+    * [[lshBitsFor]] derives band geometry). Because the LSH path
+    * post-filters candidates by the exact cosine, its pairs are a strict
+    * SUBSET of truth — precision is 1.0 by construction — so the report
+    * is candidate/truth counts and RECALL, the number that actually
+    * degrades when band geometry drifts from the corpus.
+    *
+    * The oracle pins the gate fixture (500 vectors → sampleMod 1, the
+    * filter absent from the plan; auto geometry = lshBitsFor(500)),
+    * exactly like `dedup_embedding_lsh_auto`.
+    */
+  def embeddingDedupQa(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1, "embeddingDedupQa: sampleMod must be >= 1")
+    val slice = if (sampleMod == 1) emb
+      else emb.filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
+    val cand = embeddingLshPairsAuto(slice, idCol, vecCol, threshold)
+    val truth = embeddingNearDups(slice, idCol, vecCol, threshold)
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(col("n_cand"), col("n_truth"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(col("n_cand").cast("double") / col("n_truth")).as("recall_vs_exact"))
+  }
+
+  val embeddingDedupQaSql: String = {
+    val bits = lshBitsFor(500)
+    s"""WITH cand AS (${embeddingLshSqlFor(8 * bits, bits, 64, "0.4")}),
+       |truth AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |        FROM embeddings) a
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |        FROM embeddings) b ON a.vec_id < b.vec_id
+       |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+       |m AS (SELECT count(*) AS n_cand FROM cand),
+       |t AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT n_cand, n_truth,
+       |       CASE WHEN n_truth = 0 THEN NULL
+       |            ELSE CAST(n_cand AS DOUBLE) / n_truth END AS recall_vs_exact
+       |FROM m, t""".stripMargin
   }
 
   val embeddingNearDupSql: String =
@@ -1108,6 +1189,12 @@ object Dedup {
     QueryDef("dedup_embedding_lsh", (s, dir) => embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingLshSql)),
     // PRODUCTION embedding near-dup path: band bits sized to the corpus.
     QueryDef("dedup_embedding_lsh_auto", (s, dir) => embeddingLshPairsAuto(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingLshAutoSql)),
+    QueryDef("embedding_dedup_qa",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        embeddingDedupQa(emb, "vec_id", "embedding", 0.4, embQaSampleModFor(emb.count()))
+      },
+      Some(embeddingDedupQaSql)),
     QueryDef("dedup_incremental",
       (s, dir) => dedupIncremental(Tables.documents(s, dir), "doc_id", "text", pmod(col("doc_id"), lit(5L)) === 0L),
       Some(dedupIncrementalSql)),

@@ -45,10 +45,13 @@ object SigIndex {
     * (jaccard, containment, QA-report ground truth) computes inline.
     * Separate artifact from the minhash store: different geometry
     * (width 8 / stride [[Dedup.NgramStride]], distinct) and a much
-    * larger footprint (per-token rows, not 8 hashes), staged only for
-    * the consumers that need EXACT set arithmetic. Still far smaller
-    * than text (8-char slices, one per stride), and it turns every
-    * exact-dedup pass after the first into a text-free serve.
+    * larger footprint (per-stride-position rows, not 8 hashes —
+    * measured ~1.3× the compressed documents table at sf1), staged
+    * only for the consumers that need EXACT set arithmetic. The win is
+    * therefore CPU and text-locality, not storage: serves skip the
+    * scan→explode→distinct derivation that dominates every exact pass
+    * and never touch document text. Stage it when the exact family
+    * runs repeatedly per corpus revision; skip it for one-shot audits.
     */
   private def shingleBasePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
     val tag = java.security.MessageDigest.getInstance("MD5")
@@ -76,7 +79,18 @@ object SigIndex {
 
   private def storedShingles(spark: SparkSession, dir: String): DataFrame = {
     val base = stageShingles(spark, dir)
-    spark.read.parquet(s"$base/shingles")
+    // The store compresses to a handful of file splits, so a bare read
+    // plans 1-2 scan partitions — and every downstream join probe then
+    // runs near-single-threaded (measured 22 s vs 12 s INLINE at sf1:
+    // the inline twin inherits its parallelism from the distinct's
+    // shuffle). Re-shard on the shingle once per serve, with the
+    // partition count PINNED (a bare repartition(col) is an
+    // AQE-coalescible shuffle that lands right back at ~2 partitions
+    // for this data size): one narrow-row shuffle buys full-width
+    // probes, and hash-on-sh is the layout the df-cap aggregate
+    // consumes without a further exchange.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    spark.read.parquet(s"$base/shingles").repartition(parts, col("sh"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs served from the shingle store —
@@ -105,6 +119,130 @@ object SigIndex {
     Dedup.qaReportFromPairs(
       minhashPairsStaged(spark, dir),
       ngramJaccardStaged(spark, dir))
+
+  /** Staged sign-LSH bucket index for embedding near-dup — the third
+    * store: the corpus-sized band geometry ([[Dedup.lshBitsFor]], 8 bands
+    * × bits ≈ log2(n/16)) computes ~8·bits hyperplane dot products per
+    * vector and explodes them into (vec_id, band, key) bucket rows; that
+    * happens ONCE per corpus revision here, behind a `_GRAFT_VLSH_OK`
+    * marker. Band bits live in the directory fingerprint, so corpus
+    * growth that shifts the sizing rule rebuilds the store instead of
+    * serving stale geometry (same contract as the auto-IVF store). The
+    * serve re-reads only the embedding table (for exact cosine scoring of
+    * candidates) plus the bucket rows — no hyperplane math in the plan.
+    */
+  private def vecLshBasePath(spark: SparkSession, dir: String, numBands: Int,
+                             bits: Int): org.apache.hadoop.fs.Path = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_vlsh_${tag}_b${numBands}x${bits}_r1")
+  }
+
+  def stageEmbLsh(spark: SparkSession, dir: String, numBands: Int = 8,
+                  targetBucket: Int = 16, dim: Int = 64): String = {
+    val emb = Tables.embeddings(spark, dir)
+    val bits = Dedup.lshBitsFor(emb.count(), targetBucket)
+    val base = vecLshBasePath(spark, dir, numBands, bits)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_VLSH_OK")
+    if (fs.exists(marker)) return base.toString
+    if (fs.exists(base)) fs.delete(base, true)
+    Dedup.embLshBandTable(Similarity.withNorm(emb, "vec_id", "embedding"),
+        "vec_id", numBands * bits, bits, dim)
+      .write.mode("overwrite").parquet(s"$base/bands")
+    fs.create(marker).close()
+    base.toString
+  }
+
+  /** Embedding near-dup pairs at the corpus-sized geometry, served from
+    * the staged bucket index: candidates from stored (vec_id, band, key)
+    * rows, exact cosine scoring from the embedding table. Bit-for-bit
+    * equal to the inline [[Dedup.embeddingLshPairsAuto]] (md5 hyperplanes
+    * are deterministic), so it shares the inline oracle unchanged.
+    */
+  def embeddingLshAutoStaged(spark: SparkSession, dir: String,
+                             threshold: Double = 0.4): DataFrame = {
+    val base = stageEmbLsh(spark, dir)
+    val bands = spark.read.parquet(s"$base/bands")
+    // normalized vectors feed both scoring sides → persist
+    val n = Similarity.withNorm(Tables.embeddings(spark, dir), "vec_id", "embedding").persist()
+    Dedup.embLshScore(bands, n, "vec_id", threshold)
+  }
+
+  /** Staged BM25 postings index — retrieval as build-once/serve-many.
+    * The full inverted index (term, doc_id, tf) is materialized once per
+    * corpus revision, GLOBALLY RANGE-SORTED on the term so every parquet
+    * row group carries tight term min/max stats: a query-term filter
+    * prunes to the handful of row groups actually holding those
+    * postings (the `In(term, ...)` predicate reaches the scan —
+    * plan-audited). Alongside it: the per-doc length table and the
+    * 1-row corpus stats (N, avgdl) the BM25 normalization needs.
+    * Storage is corpus-scale (it IS the classic inverted index), but a
+    * serve reads query-term postings + a 1-row stats frame — at 100 TB
+    * that is the difference between a retrieval QUERY and a retrieval
+    * JOB. Same md5-free exact arithmetic as the inline operator, so the
+    * serve shares [[TextAnalysis.bm25TopKSqlFor]] unchanged.
+    */
+  private def bm25BasePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_${tag}_ws_r1")
+  }
+
+  def stageBm25(spark: SparkSession, dir: String): String = {
+    val base = bm25BasePath(spark, dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_BM25_OK")
+    if (fs.exists(marker)) return base.toString
+    if (fs.exists(base)) fs.delete(base, true)
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$base/postings")
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$base/doclen")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$base/stats")
+    fs.create(marker).close()
+    base.toString
+  }
+
+  /** BM25 top-k served from the staged postings: the scan reads only the
+    * query terms' row groups (term-sorted store + pushed `In` filter);
+    * scoring and ranking are identical to the inline
+    * [[TextAnalysis.bm25TopK]] (same oracle).
+    */
+  def bm25TopKStaged(spark: SparkSession, dir: String,
+                     queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKStaged: empty query-term workload")
+    val base = stageBm25(spark, dir)
+    // tf feeds scoring AND the df aggregation → persist (tiny: the query
+    // terms' postings only)
+    val tf = spark.read.parquet(s"$base/postings")
+      .filter(col("term").isin(queryTerms: _*)).persist()
+    val dl = spark.read.parquet(s"$base/doclen")
+    val stats = spark.read.parquet(s"$base/stats")
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("tfn").desc, col("doc_id").asc)
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tfn", tfn)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("term"), col("rnk"), col("doc_id"), round(idf * col("tfn"), 4).as("bm25"))
+  }
 
   def stageOnce(spark: SparkSession, dir: String): String = {
     val base = basePath(spark, dir)
@@ -256,5 +394,13 @@ object SigIndex {
       "dedup_qa_report_staged",
       (s, dir) => dedupQaReportStaged(s, dir),
       Some(Dedup.dedupQaReportSql)),
+    QueryDef(
+      "dedup_embedding_lsh_auto_staged",
+      (s, dir) => embeddingLshAutoStaged(s, dir),
+      Some(Dedup.embeddingLshAutoSql)),
+    QueryDef(
+      "bm25_topk_staged",
+      (s, dir) => bm25TopKStaged(s, dir, TextAnalysis.Bm25Terms, 5),
+      Some(TextAnalysis.bm25TopKSqlFor(TextAnalysis.Bm25Terms, 5))),
   )
 }

@@ -178,11 +178,63 @@ object Scale {
         count(lit(1)).as("cnt"))
   }
 
+  /** Exact key-distribution profile — the diagnostic you run BEFORE
+    * choosing between a plain join, [[saltedJoin]], and a broadcast: one
+    * row of n_keys / n_rows / max / median / p99 per-key counts plus the
+    * integer skew ratio max·1000·n_keys div n_rows (= 1000·max/mean,
+    * exact integer arithmetic — engine-portable). A skew ratio in the
+    * tens of thousands says one key owns the stage; ~1000 says uniform.
+    *
+    * Scale shape: per-key counts aggregate map-side (the only full-data
+    * pass); every later step runs on |keys| rows. The quantiles are
+    * exact rank-picks over the count multiset — a global sort of |keys|
+    * scalars, fine while keys ≪ rows; at billions of keys swap the rank
+    * window for the [[graft.functions.Curation.qualityTokenBudget]]
+    * histogram pattern.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    // counts feed the summary aggregate AND the rank-pick → persist
+    val cnts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")).persist()
+    val stats = cnts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val ranked = cnts.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").asc, col(keyCol).asc)))
+    def pick(p: Double, name: String): DataFrame =
+      ranked.crossJoin(broadcast(stats))
+        .filter(col("rn") === ceil(lit(p) * col("n_keys")).cast("long"))
+        .select(col("cnt").as(name))
+    stats
+      .crossJoin(pick(0.5, "p50_cnt"))
+      .crossJoin(pick(0.99, "p99_cnt"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+        // `div` (integer division), not `/`-then-cast: Spark's long/long
+        // `/` is DOUBLE division, whose rounding can cross an integer
+        // boundary the oracle's exact `//` never crosses
+        expr("max_cnt * 1000 * n_keys div n_rows").as("skew_x1000"))
+  }
+
+  val keySkewProfileSql: String =
+    """WITH cnts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |                 max(cnt) AS max_cnt FROM cnts),
+      |ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS rn FROM cnts),
+      |p50 AS (SELECT cnt AS p50_cnt FROM ranked CROSS JOIN stats
+      |        WHERE rn = CAST(ceil(0.5 * n_keys) AS BIGINT)),
+      |p99 AS (SELECT cnt AS p99_cnt FROM ranked CROSS JOIN stats
+      |        WHERE rn = CAST(ceil(0.99 * n_keys) AS BIGINT))
+      |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+      |       CAST((max_cnt * 1000 * n_keys) // n_rows AS BIGINT) AS skew_x1000
+      |FROM stats CROSS JOIN p50 CROSS JOIN p99""".stripMargin
+
   /** Same result contract as q18_big_orders — the oracle doesn't care about
     * physical layout, which is the point: bucketing changes the plan, never
     * the answer.
     */
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("key_skew_profile",
+      (s, dir) => keySkewProfile(Tables.events(s, dir), "user_id"),
+      Some(keySkewProfileSql)),
     QueryDef("bucketed_join", (s, dir) => q18Bucketed(s, dir),
       Some(
         """SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate, total_qty

@@ -11,6 +11,34 @@ import graft.functions.{Curation, TextAnalysis}
 class CurationSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("qualitySurvival: thr=0 covers the corpus, survival monotone non-increasing") {
+    val docs = Tables.documents(spark, dir)
+    val rows = Curation.qualitySurvival(docs, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val total = docs.count()
+    assert(rows.head._1 === 0L && rows.head._2 === total,
+      "threshold 0 must keep every document")
+    // docs and tokens both shrink (weakly) as the quality bar rises
+    assert(rows.sliding(2).forall(p => p(1)._2 <= p(0)._2 && p(1)._3 <= p(0)._3),
+      s"survival curve not monotone: ${rows.mkString(",")}")
+    assert(rows.last._2 < total, "the top decile bar must actually cut something")
+  }
+
+  test("corpusDiff classifies added/removed/changed by content digest, drops unchanged") {
+    import spark.implicits._
+    val oldRev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newRev = Seq((1L, "alpha"), (2L, "BETA!"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(oldRev, newRev, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // the registered revision simulation must exercise every status on
+    // the real corpus (that is what the %11/%13/%17 moduli are for)
+    val real = SparkEntry.queries("corpus_diff")(spark, dir)
+      .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(real.keySet === Set("added", "removed", "changed"))
+    assert(real.values.forall(_ > 0))
+  }
+
   test("sourceCap keeps at most k docs per source, ranked by length") {
     val docs = Tables.documents(spark, dir)
     val capped = Curation.sourceCap(docs, "doc_id", "source", "n_chars", 5)

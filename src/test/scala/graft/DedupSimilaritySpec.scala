@@ -679,6 +679,21 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged sign-LSH bucket index serves equal the inline auto-geometry pairs bit-for-bit") {
+    import graft.engine.Tables
+    import graft.functions.SigIndex
+    val dir = "/root/testdata/sf0.01"
+    val staged = SigIndex.embeddingLshAutoStaged(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dedup.embeddingLshPairsAuto(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(staged === inline,
+      "stored bucket index drifted from the inline hyperplane banding")
+    assert(staged.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("bm25TopK: tf monotonicity, length normalization, idf regimes, bounded rank") {
     // hand fixture: one query term 'x' with controlled tf and doc length
     val fix = docs(
@@ -708,6 +723,42 @@ class DedupSimilaritySpec extends SparkSpec {
       Tables.documents(spark, "/root/testdata/sf0.01"), "doc_id", "text",
       TextAnalysis.Bm25Terms, 5).collect()
     assert(real.length === TextAnalysis.Bm25Terms.size * 5)
+    spark.catalog.clearCache()
+  }
+
+  test("embeddingDedupQa: recall from subset candidates, sampleMod rule bounds the slice") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val row = Dedup.embeddingDedupQa(emb, "vec_id", "embedding", 0.4,
+      Dedup.embQaSampleModFor(emb.count())).collect().head
+    val (nCand, nTruth, recall) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // LSH candidates are cosine-post-filtered → strict subset of truth
+    assert(nCand <= nTruth && nTruth > 0)
+    assert(recall === nCand.toDouble / nTruth && recall > 0.0 && recall <= 1.0)
+    // independent cross-check against the two registered operators
+    val cand = Dedup.embeddingLshPairsAuto(emb, "vec_id", "embedding", 0.4).count()
+    val truth = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4).count()
+    assert((nCand, nTruth) === (cand, truth),
+      "QA report counts drifted from the operators it claims to score")
+    // the sampling rule: no filter at/below target, ceil division above
+    assert(Dedup.embQaSampleModFor(500) === 1 && Dedup.embQaSampleModFor(499) === 1)
+    assert(Dedup.embQaSampleModFor(501) === 2 && Dedup.embQaSampleModFor(50000) === 100)
+    spark.catalog.clearCache()
+  }
+
+  test("staged BM25 postings serve equals the inline operator bit-for-bit") {
+    import graft.engine.Tables
+    import graft.functions.SigIndex
+    val dir = "/root/testdata/sf0.01"
+    val staged = SigIndex.bm25TopKStaged(spark, dir, TextAnalysis.Bm25Terms, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = TextAnalysis.bm25TopK(
+        Tables.documents(spark, dir), "doc_id", "text", TextAnalysis.Bm25Terms, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(staged === inline,
+      "stored postings drifted from the inline tokenization — index round-trip is not faithful")
+    assert(staged.size === TextAnalysis.Bm25Terms.size * 5)
     spark.catalog.clearCache()
   }
 

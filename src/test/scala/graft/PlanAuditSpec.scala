@@ -137,6 +137,33 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!sections(k).contains("graft_shingle_"),
         s"$k (inline oracle twin) reads the store — it must stay self-contained")
     }
+    // the embedding bucket store: hyperplane banding (whose plan
+    // fingerprint is the dim-guard raise_error message) runs at staging
+    // time only; the serve reads stored buckets + the embedding table
+    val planeMark = "expected 64-dim vectors"
+    assert(sections("dedup_embedding_lsh_auto_staged").contains("graft_vlsh_"),
+      "dedup_embedding_lsh_auto_staged plan does not read the bucket store")
+    assert(!sections("dedup_embedding_lsh_auto_staged").contains(planeMark),
+      "dedup_embedding_lsh_auto_staged plan re-computes hyperplane bands — staged serve must read the store only")
+    assert(sections("dedup_embedding_lsh_auto").contains(planeMark),
+      "dedup_embedding_lsh_auto (inline oracle twin) lost its banding lineage — did it silently switch to the store?")
+    assert(!sections("dedup_embedding_lsh_auto").contains("graft_vlsh_"),
+      "dedup_embedding_lsh_auto (inline oracle twin) reads the store — it must stay self-contained")
+    // the BM25 postings store: the serve must read the term-sorted store
+    // with the query-term In-filter PUSHED INTO the scan (that pushdown
+    // is what makes retrieval a row-group read, not a corpus pass), and
+    // must never re-tokenize documents; the inline twin keeps the
+    // tokenization and never touches the store
+    assert(sections("bm25_topk_staged").contains("graft_bm25_"),
+      "bm25_topk_staged plan does not read the postings store")
+    assert(sections("bm25_topk_staged").contains("PushedFilters: [In(term"),
+      "bm25_topk_staged query-term filter is not pushed into the postings scan")
+    assert(!sections("bm25_topk_staged").contains("split(text"),
+      "bm25_topk_staged plan re-tokenizes document text — staged serve must read the store only")
+    assert(sections("bm25_topk").contains("split(text"),
+      "bm25_topk (inline oracle twin) lost its tokenization lineage — did it silently switch to the store?")
+    assert(!sections("bm25_topk").contains("graft_bm25_"),
+      "bm25_topk (inline oracle twin) reads the store — it must stay self-contained")
   }
 
   test("funnel_steps is one declarative plan, every shuffle keyed on user_id") {

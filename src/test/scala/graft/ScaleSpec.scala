@@ -6,6 +6,20 @@ import graft.operators.Scale
 
 class ScaleSpec extends SparkSpec {
 
+  test("keySkewProfile: exact counts, rank-picked quantiles, integer skew ratio") {
+    import spark.implicits._
+    // keys a,b (1 row), c (2 rows), d (6 rows): n_keys=4, n_rows=10,
+    // max=6, p50 = 2nd-smallest count = 1 (ceil(0.5*4)=2), p99 = 4th = 6,
+    // skew = 6*1000*4 div 10 = 2400
+    val df = (Seq("a", "b") ++ Seq.fill(2)("c") ++ Seq.fill(6)("d")).toDF("k")
+    val got = Scale.keySkewProfile(df, "k").collect().head
+    assert(got.toSeq === Seq(4L, 10L, 6L, 1L, 6L, 2400L))
+    // uniform distribution: skew ratio is exactly 1000
+    val uni = (1 to 40).map(i => s"k${i % 4}").toDF("k")
+    assert(Scale.keySkewProfile(uni, "k").collect().head.getLong(5) === 1000L)
+    spark.catalog.clearCache()
+  }
+
   test("salted join returns exactly the plain join result") {
     import spark.implicits._
     // heavily skewed big side: 90% of rows share one key
