@@ -299,6 +299,60 @@ object AnnIndex {
       queryPred, k, nprobe)
   }
 
+  /** Hard-negative mining served from the STORED IVF index — the
+    * production shape of [[Similarity.hardNegatives]] at corpus scale:
+    * instead of scoring every query against the whole corpus, each query
+    * probes its `nprobe` nearest stored cells and ranks only those
+    * postings, with the label-mismatch predicate fused BEFORE the rank
+    * window (Catalyst filters candidates before they are sorted). Labels
+    * attach from the base embedding table by id — the store holds
+    * vectors, the base table holds metadata — so the index needs no
+    * rebuild when labels are revised. Zero training lineage in the plan;
+    * the oracle retrains the same index in SQL
+    * ([[Similarity.hardNegativesIvfSqlFor]] at the store's iters).
+    *
+    * Contrastive mining runs per training batch: at 100 TB this turns
+    * each batch's mining from a corpus scan into `|batch| × nprobe`
+    * posting-cell reads against an index built once per corpus revision.
+    */
+  def hardNegativesStaged(spark: SparkSession, dir: String, queryPred: Column,
+                          k: Int, nprobe: Int = Nprobe): DataFrame = {
+    val base = stageOnce(spark, dir)
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$base/ivf_centroids")
+    val postings = spark.read.parquet(s"$base/ivf_postings")
+      .withColumn("cell", col("cell").cast("long"))
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val cn = Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"),
+        col("cell"), col("label").as("n_label"))
+    val qnorm = Similarity.withNorm(
+      Tables.embeddings(spark, dir).filter(queryPred), "vec_id", "embedding",
+      passthrough = Seq("label"))
+    val cwithNrm = centroids
+      .withColumn("cnrm", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    val qcells = qnorm.crossJoin(broadcast(cwithNrm))
+      .withColumn("sim", Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val qn = qnorm
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
+        col("label").as("q_label"))
+      .join(qcells, Seq("q_id"))
+    val scored = cn.join(broadcast(qn), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id") && col("n_label") =!= col("q_label"))
+      .select(col("q_id"), col("n_id"), col("n_label"),
+        (Similarity.dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("n_label").cast("int").as("n_label"),
+        round(col("cs"), 4).as("cos_sim"), col("rank"))
+  }
+
   /** The IVF serve plan over an arbitrary stored centroid/postings pair —
     * shared by the build-once ([[knnIvfStaged]]) and base+delta
     * ([[knnIvfStagedIncr]]) stores; both hand in frames read straight
@@ -856,6 +910,10 @@ object AnnIndex {
       "knn_ivf_staged",
       (s, dir) => knnIvfStaged(s, dir, col("vec_id") < 8, 5),
       Some(Similarity.knnIvfSqlFor(NumCells, Nprobe, 5, "vec_id < 8", Iters))),
+    QueryDef(
+      "hard_negatives_staged",
+      (s, dir) => hardNegativesStaged(s, dir, col("vec_id") < 8, 5),
+      Some(Similarity.hardNegativesIvfSqlFor(NumCells, Nprobe, 5, "vec_id < 8", Iters))),
     QueryDef(
       "pq_knn_staged",
       (s, dir) => pqKnnStaged(s, dir, col("vec_id") < 8, 5),

@@ -617,6 +617,41 @@ object Similarity {
        |      FROM scored)
        |WHERE rn <= $k""".stripMargin
 
+  /** DuckDB twin of IVF-shortlist hard-negative mining
+    * ([[AnnIndex.hardNegativesStaged]]): [[knnIvfSqlFor]]'s probe/score
+    * chain with the label-mismatch predicate fused into the scored CTE
+    * (labels joined from the embeddings table — the store holds vectors,
+    * the base table holds metadata). Retrains the index in SQL at the
+    * store's iteration count, so the staged serve must reproduce it
+    * bit-for-bit.
+    */
+  def hardNegativesIvfSqlFor(numCells: Int, nprobe: Int, k: Int,
+                             queryPredSql: String, iters: Int = 1): String =
+    s"""${ivfAssignSqlPrefix(numCells, iters)},
+       |q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE $queryPredSql),
+       |qc AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY list_inner_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
+       |                      c.cell ASC) AS rn
+       |    FROM q CROSS JOIN cn c) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT q.q_id, m.vec_id AS n_id, lm.label AS n_label,
+       |         list_inner_product(q.v, m.v) / (q.nrm * m.nrm) AS cs
+       |  FROM q
+       |    JOIN qc USING (q_id)
+       |    JOIN assign a ON a.cell = qc.cell
+       |    JOIN n m ON m.vec_id = a.vec_id
+       |    JOIN embeddings lm ON lm.vec_id = m.vec_id
+       |    JOIN embeddings lq ON lq.vec_id = q.q_id
+       |  WHERE m.vec_id <> q.q_id AND lm.label <> lq.label)
+       |SELECT q_id, n_id, CAST(n_label AS INT) AS n_label,
+       |       round(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= $k""".stripMargin
+
   /** DuckDB twin of [[knnLsh]] (multi-probe) at the registered config:
     * md5-derived hyperplanes (same digest both engines), per-vector sign
     * bucket, probes = own bucket + every Hamming-1 neighbor, candidate

@@ -726,6 +726,34 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hardNegativesStaged: label-filtered re-rank of the staged IVF shortlist") {
+    import graft.engine.Tables
+    import graft.functions.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val qPred = col("vec_id") < 8
+    // reference: the plain staged IVF shortlist (same store, same probes)
+    // with the label filter + re-rank applied AFTER the fact; at k large
+    // enough to exhaust every probed cell the two must coincide exactly
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val shortlist = AnnIndex.knnIvfStaged(spark, dir, qPred, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = shortlist.toSeq
+      .filter { case (q, n, _) => labels(n) != labels(q) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).zipWithIndex.take(5)
+          .map { case ((_, n, cs), i) => (q, n, labels(n), cs, i + 1) }
+      }.toSet
+    val got = AnnIndex.hardNegativesStaged(spark, dir, qPred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(got === expected,
+      "staged hard negatives must be exactly the label-mismatch re-rank of the staged IVF shortlist")
+    assert(got.forall { case (q, _, nl, _, _) => nl != labels(q) })
+    spark.catalog.clearCache()
+  }
+
   test("embeddingDedupQa: recall from subset candidates, sampleMod rule bounds the slice") {
     import graft.engine.Tables
     val dir = "/root/testdata/sf0.01"

@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
                   "ivfpq_knn_staged", "ivfpq_recon_error", "ivfpq_knn_rerank_staged",
                   "knn_ivf_staged_incr", "pq_knn_staged_incr",
                   "ivf_drift_report_staged", "ann_recall_report",
-                  "knn_ivf_auto_staged", "semdedup_auto_staged");
+                  "knn_ivf_auto_staged", "semdedup_auto_staged",
+                  "hard_negatives_staged");
          m <- lloydMarks)
       assert(!sections(k).contains(m),
         s"$k plan contains training lineage '$m' — staged search must read the store only")
