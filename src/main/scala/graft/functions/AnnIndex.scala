@@ -330,18 +330,10 @@ object AnnIndex {
     val qnorm = Similarity.withNorm(
       Tables.embeddings(spark, dir).filter(queryPred), "vec_id", "embedding",
       passthrough = Seq("label"))
-    val cwithNrm = centroids
-      .withColumn("cnrm", sqrt(Similarity.dot(col("cv"), col("cv"))))
-    val qcells = qnorm.crossJoin(broadcast(cwithNrm))
-      .withColumn("sim", Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("cell"))
     val qn = qnorm
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
         col("label").as("q_label"))
-      .join(qcells, Seq("q_id"))
+      .join(probeCells(qnorm, centroids, nprobe), Seq("q_id"))
     val scored = cn.join(broadcast(qn), Seq("cell"))
       .filter(col("n_id") =!= col("q_id") && col("n_label") =!= col("q_label"))
       .select(col("q_id"), col("n_id"), col("n_label"),
@@ -358,6 +350,23 @@ object AnnIndex {
     * ([[knnIvfStagedIncr]]) stores; both hand in frames read straight
     * from parquet, so the plan stays training-lineage-free either way.
     */
+  /** Nearest-centroid probe assignment for a normalized query frame:
+    * (q_id, cell) rows, nprobe cells per query, broadcast centroids,
+    * cell-asc tie-break — shared by [[ivfServe]] and
+    * [[hardNegativesStaged]] so every staged consumer probes
+    * identically.
+    */
+  private def probeCells(qnorm: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cwithNrm = centroids
+      .withColumn("cnrm", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    qnorm.crossJoin(broadcast(cwithNrm))
+      .withColumn("sim", Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+  }
+
   private def ivfServe(spark: SparkSession, dir: String, centroids: DataFrame,
                        rawPostings: DataFrame, queryPred: Column, k: Int,
                        nprobe: Int): DataFrame = {
@@ -367,17 +376,9 @@ object AnnIndex {
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
     val qnorm = Similarity.withNorm(
       Tables.embeddings(spark, dir).filter(queryPred), "vec_id", "embedding")
-    val cwithNrm = centroids
-      .withColumn("cnrm", sqrt(Similarity.dot(col("cv"), col("cv"))))
-    val qcells = qnorm.crossJoin(broadcast(cwithNrm))
-      .withColumn("sim", Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("cell"))
     val qn = qnorm
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
-      .join(qcells, Seq("q_id"))
+      .join(probeCells(qnorm, centroids, nprobe), Seq("q_id"))
     val scored = cn.join(broadcast(qn), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),

@@ -750,7 +750,9 @@ object Dedup {
   def embeddingLshPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, numBands: Int = 8,
                             targetBucket: Int = 16, dim: Int = 64): DataFrame = {
-    val bits = lshBitsFor(emb.count(), targetBucket)
+    // max(1, n): an empty corpus has no meaningful geometry but must
+    // still plan (output is empty regardless of band width)
+    val bits = lshBitsFor(math.max(1L, emb.count()), targetBucket)
     embeddingLshPairs(emb, idCol, vecCol, threshold,
       numPlanes = numBands * bits, bitsPerBand = bits, dim = dim)
   }

@@ -32,13 +32,39 @@ object SigIndex {
   val NumHashes = 8
   val RowsPerBand = 2
 
-  private def basePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
+  /** Fingerprinted store directory: `graft_<kind>_<dirTag>_<geom>` under
+    * the warehouse. The corpus tag and the geometry string TOGETHER are
+    * the staleness contract — a different corpus dir or a drifted
+    * geometry resolves to a different directory, so a serve can never
+    * read an index built for other data or other parameters.
+    */
+  private def storePath(spark: SparkSession, dir: String, kind: String,
+                        geom: String): org.apache.hadoop.fs.Path = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_sig_${tag}_h${NumHashes}b${RowsPerBand}_r1")
+      spark.conf.get("spark.sql.warehouse.dir"), s"graft_${kind}_${tag}_$geom")
   }
+
+  /** The shared build-once protocol: a completion marker gates the
+    * serve, a missing marker (fresh corpus or interrupted build) wipes
+    * any partial directory and rebuilds — self-healing, same contract
+    * as [[AnnIndex.stageOnce]].
+    */
+  private def buildOnce(spark: SparkSession, base: org.apache.hadoop.fs.Path,
+                        markerName: String)(build: String => Unit): String = {
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, markerName)
+    if (!fs.exists(marker)) {
+      if (fs.exists(base)) fs.delete(base, true)
+      build(base.toString)
+      fs.create(marker).close()
+    }
+    base.toString
+  }
+
+  private def basePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path =
+    storePath(spark, dir, "sig", s"h${NumHashes}b${RowsPerBand}_r1")
 
   /** Fingerprint directory for the staged SHINGLE store — the exact
     * distinct stride-sampled character shingles the n-gram family
@@ -53,29 +79,18 @@ object SigIndex {
     * and never touch document text. Stage it when the exact family
     * runs repeatedly per corpus revision; skip it for one-shot audits.
     */
-  private def shingleBasePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_shingle_${tag}_w8s${Dedup.NgramStride}_r1")
-  }
+  private def shingleBasePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path =
+    storePath(spark, dir, "shingle", s"w8s${Dedup.NgramStride}_r1")
 
   /** Build the shingle store once per (corpus dir, geometry) — same
     * `_GRAFT_SHINGLE_OK` self-healing marker protocol as [[stageOnce]].
     */
-  def stageShingles(spark: SparkSession, dir: String): String = {
-    val base = shingleBasePath(spark, dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_SHINGLE_OK")
-    if (fs.exists(marker)) return base.toString
-    if (fs.exists(base)) fs.delete(base, true)
-    val docs = Tables.documents(spark, dir)
-    TextAnalysis.shingles(docs, "doc_id", "text", width = 8, stride = Dedup.NgramStride)
-      .write.mode("overwrite").parquet(s"$base/shingles")
-    fs.create(marker).close()
-    base.toString
-  }
+  def stageShingles(spark: SparkSession, dir: String): String =
+    buildOnce(spark, shingleBasePath(spark, dir), "_GRAFT_SHINGLE_OK") { base =>
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.shingles(docs, "doc_id", "text", width = 8, stride = Dedup.NgramStride)
+        .write.mode("overwrite").parquet(s"$base/shingles")
+    }
 
   private def storedShingles(spark: SparkSession, dir: String): DataFrame = {
     val base = stageShingles(spark, dir)
@@ -131,29 +146,16 @@ object SigIndex {
     * serve re-reads only the embedding table (for exact cosine scoring of
     * candidates) plus the bucket rows — no hyperplane math in the plan.
     */
-  private def vecLshBasePath(spark: SparkSession, dir: String, numBands: Int,
-                             bits: Int): org.apache.hadoop.fs.Path = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_vlsh_${tag}_b${numBands}x${bits}_r1")
-  }
-
   def stageEmbLsh(spark: SparkSession, dir: String, numBands: Int = 8,
                   targetBucket: Int = 16, dim: Int = 64): String = {
     val emb = Tables.embeddings(spark, dir)
     val bits = Dedup.lshBitsFor(emb.count(), targetBucket)
-    val base = vecLshBasePath(spark, dir, numBands, bits)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_VLSH_OK")
-    if (fs.exists(marker)) return base.toString
-    if (fs.exists(base)) fs.delete(base, true)
-    Dedup.embLshBandTable(Similarity.withNorm(emb, "vec_id", "embedding"),
-        "vec_id", numBands * bits, bits, dim)
-      .write.mode("overwrite").parquet(s"$base/bands")
-    fs.create(marker).close()
-    base.toString
+    buildOnce(spark, storePath(spark, dir, "vlsh", s"b${numBands}x${bits}_r1"),
+        "_GRAFT_VLSH_OK") { base =>
+      Dedup.embLshBandTable(Similarity.withNorm(emb, "vec_id", "embedding"),
+          "vec_id", numBands * bits, bits, dim)
+        .write.mode("overwrite").parquet(s"$base/bands")
+    }
   }
 
   /** Embedding near-dup pairs at the corpus-sized geometry, served from
@@ -185,34 +187,21 @@ object SigIndex {
     * JOB. Same md5-free exact arithmetic as the inline operator, so the
     * serve shares [[TextAnalysis.bm25TopKSqlFor]] unchanged.
     */
-  private def bm25BasePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_${tag}_ws_r1")
-  }
-
-  def stageBm25(spark: SparkSession, dir: String): String = {
-    val base = bm25BasePath(spark, dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_BM25_OK")
-    if (fs.exists(marker)) return base.toString
-    if (fs.exists(base)) fs.delete(base, true)
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$base/postings")
-    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$base/doclen")
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
-      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$base/stats")
-    fs.create(marker).close()
-    base.toString
-  }
+  def stageBm25(spark: SparkSession, dir: String): String =
+    buildOnce(spark, storePath(spark, dir, "bm25", "ws_r1"), "_GRAFT_BM25_OK") { base =>
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(s"$base/postings")
+      docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$base/doclen")
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+        .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$base/stats")
+    }
 
   /** BM25 top-k served from the staged postings: the scan reads only the
     * query terms' row groups (term-sorted store + pushed `In` filter);
@@ -223,45 +212,25 @@ object SigIndex {
                      queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopKStaged: empty query-term workload")
     val base = stageBm25(spark, dir)
-    // tf feeds scoring AND the df aggregation → persist (tiny: the query
-    // terms' postings only)
-    val tf = spark.read.parquet(s"$base/postings")
-      .filter(col("term").isin(queryTerms: _*)).persist()
-    val dl = spark.read.parquet(s"$base/doclen")
-    val stats = spark.read.parquet(s"$base/stats")
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tfn = (col("tf") * lit(2.2)) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term")).orderBy(col("tfn").desc, col("doc_id").asc)
-    tf.join(dl, Seq("doc_id"))
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("tfn", tfn)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("term"), col("rnk"), col("doc_id"), round(idf * col("tfn"), 4).as("bm25"))
+    TextAnalysis.bm25Rank(
+      spark.read.parquet(s"$base/postings").filter(col("term").isin(queryTerms: _*)),
+      spark.read.parquet(s"$base/doclen"),
+      spark.read.parquet(s"$base/stats"),
+      "doc_id", k)
   }
 
-  def stageOnce(spark: SparkSession, dir: String): String = {
-    val base = basePath(spark, dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_SIG_OK")
-    if (fs.exists(marker)) return base.toString
-    if (fs.exists(base)) fs.delete(base, true)
-    val docs = Tables.documents(spark, dir)
-    val sh = TextAnalysis.shingles(docs, "doc_id", "text", distinct = false)
-    Dedup.minhashSignatures(sh, "doc_id", NumHashes)
-      .write.mode("overwrite").parquet(s"$base/minhash_sigs")
-    // bands derive from the STORED signatures so the index is internally
-    // consistent even if the signature lineage were ever to change
-    val sigsStored = spark.read.parquet(s"$base/minhash_sigs")
-    Dedup.minhashBands(sigsStored, "doc_id", NumHashes, RowsPerBand)
-      .write.mode("overwrite").parquet(s"$base/band_index")
-    fs.create(marker).close()
-    base.toString
-  }
+  def stageOnce(spark: SparkSession, dir: String): String =
+    buildOnce(spark, basePath(spark, dir), "_GRAFT_SIG_OK") { base =>
+      val docs = Tables.documents(spark, dir)
+      val sh = TextAnalysis.shingles(docs, "doc_id", "text", distinct = false)
+      Dedup.minhashSignatures(sh, "doc_id", NumHashes)
+        .write.mode("overwrite").parquet(s"$base/minhash_sigs")
+      // bands derive from the STORED signatures so the index is internally
+      // consistent even if the signature lineage were ever to change
+      val sigsStored = spark.read.parquet(s"$base/minhash_sigs")
+      Dedup.minhashBands(sigsStored, "doc_id", NumHashes, RowsPerBand)
+        .write.mode("overwrite").parquet(s"$base/band_index")
+    }
 
   /** LSH candidate pairs served from the STORED band index — the
     * dedup_minhash serve that never touches document text: one equi-join

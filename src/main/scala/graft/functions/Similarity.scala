@@ -112,7 +112,9 @@ object Similarity {
       topd.join(full, Seq("q_id", "n_id")).agg(count(lit(1)).as("n_hit"))
         .crossJoin(broadcast(nq))
         .select(lit(d).as("trunc_dim"), col("n_hit"),
-          (col("n_hit").cast("double") / (col("n_q") * lit(k))).as("recall_at_k"))
+          when(col("n_q") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / (col("n_q") * lit(k)))
+            .as("recall_at_k"))
     }.reduce(_ unionAll _)
   }
 
@@ -135,7 +137,8 @@ object Similarity {
     }.mkString(",\n")
     val rows = dims.map { d =>
       s"""SELECT $d AS trunc_dim, n_hit,
-         |       CAST(n_hit AS DOUBLE) / (n_q * $k) AS recall_at_k
+         |       CASE WHEN n_q = 0 THEN NULL
+         |            ELSE CAST(n_hit AS DOUBLE) / (n_q * $k) END AS recall_at_k
          |FROM h$d CROSS JOIN nq""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

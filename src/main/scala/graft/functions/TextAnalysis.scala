@@ -605,12 +605,24 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "bm25TopK: empty query-term workload")
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-    // tf feeds scoring AND the df aggregation → persist
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).persist()
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dl = docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("sum_dl"))
       .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    bm25Rank(tf, dl, stats, idCol, k)
+  }
+
+  /** The BM25 scoring + per-term top-k over pre-built query-term tf
+    * (idCol, term, tf), doc-length (idCol, dl), and 1-row corpus-stats
+    * (n_docs, avgdl) frames — shared by the inline [[bm25TopK]] and the
+    * staged postings serve ([[SigIndex.bm25TopKStaged]]), so the two can
+    * never diverge on the score arithmetic.
+    */
+  private[functions] def bm25Rank(tf0: DataFrame, dl: DataFrame, stats: DataFrame,
+                                  idCol: String, k: Int): DataFrame = {
+    // tf feeds scoring AND the df aggregation → persist
+    val tf = tf0.persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tfn = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))

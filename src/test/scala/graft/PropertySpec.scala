@@ -125,6 +125,20 @@ class PropertySpec extends SparkSpec {
     val noMedia = spark.emptyDataset(
       org.apache.spark.sql.Encoders.product[graft.multimodal.Multimodal.MediaRecord])
     assert(graft.multimodal.Multimodal.sampleFrames(noMedia, 1).count() === 0)
+    // round-10 operators
+    import graft.functions.TextAnalysis
+    import graft.operators.Scale
+    assert(TextAnalysis.bm25TopK(noDocs, "doc_id", "text", Seq("x"), 5).count() === 0)
+    assert(Curation.corpusDiff(noDocs, noDocs, "doc_id", "text").count() === 0)
+    assert(Curation.qualitySurvival(noDocs, "text").count() === 0)
+    assert(Scale.keySkewProfile(noEvents, "user_id").count() === 0)
+    // empty QUERY side against a real corpus (the common streaming-batch
+    // edge): zero rows out, no crash
+    val vecs = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(Sim.mrlRecallReport(vecs, "vec_id", "embedding",
+      lit(false), 5, Seq(4)).collect().head.getLong(1) === 0L)
+    assert(Dedup.embeddingDedupQa(noVecs, "vec_id", "embedding", 0.4, 1)
+      .collect().head.getLong(0) === 0L)
   }
 
   test("SQL text surface: registered views + custom functions answer queries") {
