@@ -597,6 +597,46 @@ object Curation {
        |  JOIN sp b ON b.doc_id = p.doc_b
        |WHERE a.split <> b.split""".stripMargin
 
+  /** Packing-efficiency report — the QA twin of [[seqPacking]]: one row
+    * summarizing how well the next-fit packer used the token budget.
+    * Next-fit semantics make two defect classes possible — OVERFLOW
+    * sequences (a document that starts inside a bin lands wholly in it,
+    * so a bin can exceed the budget) and UNDERFULL tails (the last bin
+    * per (source, shard) chain) — and the report counts both, plus the
+    * integer mean fill ratio total_tokens·1000 div (n_seqs·budget),
+    * which reads >1000 when overflow dominates. The number a pipeline
+    * watches to pick budget vs chunking ([[docChunks]]) trade-offs.
+    *
+    * Scale shape: an aggregate over the packer's (source, shard, seq)
+    * output — |sequences| rows, never documents.
+    */
+  def packingStats(docs: DataFrame, idCol: String, sourceCol: String,
+                   textCol: String, budget: Int, nShards: Int): DataFrame =
+    seqPacking(docs, idCol, sourceCol, textCol, budget, nShards)
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("seq_tokens")).cast("long").as("total_tokens"),
+        sum(when(col("seq_tokens") > budget, 1L).otherwise(0L)).cast("long").as("n_overflow"),
+        sum(when(col("seq_tokens") < budget, 1L).otherwise(0L)).cast("long").as("n_underfull"),
+        max(col("seq_tokens")).as("max_seq_tokens"))
+      .withColumn("fill_x1000",
+        when(col("n_seqs") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"total_tokens * 1000 div (n_seqs * $budget)")))
+
+  val packingStatsSql: String =
+    s"""WITH packed AS ($seqPackingSql)
+       |SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(sum(CASE WHEN seq_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+       |       CAST(sum(CASE WHEN seq_tokens < 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_underfull,
+       |       max(seq_tokens) AS max_seq_tokens,
+       |       CASE WHEN count(*) = 0 THEN NULL
+       |            ELSE CAST((sum(seq_tokens) * 1000) // (count(*) * 256) AS BIGINT)
+       |       END AS fill_x1000
+       |FROM packed""".stripMargin
+
   /** Quality survival curve — the inverse view of [[qualityTokenBudget]]:
     * for each candidate quality threshold (stop-ratio millis 0, 100, ...
     * 900), how many documents and how many tokens survive a `q >= thr`
@@ -710,6 +750,9 @@ object Curation {
     QueryDef("seq_packing",
       (s, dir) => seqPacking(Tables.documents(s, dir), "doc_id", "source", "text", 256, 4),
       Some(seqPackingSql)),
+    QueryDef("packing_stats",
+      (s, dir) => packingStats(Tables.documents(s, dir), "doc_id", "source", "text", 256, 4),
+      Some(packingStatsSql)),
     QueryDef("contamination_bloom",
       (s, dir) => contaminationBloom(Tables.documents(s, dir), "doc_id", "text",
         col("source") === "src0"),

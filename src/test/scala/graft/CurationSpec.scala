@@ -11,6 +11,22 @@ import graft.functions.{Curation, TextAnalysis}
 class CurationSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("packingStats: totals reconcile with the packer, defect counts match a direct scan") {
+    val docs = Tables.documents(spark, dir)
+    val packed = Curation.seqPacking(docs, "doc_id", "source", "text", 256, 4)
+      .collect().map(r => (r.getLong(3), r.getLong(4))) // (n_docs, seq_tokens)
+    val got = Curation.packingStats(docs, "doc_id", "source", "text", 256, 4).collect().head
+    assert(got.getLong(0) === packed.length.toLong)
+    assert(got.getLong(1) === packed.map(_._1).sum)
+    assert(got.getLong(2) === packed.map(_._2).sum)
+    assert(got.getLong(3) === packed.count(_._2 > 256).toLong)
+    assert(got.getLong(4) === packed.count(_._2 < 256).toLong)
+    assert(got.getLong(5) === packed.map(_._2).max)
+    assert(got.getLong(6) ===
+      packed.map(_._2).sum * 1000 / (packed.length.toLong * 256))
+    spark.catalog.clearCache()
+  }
+
   test("qualitySurvival: thr=0 covers the corpus, survival monotone non-increasing") {
     val docs = Tables.documents(spark, dir)
     val rows = Curation.qualitySurvival(docs, "text")

@@ -131,6 +131,9 @@ class PropertySpec extends SparkSpec {
     assert(TextAnalysis.bm25TopK(noDocs, "doc_id", "text", Seq("x"), 5).count() === 0)
     assert(Curation.corpusDiff(noDocs, noDocs, "doc_id", "text").count() === 0)
     assert(Curation.qualitySurvival(noDocs, "text").count() === 0)
+    val noSrcText = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(Curation.packingStats(noSrcText, "doc_id", "source", "text", 256, 4)
+      .collect().head.getLong(0) === 0L)
     assert(Scale.keySkewProfile(noEvents, "user_id").count() === 0)
     // empty QUERY side against a real corpus (the common streaming-batch
     // edge): zero rows out, no crash
