@@ -18,16 +18,24 @@ import org.apache.spark.sql.functions._
   * transforms instead of naive copies (which would create 10-way
   * exact-dup clusters and quadratically inflate every dedup pair count,
   * measuring the replication instead of the operator):
-  *  - documents: replica r applies a Caesar rotation by r to the letters
-  *    of `text` — a BIJECTION, so every intra-replica dup/near-dup
-  *    relation, shingle frequency, and length stays bit-identical, while
-  *    replicas share (almost) no shingles: corpus duplicate DENSITY is
-  *    constant under scaling, exactly how a real corpus grows. (lang/
-  *    quality scores of rotated replicas shift — the sf1 text point is
-  *    for the dedup/index operators, not the linguistic scores.)
-  *  - embeddings: replica r circularly shifts vector dimensions by r —
-  *    norms and all intra-replica cosines are exactly preserved;
-  *    cross-replica cosines are distributed like independent pairs.
+  *  - documents: replica r applies an AFFINE letter map x → a·x + b
+  *    (mod 26) to the letters of `text`, with (a, b) derived from r —
+  *    a BIJECTION, so every intra-replica dup/near-dup relation, shingle
+  *    frequency, and length stays bit-identical, while replicas share
+  *    (almost) no shingles: corpus duplicate DENSITY is constant under
+  *    scaling, exactly how a real corpus grows. For r < 26 the map is
+  *    a = 1, b = r — plain Caesar, byte-identical to the pre-round-11
+  *    generator, so data/sf1 regenerates unchanged; r ≥ 26 walks the 12
+  *    units of Z₂₆ for `a`, giving 312 distinct maps (enough for ×100 =
+  *    sf10 from sf0.1). (lang/quality scores of mapped replicas shift —
+  *    the scaled text points are for the dedup/index operators, not the
+  *    linguistic scores.)
+  *  - embeddings: replica r circularly shifts vector dimensions by
+  *    r mod 64 and NEGATES the vector for r ≥ 64 — norms and all
+  *    intra-replica cosines are exactly preserved under both (cos(−a,−b)
+  *    = cos(a,b)); cross-replica cosines are distributed like
+  *    independent pairs. 128 distinct transforms; r < 64 is
+  *    byte-identical to the pre-round-11 generator.
   *  - events: ids remap, timestamps/values/props unchanged — per-user
   *    session and funnel structure replicates exactly.
   *
@@ -74,41 +82,58 @@ object ScaleUp {
 
     // ---- pipeline tables: structure-preserving replication ----
     val az = "abcdefghijklmnopqrstuvwxyz"
-    def rotAlpha(r: Int): String = az.drop(r % 26) + az.take(r % 26)
-    def caesar(c: org.apache.spark.sql.Column, r: Int) =
+    // the 12 multiplicative units of Z26 — each (a, b) is a distinct
+    // bijection on letters; a = 1 first so r < 26 stays plain Caesar
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affineAlpha(r: Int): String = {
+      val a = units((r / 26) % units.length)
+      val b = r % 26
+      (0 until 26).map(i => az((a * i + b) % 26)).mkString
+    }
+    def affine(c: org.apache.spark.sql.Column, r: Int) =
       translate(c, az + az.toUpperCase,
-        rotAlpha(r) + rotAlpha(r).toUpperCase)
+        affineAlpha(r) + affineAlpha(r).toUpperCase)
 
     def replicateDocs(): Unit = {
+      require(copies <= 26 * units.length,
+        s"documents: only ${26 * units.length} distinct affine maps — " +
+          s"copies=$copies would create exact cross-replica duplicates")
       val df = spark.read.parquet(s"$src/documents.parquet")
       val out = df
         .withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
         .select(
           (col("doc_id") * copies + col("__r")).as("doc_id"),
-          // 10-branch CASE: translate's maps must be literals, so each
-          // replica gets its own rotation literal
+          // per-replica CASE: translate's maps must be literals, so each
+          // replica gets its own affine-map literal
           (1 until copies).foldLeft(when(col("__r") === 0, col("text"))) {
-            (acc, r) => acc.when(col("__r") === r, caesar(col("text"), r))
+            (acc, r) => acc.when(col("__r") === r, affine(col("text"), r))
           }.as("text"),
           col("lang"), col("source"), col("n_chars"))
       out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
-      println(s"[scaleup] documents: rotated-letter replication × $copies")
+      println(s"[scaleup] documents: affine-letter replication × $copies")
     }
 
     def replicateEmb(): Unit = {
+      require(copies <= 128,
+        s"embeddings: only 128 distinct shift/negate transforms — " +
+          s"copies=$copies would create exact cross-replica duplicates")
       val df = spark.read.parquet(s"$src/embeddings.parquet")
+      val dims = 64
+      val shift = col("__r") % dims
+      val shifted = concat(
+        slice(col("embedding"), shift + 1, size(col("embedding")) - shift),
+        slice(col("embedding"), lit(1), shift))
       val out = df
         .withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
         .select(
           (col("vec_id") * copies + col("__r")).as("vec_id"),
-          // circular dim shift by r: norms and intra-replica cosines
-          // are exactly preserved
-          concat(
-            slice(col("embedding"), col("__r") + 1, size(col("embedding")) - col("__r")),
-            slice(col("embedding"), lit(1), col("__r"))).as("embedding"),
+          // circular dim shift by r mod 64, negated for r >= 64: norms
+          // and intra-replica cosines are exactly preserved under both
+          when(col("__r") < dims, shifted)
+            .otherwise(transform(shifted, x => -x)).as("embedding"),
           col("label"))
       out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-      println(s"[scaleup] embeddings: dim-rotated replication × $copies")
+      println(s"[scaleup] embeddings: dim-rotated/negated replication × $copies")
     }
 
     def replicateEvents(): Unit = {

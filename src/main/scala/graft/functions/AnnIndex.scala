@@ -50,30 +50,22 @@ object AnnIndex {
 
   /** Warehouse-relative index directory, fingerprinted by sf-dir AND
     * geometry so a geometry change can never silently serve a stale
-    * index.
+    * index — the [[Stores]] layout shared with [[SigIndex]].
     */
-  private def basePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  private def basePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path =
     // r2: layout revision — r2 added the residual-PQ (IVF-PQ) artifacts;
     // bumping the suffix orphans pre-revision dirs instead of serving an
     // index that lacks the new artifacts behind a valid marker
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_ann_${tag}_c${NumCells}s${NumSub}x${NumCodes}i${Iters}r2")
-  }
+    Stores.storePath(spark, dir, "ann",
+      s"c${NumCells}s${NumSub}x${NumCodes}i${Iters}r2")
 
-  /** Build-once staging: a `_GRAFT_ANN_OK` marker written AFTER all four
-    * artifacts makes interrupted builds self-healing (no marker → the
-    * partial directory is deleted and rebuilt). Returns the index
-    * directory.
+  /** Build-once staging via [[Stores.buildOnce]]: the `_GRAFT_ANN_OK`
+    * marker written AFTER all four artifacts makes interrupted builds
+    * self-healing (no marker → the partial directory is deleted and
+    * rebuilt). Returns the index directory.
     */
-  def stageOnce(spark: SparkSession, dir: String): String = {
-    val base = basePath(spark, dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_ANN_OK")
-    if (fs.exists(marker)) return base.toString
-    if (fs.exists(base)) fs.delete(base, true)
+  def stageOnce(spark: SparkSession, dir: String): String =
+    Stores.buildOnce(spark, basePath(spark, dir), "_GRAFT_ANN_OK") { base =>
     val emb = Tables.embeddings(spark, dir)
     VectorExpressions.register(spark)
     val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", NumCells, Iters)
@@ -103,8 +95,6 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$base/ivfpq_codes")
     rsub.unpersist()
     resid.unpersist()
-    fs.create(marker).close()
-    base.toString
   }
 
   /** The incremental-index slice convention, mirroring the inline
@@ -123,16 +113,11 @@ object AnnIndex {
     * (the `mN_incr` suffix) so the full-corpus store can never be
     * mistaken for the sliced one.
     */
-  def stageIncrBase(spark: SparkSession, dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val base = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_ann_${tag}_c${NumCells}s${NumSub}x${NumCodes}i${Iters}m${IncrMod}_incr_r1")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_ANN_OK")
-    if (fs.exists(marker)) return base.toString
-    if (fs.exists(base)) fs.delete(base, true)
+  def stageIncrBase(spark: SparkSession, dir: String): String =
+    Stores.buildOnce(spark,
+      Stores.storePath(spark, dir, "ann",
+        s"c${NumCells}s${NumSub}x${NumCodes}i${Iters}m${IncrMod}_incr_r1"),
+      "_GRAFT_ANN_OK") { base =>
     val emb = Tables.embeddings(spark, dir).filter(incrTrainPred)
     VectorExpressions.register(spark)
     val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", NumCells, Iters)
@@ -147,8 +132,6 @@ object AnnIndex {
     Similarity.pqAssign(sub, cbStored, "vec_id")
       .write.mode("overwrite").parquet(s"$base/pq_codes")
     sub.unpersist()
-    fs.create(marker).close()
-    base.toString
   }
 
   /** The serve manifest: which ingest batches a staged-incremental serve
@@ -190,23 +173,20 @@ object AnnIndex {
   def appendToIndex(spark: SparkSession, dir: String, batchPred: Column,
                     batchTag: String = "b1"): String = {
     val base = stageIncrBase(spark, dir)
-    val delta = new org.apache.hadoop.fs.Path(base, deltaDirName(batchPred, batchTag))
-    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(delta, "_GRAFT_DELTA_OK")
-    if (fs.exists(marker)) return delta.toString
-    if (fs.exists(delta)) fs.delete(delta, true)
-    val batch = Tables.embeddings(spark, dir).filter(batchPred)
-    VectorExpressions.register(spark)
-    val centStored = spark.read.parquet(s"$base/ivf_centroids")
-    Similarity.assignCells(batch, centStored, "vec_id", "embedding")
-      .withColumn("cell", col("cell").cast("int"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$delta/ivf_postings")
-    val cbStored = spark.read.parquet(s"$base/pq_codebook")
-    val sub = Similarity.pqSubVectors(batch, "vec_id", "embedding", NumSub, SubDim)
-    Similarity.pqAssign(sub, cbStored, "vec_id")
-      .write.mode("overwrite").parquet(s"$delta/pq_codes")
-    fs.create(marker).close()
-    delta.toString
+    Stores.buildOnce(spark,
+      new org.apache.hadoop.fs.Path(base, deltaDirName(batchPred, batchTag)),
+      "_GRAFT_DELTA_OK") { delta =>
+      val batch = Tables.embeddings(spark, dir).filter(batchPred)
+      VectorExpressions.register(spark)
+      val centStored = spark.read.parquet(s"$base/ivf_centroids")
+      Similarity.assignCells(batch, centStored, "vec_id", "embedding")
+        .withColumn("cell", col("cell").cast("int"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$delta/ivf_postings")
+      val cbStored = spark.read.parquet(s"$base/pq_codebook")
+      val sub = Similarity.pqSubVectors(batch, "vec_id", "embedding", NumSub, SubDim)
+      Similarity.pqAssign(sub, cbStored, "vec_id")
+        .write.mode("overwrite").parquet(s"$delta/pq_codes")
+    }
   }
 
   /** Append every batch in the manifest and return the stored artifact
@@ -730,23 +710,17 @@ object AnnIndex {
     val emb = Tables.embeddings(spark, dir)
     VectorExpressions.register(spark)
     val cells = Similarity.ivfCellsFor(emb.count())
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val base = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_ann_${tag}_auto_c${cells}i${Iters}r1")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_ANN_OK")
-    if (fs.exists(marker)) return (base.toString, cells)
-    if (fs.exists(base)) fs.delete(base, true)
-    val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells, Iters)
-    cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
-    val centStored = spark.read.parquet(s"$base/ivf_centroids")
-    Similarity.assignCells(emb, centStored, "vec_id", "embedding")
-      .withColumn("cell", col("cell").cast("int"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
-    fs.create(marker).close()
-    (base.toString, cells)
+    val path = Stores.buildOnce(spark,
+      Stores.storePath(spark, dir, "ann", s"auto_c${cells}i${Iters}r1"),
+      "_GRAFT_ANN_OK") { base =>
+      val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells, Iters)
+      cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
+      val centStored = spark.read.parquet(s"$base/ivf_centroids")
+      Similarity.assignCells(emb, centStored, "vec_id", "embedding")
+        .withColumn("cell", col("cell").cast("int"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
+    }
+    (path, cells)
   }
 
   /** IVF top-k against the CORPUS-SIZED store — the terminal production

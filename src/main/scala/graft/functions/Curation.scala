@@ -601,8 +601,13 @@ object Curation {
     * summarizing how well the next-fit packer used the token budget.
     * Next-fit semantics make two defect classes possible — OVERFLOW
     * sequences (a document that starts inside a bin lands wholly in it,
-    * so a bin can exceed the budget) and UNDERFULL tails (the last bin
-    * per (source, shard) chain) — and the report counts both, plus the
+    * so a bin can exceed the budget) and UNDERFULL sequences
+    * (seq_tokens < budget). Underfull bins arise BOTH at each
+    * (source, shard) chain's tail AND mid-chain: under the
+    * (running − tok) div budget assignment, the bin right after an
+    * overflow spill starts part-way through the budget window and can
+    * close short, so n_underfull routinely exceeds the number of
+    * chains. The report counts both defect classes, plus the
     * integer mean fill ratio total_tokens·1000 div (n_seqs·budget),
     * which reads >1000 when overflow dominates. The number a pipeline
     * watches to pick budget vs chunking ([[docChunks]]) trade-offs.
@@ -659,9 +664,16 @@ object Curation {
     val hist = perdoc.groupBy(col("q"))
       .agg(count(lit(1)).as("d"), sum(col("tok")).as("tk"))
     val thr = docs.sparkSession.range(0, 10).select((col("id") * 100).as("thr"))
-    hist.join(broadcast(thr), col("q") >= col("thr"))
+    // LEFT join from the threshold frame: a threshold with zero survivors
+    // must still emit its (thr, 0, 0) row — an inner theta-join would drop
+    // it and the "curve" could collapse to fewer than 10 rows on a
+    // low-quality corpus, breaking every consumer that walks the sweep.
+    // (A LeftOuter BNLJ can only broadcast its RIGHT side, so the hint
+    // moves to the ≤1001-row histogram.)
+    thr.join(broadcast(hist), col("q") >= col("thr"), "left")
       .groupBy(col("thr"))
-      .agg(sum(col("d")).cast("long").as("n_docs"), sum(col("tk")).cast("long").as("n_tokens"))
+      .agg(coalesce(sum(col("d")), lit(0L)).cast("long").as("n_docs"),
+        coalesce(sum(col("tk")), lit(0L)).cast("long").as("n_tokens"))
   }
 
   val qualitySurvivalSql: String = {
@@ -673,8 +685,9 @@ object Curation {
        |  FROM documents),
        |hist AS (SELECT q, count(*) AS d, CAST(sum(tok) AS BIGINT) AS tk FROM perdoc GROUP BY 1),
        |thr AS (SELECT CAST(unnest(generate_series(0, 9)) * 100 AS BIGINT) AS thr)
-       |SELECT thr, CAST(sum(d) AS BIGINT) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
-       |FROM hist JOIN thr ON q >= thr GROUP BY 1""".stripMargin
+       |SELECT thr, CAST(COALESCE(sum(d), 0) AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(sum(tk), 0) AS BIGINT) AS n_tokens
+       |FROM thr LEFT JOIN hist ON q >= thr GROUP BY 1""".stripMargin
   }
 
   /** Corpus-revision diff: classify every document across two corpus

@@ -528,12 +528,21 @@ object Dedup {
     * against full truth at sf0.01 in DedupSimilaritySpec). The oracle
     * qkey pins sampleMod = 1, where the filter does not exist in the
     * plan at all.
+    *
+    * The registered qkey derives the modulus from a corpus count via
+    * [[embQaSampleModFor]] (≈ n/500 — the same rule the embedding twin
+    * uses), so the expensive exact-truth side is bounded to ~500 docs BY
+    * CONSTRUCTION at any corpus size; at the ≤500-doc oracle gates the
+    * rule yields 1 and the plan — and hash — are unchanged. The staged
+    * serve (`dedup_qa_report_staged`) stays full-corpus: both of its
+    * sides come off stored artifacts, so there is no quadratic build to
+    * bound.
     */
   def dedupQaReport(docs: DataFrame, idCol: String, textCol: String,
-                    sampleMod: Int = 1): DataFrame = {
+                    sampleMod: Long = 1L): DataFrame = {
     require(sampleMod >= 1, "dedupQaReport: sampleMod must be >= 1")
     val slice = if (sampleMod == 1) docs
-      else docs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
+      else docs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
     qaReportFromPairs(minhashLshPairs(slice, idCol, textCol),
       ngramJaccardPairs(slice, idCol, textCol))
   }
@@ -776,9 +785,14 @@ object Dedup {
     * all-pairs truth side is Θ(slice²), so bounding the slice is what
     * makes the report runnable at ANY corpus size: n²/m² ≤ target².
     */
-  def embQaSampleModFor(n: Long, target: Long = 500): Int = {
+  def embQaSampleModFor(n: Long, target: Long = 500): Long = {
     require(n > 0 && target > 0, "corpus and target must be positive")
-    math.max(1L, (n + target - 1) / target).toInt
+    // returns Long, never truncating to Int: for n ≳ 2³¹·target the Int
+    // cast could wrap negative and abort the QA at exactly the corpus
+    // sizes the sampling rule exists for (ADVICE r10). Ceil division is
+    // written overflow-free — (n + target - 1) itself wraps at the top
+    // of the Long range.
+    math.max(1L, n / target + (if (n % target == 0) 0L else 1L))
   }
 
   /** Embedding-dedup QA — the embedding twin of [[dedupQaReport]]: score
@@ -799,10 +813,10 @@ object Dedup {
     * exactly like `dedup_embedding_lsh_auto`.
     */
   def embeddingDedupQa(emb: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, sampleMod: Int): DataFrame = {
+                       threshold: Double, sampleMod: Long): DataFrame = {
     require(sampleMod >= 1, "embeddingDedupQa: sampleMod must be >= 1")
     val slice = if (sampleMod == 1) emb
-      else emb.filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
+      else emb.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
     val cand = embeddingLshPairsAuto(slice, idCol, vecCol, threshold)
     val truth = embeddingNearDups(slice, idCol, vecCol, threshold)
     cand.agg(count(lit(1)).as("n_cand"))
@@ -1181,7 +1195,13 @@ object Dedup {
     // default, and oracle all read the one constant.
     QueryDef("dedup_ngram", (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramJaccardSql)),
     QueryDef("dedup_containment", (s, dir) => ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text"), Some(ngramContainmentSql)),
-    QueryDef("dedup_qa_report", (s, dir) => dedupQaReport(Tables.documents(s, dir), "doc_id", "text"), Some(dedupQaReportSql)),
+    // self-bounding: the modulus derives from the corpus count (n/500),
+    // so the exact-truth side never exceeds ~500 docs; = 1 (filter-free
+    // plan, oracle-identical) at the ≤500-doc gate scales
+    QueryDef("dedup_qa_report", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      dedupQaReport(docs, "doc_id", "text", embQaSampleModFor(docs.count()))
+    }, Some(dedupQaReportSql)),
     QueryDef("dedup_embedding", (s, dir) => embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4), Some(embeddingNearDupSql)),
     // ORACLE GATE TWIN — do not use at scale. The fixed (32, 4) geometry
     // is Θ(n²) with a 1/2^bits constant (measured 236 s at 10× data vs

@@ -32,36 +32,17 @@ object SigIndex {
   val NumHashes = 8
   val RowsPerBand = 2
 
-  /** Fingerprinted store directory: `graft_<kind>_<dirTag>_<geom>` under
-    * the warehouse. The corpus tag and the geometry string TOGETHER are
-    * the staleness contract — a different corpus dir or a drifted
-    * geometry resolves to a different directory, so a serve can never
-    * read an index built for other data or other parameters.
+  /** Store layout + completion-marker protocol: the [[Stores]] object
+    * shared with [[AnnIndex]] — one fingerprint and crash-recovery
+    * contract for every staged index family.
     */
   private def storePath(spark: SparkSession, dir: String, kind: String,
-                        geom: String): org.apache.hadoop.fs.Path = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"graft_${kind}_${tag}_$geom")
-  }
+                        geom: String): org.apache.hadoop.fs.Path =
+    Stores.storePath(spark, dir, kind, geom)
 
-  /** The shared build-once protocol: a completion marker gates the
-    * serve, a missing marker (fresh corpus or interrupted build) wipes
-    * any partial directory and rebuilds — self-healing, same contract
-    * as [[AnnIndex.stageOnce]].
-    */
   private def buildOnce(spark: SparkSession, base: org.apache.hadoop.fs.Path,
-                        markerName: String)(build: String => Unit): String = {
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(base, markerName)
-    if (!fs.exists(marker)) {
-      if (fs.exists(base)) fs.delete(base, true)
-      build(base.toString)
-      fs.create(marker).close()
-    }
-    base.toString
-  }
+                        markerName: String)(build: String => Unit): String =
+    Stores.buildOnce(spark, base, markerName)(build)
 
   private def basePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path =
     storePath(spark, dir, "sig", s"h${NumHashes}b${RowsPerBand}_r1")

@@ -192,6 +192,22 @@ object Scale {
     * window for the [[graft.functions.Curation.qualityTokenBudget]]
     * histogram pattern.
     */
+  /** The skew ratio 1000·max/mean over (max_cnt, n_keys, n_rows) columns.
+    * `div` (integer division), not `/`-then-cast: Spark's long/long `/`
+    * is DOUBLE division, whose rounding can cross an integer boundary
+    * the oracle's exact `//` never crosses. The numerator multiplies
+    * through DECIMAL(38,0), not BIGINT: max_cnt·1000·n_keys overflows a
+    * Long at large-but-plausible scale (~1e8 keys with a ~1e8-row hot
+    * key), where Spark would silently wrap to a negative ratio while the
+    * oracle (HUGEINT) stays exact — they would diverge exactly in the
+    * regime the diagnostic targets (ADVICE r10). 38 digits cover any
+    * corpus below ~3·10^17 rows (max_cnt·n_keys ≤ n_rows², so the
+    * product stays < 10^38 with 3 digits to spare). Shared with the
+    * OperatorsSpec overflow-regime test.
+    */
+  private[graft] def skewX1000Expr: Column =
+    expr("cast(max_cnt as decimal(38,0)) * 1000 * n_keys div n_rows")
+
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
     // counts feed the summary aggregate AND the rank-pick → persist
     val cnts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")).persist()
@@ -208,10 +224,7 @@ object Scale {
       .crossJoin(pick(0.5, "p50_cnt"))
       .crossJoin(pick(0.99, "p99_cnt"))
       .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
-        // `div` (integer division), not `/`-then-cast: Spark's long/long
-        // `/` is DOUBLE division, whose rounding can cross an integer
-        // boundary the oracle's exact `//` never crosses
-        expr("max_cnt * 1000 * n_keys div n_rows").as("skew_x1000"))
+        skewX1000Expr.as("skew_x1000"))
   }
 
   val keySkewProfileSql: String =
@@ -224,7 +237,9 @@ object Scale {
       |p99 AS (SELECT cnt AS p99_cnt FROM ranked CROSS JOIN stats
       |        WHERE rn = CAST(ceil(0.99 * n_keys) AS BIGINT))
       |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
-      |       CAST((max_cnt * 1000 * n_keys) // n_rows AS BIGINT) AS skew_x1000
+      |       -- HUGEINT (int128) numerator mirrors the Spark side's
+      |       -- DECIMAL(38,0): exact integer floor-division, no Long wrap
+      |       CAST((CAST(max_cnt AS HUGEINT) * 1000 * n_keys) // n_rows AS BIGINT) AS skew_x1000
       |FROM stats CROSS JOIN p50 CROSS JOIN p99""".stripMargin
 
   /** Same result contract as q18_big_orders — the oracle doesn't care about

@@ -40,6 +40,21 @@ class CurationSpec extends SparkSpec {
     assert(rows.last._2 < total, "the top decile bar must actually cut something")
   }
 
+  test("qualitySurvival: emits all 10 thresholds even when the curve collapses") {
+    import spark.implicits._
+    // adversarial corpus: zero stopwords anywhere → q = 0 for every doc,
+    // so thresholds 100..900 have zero survivors. The curve must still
+    // carry their (thr, 0, 0) rows — an inner theta-join would drop them
+    // and downstream sweep-walkers would index past the end (ADVICE r10)
+    val docs = Seq((1L, "xyzzy plugh qwrt"), (2L, "zzz qqq")).toDF("doc_id", "text")
+    val rows = Curation.qualitySurvival(docs, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 900L by 100L).toSeq,
+      s"curve must always have 10 rows: ${rows.mkString(",")}")
+    assert(rows.head === ((0L, 2L, 5L)))
+    assert(rows.tail.forall(r => r._2 === 0L && r._3 === 0L))
+  }
+
   test("corpusDiff classifies added/removed/changed by content digest, drops unchanged") {
     import spark.implicits._
     val oldRev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")

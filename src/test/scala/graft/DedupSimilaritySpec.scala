@@ -772,6 +772,9 @@ class DedupSimilaritySpec extends SparkSpec {
     // the sampling rule: no filter at/below target, ceil division above
     assert(Dedup.embQaSampleModFor(500) === 1 && Dedup.embQaSampleModFor(499) === 1)
     assert(Dedup.embQaSampleModFor(501) === 2 && Dedup.embQaSampleModFor(50000) === 100)
+    // no Int wrap at astronomic corpus counts (ADVICE r10): the modulus
+    // stays positive all the way up to Long.MaxValue rows
+    assert(Dedup.embQaSampleModFor(Long.MaxValue) === Long.MaxValue / 500 + 1)
     spark.catalog.clearCache()
   }
 

@@ -130,7 +130,12 @@ class PropertySpec extends SparkSpec {
     import graft.operators.Scale
     assert(TextAnalysis.bm25TopK(noDocs, "doc_id", "text", Seq("x"), 5).count() === 0)
     assert(Curation.corpusDiff(noDocs, noDocs, "doc_id", "text").count() === 0)
-    assert(Curation.qualitySurvival(noDocs, "text").count() === 0)
+    // the survival curve is total in its THRESHOLD frame, not the corpus:
+    // an empty corpus still emits all 10 (thr, 0, 0) rows (ADVICE r10 —
+    // consumers walk a fixed-length sweep)
+    assert(Curation.qualitySurvival(noDocs, "text")
+      .collect().forall(r => r.getLong(1) === 0L && r.getLong(2) === 0L))
+    assert(Curation.qualitySurvival(noDocs, "text").count() === 10)
     val noSrcText = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
     assert(Curation.packingStats(noSrcText, "doc_id", "source", "text", 256, 4)
       .collect().head.getLong(0) === 0L)

@@ -20,6 +20,20 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("skew ratio survives the Long-overflow regime (decimal numerator)") {
+    import spark.implicits._
+    // ~1e8 keys with a ~1e8-row hot key: max_cnt·1000·n_keys = 1e19·1e3
+    // wraps a BIGINT negative, the exact regime the diagnostic targets
+    // (ADVICE r10); the decimal(38,0) numerator must stay exact. Stats
+    // are fabricated (no 1e16-row frame in a test) — the expression is
+    // the same one keySkewProfile selects.
+    val stats = Seq((100000000L, 10000000000000000L, 100000000L))
+      .toDF("n_keys", "n_rows", "max_cnt")
+    val got = stats.select(Scale.skewX1000Expr.as("skew_x1000")).collect().head.getLong(0)
+    // exact: 1e8 · 1000 · 1e8 / 1e16 = 1000 · max/mean with mean = 1e8
+    assert(got === 1000L, s"skew ratio wrapped or lost precision: $got")
+  }
+
   test("salted join returns exactly the plain join result") {
     import spark.implicits._
     // heavily skewed big side: 90% of rows share one key
