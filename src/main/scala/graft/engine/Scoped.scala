@@ -46,4 +46,17 @@ object Scoped {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
+
+  /** Drop the persisted RDD backing a `localCheckpoint`ed frame. The
+    * checkpoint caches its materialized rows behind a `LogicalRDD`; plain
+    * `unpersist()` does not reach it (the Dataset was never `.persist()`ed),
+    * so the RDD is unpersisted directly. The per-round hygiene of every
+    * iterative operator (connected components, the BPE merge loops):
+    * round N materializes, round N−1's blocks are dead weight.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -689,8 +689,12 @@ object AnnIndex {
                    maxCellSize: Option[Int] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     VectorExpressions.register(spark)
-    val cells = Similarity.ivfCellsFor(emb.count())
-    val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells, iters = 1).persist()
+    val n = emb.count()
+    val cells = Similarity.ivfCellsFor(n)
+    // sampled Lloyd (mod = 1 at gate scales — see ivfTrainSampleModFor)
+    val cent = Similarity.ivfCentroids(
+      Similarity.ivfTrainSlice(emb, "vec_id", Similarity.ivfTrainSampleModFor(n, cells)),
+      "vec_id", "embedding", cells, iters = 1).persist()
     semDedupPairsOf(
       Similarity.assignCells(emb, cent, "vec_id", "embedding"), threshold, maxCellSize)
   }
@@ -709,11 +713,20 @@ object AnnIndex {
   def stageAuto(spark: SparkSession, dir: String): (String, Int) = {
     val emb = Tables.embeddings(spark, dir)
     VectorExpressions.register(spark)
-    val cells = Similarity.ivfCellsFor(emb.count())
+    val n = emb.count()
+    val cells = Similarity.ivfCellsFor(n)
+    // sampled Lloyd: training cost stays LINEAR in the corpus (the sf10
+    // staging point measured the full-corpus √n-cell build super-linear —
+    // 13.3 s → 417 s on 10× data); only the final assignment pass below
+    // touches every vector. mod = 1 (full corpus, unchanged oracle) at
+    // every gate scale and sf1; the mod lives in the directory
+    // fingerprint so a corpus crossing a sampling boundary rebuilds.
+    val mod = Similarity.ivfTrainSampleModFor(n, cells)
     val path = Stores.buildOnce(spark,
-      Stores.storePath(spark, dir, "ann", s"auto_c${cells}i${Iters}r1"),
+      Stores.storePath(spark, dir, "ann", s"auto_c${cells}i${Iters}m${mod}r1"),
       "_GRAFT_ANN_OK") { base =>
-      val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells, Iters)
+      val cent = Similarity.ivfCentroids(
+        Similarity.ivfTrainSlice(emb, "vec_id", mod), "vec_id", "embedding", cells, Iters)
       cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
       val centStored = spark.read.parquet(s"$base/ivf_centroids")
       Similarity.assignCells(emb, centStored, "vec_id", "embedding")

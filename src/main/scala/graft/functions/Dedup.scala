@@ -995,16 +995,11 @@ object Dedup {
     labels
   }
 
-  /** Drop the persisted RDD backing a `localCheckpoint`ed frame. The
-    * checkpoint caches its materialized rows behind a `LogicalRDD`; plain
-    * `unpersist()` does not reach it (the Dataset was never `.persist()`ed),
-    * so the RDD is unpersisted directly.
+  /** See [[graft.engine.Scoped.unpersistCheckpoint]] — shared per-round
+    * checkpoint hygiene.
     */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.optimizedPlan match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.engine.Scoped.unpersistCheckpoint(df)
 
   /** Fixed-point PageRank over the near-dup candidate graph: rank every
     * edge-touched document by its centrality in the [[minhashLshPairs]]

@@ -200,6 +200,26 @@ object SigIndex {
       "doc_id", k)
   }
 
+  /** The STATIC side of the streaming BM25 serve
+    * ([[graft.streaming.StreamingOps.bm25TopKStream]]): scored
+    * (term, doc_id, tfn, bm25) candidates off the staged postings store,
+    * restricted to the expected query-term workload vocabulary — the
+    * same store read, `In(term)` scan pruning, and score arithmetic as
+    * the batch serve ([[bm25TopKStaged]] shares
+    * [[TextAnalysis.bm25Scored]]), minus only the rank window, which the
+    * stream applies per micro-batch in its stateful group.
+    */
+  def bm25ScoredStatic(spark: SparkSession, dir: String,
+                       queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25ScoredStatic: empty query-term workload")
+    val base = stageBm25(spark, dir)
+    TextAnalysis.bm25Scored(
+      spark.read.parquet(s"$base/postings").filter(col("term").isin(queryTerms: _*)),
+      spark.read.parquet(s"$base/doclen"),
+      spark.read.parquet(s"$base/stats"),
+      "doc_id")
+  }
+
   def stageOnce(spark: SparkSession, dir: String): String =
     buildOnce(spark, basePath(spark, dir), "_GRAFT_SIG_OK") { base =>
       val docs = Tables.documents(spark, dir)

@@ -173,7 +173,17 @@ object Similarity {
     */
   def hardNegatives(emb: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val corpus = withNorm(emb, idCol, vecCol, passthrough = Seq(labelCol))
+    // the small-corpus parallelism cliff (ARCHITECTURE.md, round-10 wave
+    // 5): a corpus compacted into a couple of parquet splits plans 1-2
+    // scan partitions and the scoring BNLJ inherits that width — at a
+    // 2000-query batch the whole |corpus|×|batch| scoring ran near
+    // single-threaded (measured by HardNegSweep). Re-shard ONLY when the
+    // scan is narrower than the session width: a corpus big enough to
+    // have real splits keeps its layout and pays no shuffle.
+    val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val corpus0 = withNorm(emb, idCol, vecCol, passthrough = Seq(labelCol))
+    val corpus = (if (corpus0.rdd.getNumPartitions < parts)
+        corpus0.repartition(parts) else corpus0)
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"),
         col(labelCol).as("n_label"))
     val qs = withNorm(queries, idCol, vecCol, passthrough = Seq(labelCol))
@@ -368,6 +378,37 @@ object Similarity {
   def ivfNprobeFor(cells: Int, denom: Int = 8): Int =
     math.max(2, cells / denom)
 
+  /** Training-sample modulus for corpus-sized IVF: Lloyd at cells ≈ √n
+    * over the FULL corpus costs n·√n sims per iteration — measured
+    * SUPER-LINEAR at the sf10 staging point (stageAuto 13.3 s at sf1 →
+    * 417 s at sf10 on 10× data ≈ the predicted 31×). The standard fix
+    * (every production IVF trainer): train k-means on ~`perCell`
+    * points per centroid — a deterministic 1/mod hash slice, the
+    * [[Dedup.embQaSampleModFor]] pattern — so training work is
+    * ~perCell·cells² = perCell·n per iteration, LINEAR in the corpus;
+    * only the single final assignment pass touches every vector. The
+    * rule yields 1 (no filter, plan and oracle unchanged) at every
+    * oracle-gate scale and at sf1 (20 k × 141 cells); it first
+    * activates at sf10 (200 k × 447 cells → mod 3).
+    */
+  def ivfTrainSampleModFor(n: Long, cells: Int, perCell: Int = 128): Long = {
+    require(n > 0 && cells > 0 && perCell > 0, "ivfTrainSampleModFor: positive inputs")
+    math.max(1L, n / (cells.toLong * perCell))
+  }
+
+  /** The deterministic training slice for `mod` ([[ivfTrainSampleModFor]]):
+    * xxhash64-mod, never rand() — stable across runs/retries, no seed
+    * plumbing. mod = 1 returns the frame itself (the filter does not
+    * exist in the plan, so gate-scale plans and oracles are unchanged).
+    * The sampled regime (mod > 1) is Spark-spec-covered rather than
+    * oracle-covered — xxhash64 is engine-internal, the same contract as
+    * the QA sampling knobs.
+    */
+  def ivfTrainSlice(emb: DataFrame, idCol: String, mod: Long): DataFrame = {
+    require(mod >= 1, "ivfTrainSlice: mod must be >= 1")
+    if (mod == 1) emb else emb.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+  }
+
   /** [[knnIvf]] with corpus-sized geometry: one count() (plan-time
     * statistics, row-group metadata only) picks cells ≈ √n via
     * [[ivfCellsFor]] and nprobe via [[ivfNprobeFor]]. The driver's
@@ -378,9 +419,14 @@ object Similarity {
     */
   def knnIvfAuto(emb: DataFrame, queryPred: Column, idCol: String, vecCol: String,
                  k: Int, iters: Int = 1): DataFrame = {
-    val cells = ivfCellsFor(emb.count())
-    knnIvf(emb, queryPred, idCol, vecCol, k,
-      numCells = cells, nprobe = ivfNprobeFor(cells), iters = iters)
+    val n = emb.count()
+    val cells = ivfCellsFor(n)
+    // train on the count-derived sample slice (mod = 1 ⇒ full corpus at
+    // every gate scale and sf1; linear-cost Lloyd at larger corpora)
+    val centroids = ivfCentroids(
+      ivfTrainSlice(emb, idCol, ivfTrainSampleModFor(n, cells)),
+      idCol, vecCol, cells, iters).persist()
+    ivfSearch(emb, centroids, queryPred, idCol, vecCol, k, ivfNprobeFor(cells))
   }
 
   /** IVF top-k search: score queries only against their `nprobe` nearest
@@ -496,7 +542,7 @@ object Similarity {
     * centroids, probe the `nprobe` nearest cells per query, score only
     * those cells' members.
     */
-  private def ivfSearch(emb: DataFrame, centroids: DataFrame, queryPred: Column,
+  private[graft] def ivfSearch(emb: DataFrame, centroids: DataFrame, queryPred: Column,
                         idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val corpus = assignCells(emb, centroids, idCol, vecCol).persist()
     val cn = withNorm(corpus, idCol, vecCol, passthrough = Seq("cell"))

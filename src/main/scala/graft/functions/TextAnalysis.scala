@@ -284,7 +284,7 @@ object TextAnalysis {
     */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     val (vocab, adopted) = bpeLoop(docs, textCol, merges)
-    vocab.unpersist(blocking = false)
+    graft.engine.Scoped.unpersistCheckpoint(vocab)
     import docs.sparkSession.implicits._
     adopted.toDF("step", "pair", "cnt")
   }
@@ -306,56 +306,171 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** The shared merge loop: returns the final (tok, freq, syms) vocab —
-    * persisted — and the adopted (step, pair, count) rules.
+  /** The weighted distinct-token seed vocabulary every BPE round works
+    * on: (tok, corpus freq, single-character symbol array).
     */
-  private def bpeLoop(docs: DataFrame, textCol: String,
-                      merges: Int): (DataFrame, Seq[(Int, String, Long)]) = {
-    require(merges >= 1, "bpeTrain: need at least one merge round")
-    var vocab = docs.select(explode(split(col(textCol), " ")).as("tok"))
+  private def bpeSeedVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .withColumn("syms",
         expr("transform(sequence(1, length(tok)), i -> substring(tok, CAST(i AS INT), 1))"))
-      .persist()
+
+  /** The round's ranked adjacent-pair counts (weighted by token corpus
+    * frequency), capped at `top` rows — a TakeOrdered, never a global
+    * sort. Guard size >= 2 BEFORE sequence(0, size-2): sequence infers a
+    * negative step when stop < start, which would fabricate pairs.
+    */
+  private def bpeRankedPairs(vocab: DataFrame, top: Int): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms)-2), i -> concat(element_at(syms, i+1), ' ', element_at(syms, i+2)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(top)
+
+  /** One greedy left-to-right merge PASS applying every rule in `rules`
+    * simultaneously, as a fold over each token's symbol array — per-row,
+    * zero shuffle. Append each symbol; when the accumulated tail is a
+    * literal `a_i` and the next symbol is `b_i`, replace the tail with
+    * the merged symbol a_i+b_i. A fresh merge's tail is a_i+b_i ≠ a_j
+    * for every rule j (b is never empty for the same rule; the batched
+    * selector's compatibility check — [[bpeCompatible]] — excludes
+    * cross-rule collisions), so a merge can never chain into an
+    * overlapping merge: one simultaneous pass over compatible rules is
+    * exactly the sequential non-overlapping scan per rule
+    * (spec-asserted by replaying adopted rules one at a time).
+    */
+  private[graft] def bpeApplyMerges(vocab: DataFrame,
+                                        rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "bpeApplyMerges: empty rule batch")
+    vocab.withColumn("syms",
+      aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
+        val tail = element_at(acc, -1)
+        def arm(r: (String, String)): Column =
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(r._1 + r._2)))
+        val chain = rules.tail.foldLeft(
+          when(size(acc) > 0 && tail === lit(rules.head._1) && x === lit(rules.head._2),
+            arm(rules.head))) { case (c, r) =>
+          c.when(size(acc) > 0 && tail === lit(r._1) && x === lit(r._2), arm(r))
+        }
+        chain.otherwise(concat(acc, array(x)))
+      }))
+  }
+
+  /** Can pair (a, b) be adopted in the same round as `chosen`? Batched
+    * adoption is safe only when rules cannot interact: no symbol of one
+    * pair may equal a symbol OR the merged output of another, in either
+    * direction — otherwise one rule's merge would create or consume the
+    * other's match sites mid-pass and the simultaneous application would
+    * diverge from sequential. (Example: (t,h) then (th,e) — the first
+    * merge mints the second's left symbol.)
+    */
+  private[graft] def bpeCompatible(chosen: Seq[(String, String)],
+                                       a: String, b: String): Boolean = {
+    val used = chosen.iterator.flatMap { case (x, y) => Iterator(x, y, x + y) }.toSet
+    !used(a) && !used(b) && !used(a + b)
+  }
+
+  /** The shared merge loop: returns the final (tok, freq, syms) vocab —
+    * persisted — and the adopted (step, pair, count) rules. One driver
+    * round-trip (a 1-row collect) and one cached re-segmentation per
+    * merge — fine at oracle-gate merge counts; a production tokenizer
+    * run (10k–100k merges) uses [[bpeLoopBatched]], which amortizes the
+    * round-trip over `batch` merges per round.
+    */
+  private def bpeLoop(docs: DataFrame, textCol: String,
+                      merges: Int): (DataFrame, Seq[(Int, String, Long)]) = {
+    require(merges >= 1, "bpeTrain: need at least one merge round")
+    // localCheckpoint per round, NOT persist: a persisted chain keeps the
+    // whole logical-plan lineage, and the nested merge folds make
+    // re-analysis cost grow with every round — measured superlinear wall
+    // time by merges=64 (BpeSweep). The checkpoint severs lineage so
+    // every round re-plans a constant-size frame; round N−1's blocks are
+    // dropped as soon as round N materializes (connected-components
+    // hygiene, graft.engine.Scoped.unpersistCheckpoint).
+    var vocab = bpeSeedVocab(docs, textCol).localCheckpoint()
     val adopted = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      // guard size >= 2 BEFORE sequence(0, size-2): sequence infers a
-      // negative step when stop < start, which would fabricate pairs
-      val top = vocab.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(syms)-2), i -> concat(element_at(syms, i+1), ' ', element_at(syms, i+2)))"))
-          .as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1)
-        .collect()
+      val top = bpeRankedPairs(vocab, 1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
         adopted += ((step, pair, cnt))
         val Array(a, b) = pair.split(" ", 2)
-        // greedy left-to-right merge as a fold: append each symbol; when
-        // the tail is a literal `a` and the next is `b`, replace the tail
-        // with the merged symbol — a fresh merge's tail is a+b ≠ a (b is
-        // never empty), so it can never chain into an overlapping merge,
-        // which is exactly the non-overlapping scan semantics
-        val next = vocab.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))))
-          .persist()
-        next.count() // materialize off the parent's cache before dropping it
-        vocab.unpersist(blocking = false)
+        val next = bpeApplyMerges(vocab, Seq((a, b))).localCheckpoint()
+        graft.engine.Scoped.unpersistCheckpoint(vocab)
         vocab = next
         step += 1
       }
     }
     (vocab, adopted.toSeq)
+  }
+
+  /** The BATCHED merge loop — the driver-bottleneck fix for production
+    * merge counts (round-10 verdict): the sequential loop pays one
+    * driver round-trip and one job launch per merge, which at 10k–100k
+    * merges serializes exactly the kind of driver-side fixed point a
+    * large cluster starves on. Here each ROUND collects one ranked pair
+    * prefix and adopts up to `batch` pairwise-COMPATIBLE pairs from it
+    * (greedy by rank; [[bpeCompatible]] guarantees the rules cannot
+    * interact), then applies them all in ONE simultaneous
+    * re-segmentation pass — driver round-trips drop from `merges` to
+    * ~`merges / batch`.
+    *
+    * Batched BPE is the standard large-corpus trainer variant: within a
+    * round, counts are those at round START (pair 2 of a round is the
+    * best compatible pair by the round-start counts, not the post-merge
+    * recount), so rule order can differ from the sequential trainer's —
+    * compatibility makes each round's rules ORDER-INDEPENDENT among
+    * themselves, and batch = 1 reproduces the sequential trainer
+    * exactly (spec-asserted both ways).
+    */
+  private def bpeLoopBatched(docs: DataFrame, textCol: String, merges: Int,
+                             batch: Int): (DataFrame, Seq[(Int, String, Long)]) = {
+    require(merges >= 1 && batch >= 1, "bpeTrainBatched: merges and batch must be >= 1")
+    // checkpoint-per-round, same rationale as [[bpeLoop]]
+    var vocab = bpeSeedVocab(docs, textCol).localCheckpoint()
+    val adopted = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val want = math.min(batch, merges - step + 1)
+      // a generous ranked prefix: the greedy compatible scan almost never
+      // needs more than ~2× want candidates; if the prefix somehow
+      // exhausts before filling the batch, the round simply adopts fewer
+      // and the next round re-ranks — conservative, never wrong
+      val ranked = bpeRankedPairs(vocab, math.max(64, 8 * want)).collect()
+      if (ranked.isEmpty) exhausted = true
+      else {
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        for (r <- ranked if sel.size < want) {
+          val Array(a, b) = r.getString(0).split(" ", 2)
+          if (bpeCompatible(sel.map(s => (s._1, s._2)).toSeq, a, b))
+            sel += ((a, b, r.getLong(1)))
+        }
+        val next = bpeApplyMerges(vocab, sel.map(s => (s._1, s._2)).toSeq).localCheckpoint()
+        graft.engine.Scoped.unpersistCheckpoint(vocab)
+        vocab = next
+        adopted ++= sel.zipWithIndex.map { case ((a, b, c), i) => (step + i, s"$a $b", c) }
+        step += sel.size
+      }
+    }
+    (vocab, adopted.toSeq)
+  }
+
+  /** [[bpeTrain]]'s batched twin: same (step, pair, cnt) output contract
+    * over [[bpeLoopBatched]].
+    */
+  def bpeTrainBatched(docs: DataFrame, textCol: String, merges: Int,
+                      batch: Int): DataFrame = {
+    val (vocab, adopted) = bpeLoopBatched(docs, textCol, merges, batch)
+    graft.engine.Scoped.unpersistCheckpoint(vocab)
+    import docs.sparkSession.implicits._
+    adopted.toDF("step", "pair", "cnt")
   }
 
   /** DuckDB twin of [[bpeTrain]]: the merge loop unrolled `merges` times
@@ -418,8 +533,10 @@ object TextAnalysis {
     * whose pair CTE is empty (corpus exhausted) passes its rows through
     * unchanged — matching [[bpeTrain]]'s early stop.
     */
-  private def bpeSqlCtes(merges: Int): String = {
-    val rounds = bpeRoundCtes(merges)
+  /** The seed of every BPE oracle: weighted distinct tokens exploded to
+    * (token, freq, pos, single-char symbol) rows.
+    */
+  private val bpeSeedSqlCtes: String =
     s"""WITH toks AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -427,8 +544,80 @@ object TextAnalysis {
        |s0 AS MATERIALIZED (
        |  SELECT tok, freq, CAST(i AS BIGINT) AS pos, substr(tok, CAST(i AS INT), 1) AS sym
        |  FROM (SELECT tok, freq, unnest(generate_series(1, CAST(length(tok) AS BIGINT))) AS i
-       |        FROM toks)),
-       |$rounds""".stripMargin
+       |        FROM toks)),""".stripMargin
+
+  private def bpeSqlCtes(merges: Int): String =
+    s"""$bpeSeedSqlCtes
+       |${bpeRoundCtes(merges)}""".stripMargin
+
+  /** DuckDB twin of [[bpeTrainBatched]] at batch = 2: `rounds` unrolled
+    * round blocks, each selecting the top pair (ta) AND the top
+    * COMPATIBLE pair (tb — no symbol equal to a symbol or the merged
+    * output of ta, mirroring [[bpeCompatible]]), then applying both in
+    * one simultaneous re-segmentation. Match marks for the two rules are
+    * computed on the same round-start snapshot; compatibility guarantees
+    * their match sites can never overlap or touch, so the per-rule
+    * run-parity selections compose position-wise. Step numbering is
+    * fixed (2 per round) — on a corpus so degenerate that a round has no
+    * compatible second pair the Spark side renumbers and the hash gate
+    * fails loudly rather than silently drifting.
+    */
+  def bpeTrainBatchedB2SqlFor(rounds: Int): String = {
+    val blocks = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT a.sym || ' ' || b.sym AS pair, CAST(sum(a.freq) AS BIGINT) AS cnt
+         |  FROM s${i - 1} a JOIN s${i - 1} b ON b.tok = a.tok AND b.pos = a.pos + 1
+         |  GROUP BY 1),
+         |ta$i AS MATERIALIZED (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |ua$i AS (SELECT string_split(pair, ' ')[1] AS u FROM ta$i
+         |         UNION ALL SELECT string_split(pair, ' ')[2] FROM ta$i
+         |         UNION ALL SELECT replace(pair, ' ', '') FROM ta$i),
+         |tb$i AS MATERIALIZED (
+         |  SELECT pair, cnt FROM p$i
+         |  WHERE string_split(pair, ' ')[1] NOT IN (SELECT u FROM ua$i)
+         |    AND string_split(pair, ' ')[2] NOT IN (SELECT u FROM ua$i)
+         |    AND replace(pair, ' ', '') NOT IN (SELECT u FROM ua$i)
+         |  ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT a.tok, a.freq, a.pos, a.sym,
+         |         coalesce(a.sym || ' ' || b.sym = (SELECT pair FROM ta$i), false) AS mta,
+         |         coalesce(a.sym || ' ' || b.sym = (SELECT pair FROM tb$i), false) AS mtb
+         |  FROM s${i - 1} a LEFT JOIN s${i - 1} b ON b.tok = a.tok AND b.pos = a.pos + 1),
+         |ra$i AS (SELECT tok, pos, pos - row_number() OVER (PARTITION BY tok ORDER BY pos) AS grp
+         |         FROM m$i WHERE mta),
+         |sa$i AS MATERIALIZED (
+         |  SELECT tok, pos FROM (
+         |    SELECT tok, pos, row_number() OVER (PARTITION BY tok, grp ORDER BY pos) AS rn
+         |    FROM ra$i) WHERE rn % 2 = 1),
+         |rb$i AS (SELECT tok, pos, pos - row_number() OVER (PARTITION BY tok ORDER BY pos) AS grp
+         |         FROM m$i WHERE mtb),
+         |sb$i AS MATERIALIZED (
+         |  SELECT tok, pos FROM (
+         |    SELECT tok, pos, row_number() OVER (PARTITION BY tok, grp ORDER BY pos) AS rn
+         |    FROM rb$i) WHERE rn % 2 = 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT tok, freq, CAST(row_number() OVER (PARTITION BY tok ORDER BY opos) AS BIGINT) AS pos, sym
+         |  FROM (
+         |    SELECT m.tok, m.freq, m.pos AS opos,
+         |           CASE WHEN xa.pos IS NOT NULL THEN replace((SELECT pair FROM ta$i), ' ', '')
+         |                WHEN xb.pos IS NOT NULL THEN replace((SELECT pair FROM tb$i), ' ', '')
+         |                ELSE m.sym END AS sym
+         |    FROM m$i m
+         |      LEFT JOIN sa$i xa ON xa.tok = m.tok AND xa.pos = m.pos
+         |      LEFT JOIN sb$i xb ON xb.tok = m.tok AND xb.pos = m.pos
+         |      LEFT JOIN sa$i pa ON pa.tok = m.tok AND pa.pos = m.pos - 1
+         |      LEFT JOIN sb$i pb ON pb.tok = m.tok AND pb.pos = m.pos - 1
+         |    WHERE pa.pos IS NULL AND pb.pos IS NULL)),""".stripMargin
+    }.mkString("\n")
+    val steps = (1 to rounds).map { i =>
+      s"""SELECT ${2 * i - 1} AS step, pair, cnt FROM ta$i
+         |  UNION ALL SELECT ${2 * i}, pair, cnt FROM tb$i""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$bpeSeedSqlCtes
+       |$blocks
+       |fin AS (
+       |  $steps)
+       |SELECT CAST(step AS INT) AS step, pair, cnt FROM fin""".stripMargin
   }
 
   /** DuckDB twin of [[bpeVocab]]: the same unrolled chain, then the
@@ -621,20 +810,34 @@ object TextAnalysis {
     */
   private[functions] def bm25Rank(tf0: DataFrame, dl: DataFrame, stats: DataFrame,
                                   idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("tfn").desc, col(idCol).asc)
+    bm25Scored(tf0, dl, stats, idCol)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("term"), col("rnk"), col(idCol), col("bm25"))
+  }
+
+  /** The scored-but-unranked BM25 candidates (term, idCol, tfn, bm25) —
+    * the piece of [[bm25Rank]] below the rank window, exposed because the
+    * STREAMING serve ranks per micro-batch in a stateful group instead
+    * of a window (windows are unsupported on streams):
+    * [[graft.streaming.StreamingOps.bm25TopKStream]] joins a query-term
+    * stream against exactly this frame, so the two serves can never
+    * diverge on score arithmetic.
+    */
+  private[graft] def bm25Scored(tf0: DataFrame, dl: DataFrame, stats: DataFrame,
+                                idCol: String): DataFrame = {
     // tf feeds scoring AND the df aggregation → persist
     val tf = tf0.persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tfn = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val w = Window.partitionBy(col("term")).orderBy(col("tfn").desc, col(idCol).asc)
     tf.join(dl, Seq(idCol))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("tfn", tfn)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("term"), col("rnk"), col(idCol), round(idf * col("tfn"), 4).as("bm25"))
+      .select(col("term"), col(idCol), col("tfn"), round(idf * col("tfn"), 4).as("bm25"))
   }
 
   /** Registered BM25 query workload: three head terms plus the one rare
@@ -1237,6 +1440,10 @@ object TextAnalysis {
     QueryDef("bigram_logprob", (s, dir) => bigramLogprob(Tables.documents(s, dir), "doc_id", "text"), Some(bigramLogprobSql)),
     QueryDef("bpe_merge_pairs", (s, dir) => bpeMergePairs(Tables.documents(s, dir), "text", 20), Some(bpeMergePairsSql)),
     QueryDef("bpe_merges_k4", (s, dir) => bpeTrain(Tables.documents(s, dir), "text", 4), Some(bpeTrainSqlFor(4))),
+    // the production trainer shape: 2 rounds × 2 compatible merges —
+    // driver round-trips halve; the oracle unrolls the batched selection
+    // (top pair + top compatible pair) and simultaneous application
+    QueryDef("bpe_merges_k4_batched", (s, dir) => bpeTrainBatched(Tables.documents(s, dir), "text", 4, 2), Some(bpeTrainBatchedB2SqlFor(2))),
     QueryDef("bpe_vocab_k4", (s, dir) => bpeVocab(Tables.documents(s, dir), "text", 4, 30), Some(bpeVocabSqlFor(4, 30))),
     QueryDef("bpe_encode_k4",
       (s, dir) => bpeEncodeStats(Tables.documents(s, dir), "doc_id", "text", 4),

@@ -660,6 +660,56 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  case class Bm25Hit(term: String, rnk: Long, doc_id: Long, bm25: Double)
+  case class Bm25Served(served: Boolean)
+
+  /** Streaming BM25 serve — retrieval QUERIES as the live side, the
+    * staged postings index as the static side: a stream of query terms
+    * joins (stream-static, stateless) against the scored candidate frame
+    * off the store ([[graft.functions.SigIndex.bm25ScoredStatic]] — the
+    * same store read and score arithmetic as the batch serve), and the
+    * per-term top-k is ranked per micro-batch in a
+    * `flatMapGroupsWithState` group, because rank windows are
+    * unsupported on streams (the countTrigger pattern: bare
+    * `flatMapGroups` is unsupported too, so the stateful API is the
+    * vehicle even where little state is needed). The one bit of state
+    * per term makes the serve IDEMPOTENT: a redelivered query term
+    * re-emits nothing — at-least-once upstream delivery cannot
+    * duplicate a ranking (spec-asserted).
+    *
+    * The stream-static join keys every batch by `term`, so each arriving
+    * query sees exactly its own postings; candidates for one term always
+    * land in that term's group in the same micro-batch, which is why
+    * per-batch ranking equals the batch serve's window
+    * (StreamingSpec-asserted bit-for-bit against [[graft.functions
+    * .SigIndex.bm25TopKStaged]]).
+    *
+    * Scale shape: per batch the static side is pruned by the workload
+    * vocabulary at the SCAN (term-sorted store, pushed In(term)); state
+    * is one boolean per distinct term ever queried — vocabulary-bounded,
+    * never corpus-bounded.
+    */
+  def bm25TopKStream(queries: DataFrame, scoredStatic: DataFrame,
+                     k: Int): Dataset[Bm25Hit] = {
+    import queries.sparkSession.implicits._
+    queries.select(col("term"))
+      .join(scoredStatic, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tfn"), col("bm25"))
+      .as[(String, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (term: String, rows: Iterator[(String, Long, Double, Double)],
+         state: GroupState[Bm25Served]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(Bm25Served(true))
+            // tfn desc, doc_id asc — the batch serve's exact window order
+            rows.toSeq.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex.iterator
+              .map { case ((_, d, _, s), i) => Bm25Hit(term, i + 1L, d, s) }
+          }
+        })
+  }
+
   case class RetentionHit(cohort_day: Long, day_offset: Long, user_id: Long)
   case class RetentionState(cohortDayS: Long, lastDayS: Long)
 

@@ -299,6 +299,49 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sampled IVF training: rule thresholds, and half-corpus Lloyd keeps clustered recall") {
+    import spark.implicits._
+    // the sampling rule: full-corpus training (mod 1) at every oracle
+    // gate (500 vecs, 23 cells) and at sf1 (20 k, 141); first activates
+    // at the sf10 geometry (200 k, 447 cells → mod 3, ~1/3 slice)
+    assert(Similarity.ivfTrainSampleModFor(500, Similarity.ivfCellsFor(500)) === 1L)
+    assert(Similarity.ivfTrainSampleModFor(20000, Similarity.ivfCellsFor(20000)) === 1L)
+    assert(Similarity.ivfTrainSampleModFor(200000, Similarity.ivfCellsFor(200000)) === 3L)
+    // linear asymptotics: sample size n/mod ≈ perCell·cells, so work per
+    // Lloyd iter ≈ perCell·cells² = perCell·n
+    val bigMod = Similarity.ivfTrainSampleModFor(100000000L, 4096)
+    assert(bigMod === 100000000L / (4096L * 128))
+    assert(Similarity.ivfTrainSlice((1L to 10L).map(i => (i, Seq(1f))).toDF("vec_id", "embedding"),
+      "vec_id", 1L).count() === 10) // mod 1: the filter does not exist
+    // behavioral claim: centroids trained on a deterministic HALF slice
+    // still give high IVF recall on the clustered fixture — sampling
+    // costs training DATA, not index quality, when clusters are real
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- 0 until 8; i <- 0 until 40 } yield {
+      val v = centers(c).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      ((c * 40 + i).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qPred = col("vec_id") % 40 === 0
+    val cells = 8
+    val centFull = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells, 3).persist()
+    val centHalf = Similarity.ivfCentroids(
+      Similarity.ivfTrainSlice(emb, "vec_id", 2L), "vec_id", "embedding", cells, 3).persist()
+    def recallOf(cent: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.knnBrute(emb, emb.filter(qPred), "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Similarity.ivfSearch(emb, cent, qPred, "vec_id", "embedding", 5, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.count(brute.contains).toDouble / brute.size
+    }
+    val (rFull, rHalf) = (recallOf(centFull), recallOf(centHalf))
+    info(f"clustered recall@5: full-trained=$rFull%.2f half-trained=$rHalf%.2f")
+    assert(rHalf >= 0.8, f"half-sample-trained IVF recall $rHalf%.2f below 0.8")
+    spark.catalog.clearCache()
+  }
+
   test("pqKnn recall@5 >= 0.8 on clustered embeddings — the regime PQ compresses well") {
     // same mixture-of-Gaussians fixture as the sign-LSH clustered test:
     // on real (clustered) encoder embeddings, 8-byte PQ codes preserve
@@ -544,6 +587,45 @@ class DedupSimilaritySpec extends SparkSpec {
     val vocab = TextAnalysis.bpeVocab(d, "text", 4, 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(vocab === Seq(("ab", 2L), ("aaaa", 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("bpe batched trainer: batch=1 equals sequential; batch rules are compatible and replay-equal") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.001"
+    val d = Tables.documents(spark, dir)
+    // batch = 1 must reproduce the sequential trainer bit-for-bit — the
+    // batched loop's selection degenerates to top-1 per round
+    val seq4 = TextAnalysis.bpeTrain(d, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val b1 = TextAnalysis.bpeTrainBatched(d, "text", 4, 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(b1 === seq4, "batch=1 drifted from the sequential trainer")
+    // batch = 4: four merges in ONE round; every adopted pair must be
+    // pairwise compatible (no shared symbols, no merged-output capture)
+    val b4 = TextAnalysis.bpeTrainBatched(d, "text", 4, 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(b4.map(_._1) === Seq(1, 2, 3, 4))
+    val rules = b4.map { r => val Array(a, b) = r._2.split(" ", 2); (a, b) }
+    rules.indices.foreach { i =>
+      assert(TextAnalysis.bpeCompatible(rules.take(i), rules(i)._1, rules(i)._2),
+        s"rule ${rules(i)} incompatible with earlier rules in its round")
+    }
+    // the simultaneous one-pass application must equal replaying the
+    // same rules ONE AT A TIME through the sequential applicator —
+    // compatibility is exactly what makes the two orders agree
+    val seed = d.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(tok)), i -> substring(tok, CAST(i AS INT), 1))"))
+    def segs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("tok"), concat_ws("|", col("syms")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val oneShot = segs(TextAnalysis.bpeApplyMerges(seed, rules))
+    val replayed = segs(rules.foldLeft(seed)((v, r) =>
+      TextAnalysis.bpeApplyMerges(v, Seq(r))))
+    assert(oneShot === replayed, "simultaneous batch application diverged from sequential replay")
     spark.catalog.clearCache()
   }
 

@@ -744,4 +744,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size === 500, "every sf0.001 document must be encoded")
     spark.catalog.clearCache()
   }
+
+  test("streaming bm25 serve matches the staged batch top-k; redelivered terms do not re-emit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val terms = graft.functions.TextAnalysis.Bm25Terms
+    val batch = graft.functions.SigIndex.bm25TopKStaged(spark, dir, terms, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val scored = graft.functions.SigIndex.bm25ScoredStatic(spark, dir, terms)
+    val input = MemoryStream[String]
+    val q = StreamingOps.bm25TopKStream(input.toDF().select(col("value").as("term")),
+        scored, 5)
+      .writeStream.format("memory").queryName("bm25_out").outputMode("append").start()
+    try {
+      // queries arrive across two batches; then every term is REDELIVERED
+      // (at-least-once upstream) — the served-state bit must suppress
+      // duplicate rankings
+      val (h1, h2) = terms.splitAt(2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      input.addData(terms); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bm25_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === got.toSet.size && got.length === batch.size,
+      "redelivery must not duplicate any (term, rank) row")
+    assert(got.toSet === batch, "stream serve diverged from the staged batch serve")
+    spark.catalog.clearCache()
+  }
 }
