@@ -660,6 +660,73 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  case class AnnHit(q_id: Long, n_id: Long, cos_sim: Double, rank: Int)
+
+  /** Streaming ANN serve — [[bm25TopKStream]]'s vector sibling: a stream
+    * of query vectors searches the STAGED IVF index
+    * ([[graft.functions.AnnIndex.stageOnce]]) with zero training lineage
+    * in the streaming plan. The batch serve's nprobe-cell probe is a
+    * rank WINDOW over (query × centroid) scores — unsupported on
+    * streams — so here the probe is computed entirely in EXPRESSIONS:
+    * the ≤4096-row centroid table aggregates to ONE static row holding
+    * an array<struct<cell, cv, cnrm>>, the stream cross-joins that
+    * 1-row broadcast, and per query `slice(array_sort(transform(...)),
+    * 1, nprobe)` picks the nprobe nearest cells — struct sort on
+    * (−sim, cell) reproduces the batch window's (sim desc, cell asc)
+    * tie-break exactly. Candidates then come from a stream-static
+    * equi-join against the stored postings on the probed cell, and the
+    * per-query top-k ranks per micro-batch in `flatMapGroupsWithState`
+    * (sort by cs desc / n_id asc — the batch serve's window order),
+    * with one bit of served-state per q_id making redelivery idempotent
+    * (StreamingSpec pins stream ≡ [[graft.functions.AnnIndex
+    * .knnIvfStaged]] bit-for-bit and redelivery-safe).
+    *
+    * Scale shape: per batch the static side reads only probed cells'
+    * postings (hive-partitioned store); the centroid array is
+    * cells × dim floats ≈ 1 MB broadcast; state is one boolean per
+    * distinct query id — batch-bounded, never corpus-bounded.
+    */
+  def knnIvfStream(queries: DataFrame, centroids: DataFrame, postings: DataFrame,
+                   k: Int, nprobe: Int): Dataset[AnnHit] = {
+    import queries.sparkSession.implicits._
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val dot = graft.functions.Similarity.dot _
+    val centArr = centroids
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+      .agg(collect_list(struct(col("cell").cast("long").as("cell"), col("cv"),
+        col("cnrm"))).as("cents"))
+    val qn = graft.functions.Similarity.withNorm(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val probed = qn.crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("vq"), col("nq"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-dot(col("vq"), c.getField("cv")) / (col("nq") * c.getField("cnrm")))
+            .as("negsim"), c.getField("cell").as("cell")))), 1, nprobe)).as("pr"))
+      .select(col("q_id"), col("vq"), col("nq"), col("pr.cell").as("cell"))
+    val cn = graft.functions.Similarity.withNorm(
+        postings.withColumn("cell", col("cell").cast("long")),
+        "vec_id", "embedding", passthrough = Seq("cell"))
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
+    probed.join(cn, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (q: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Bm25Served]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(Bm25Served(true))
+            rows.toSeq.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex.iterator
+              .map { case ((_, n, cs), i) =>
+                // HALF_UP to match Spark's round(cs, 4) in the batch serve
+                AnnHit(q, n, BigDecimal(cs)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1) }
+          }
+        })
+  }
+
   case class Bm25Hit(term: String, rnk: Long, doc_id: Long, bm25: Double)
   case class Bm25Served(served: Boolean)
 

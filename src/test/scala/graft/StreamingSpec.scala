@@ -745,6 +745,37 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming ANN serve matches the staged batch IVF top-k; redelivered queries do not re-emit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.functions.AnnIndex.stageOnce(spark, dir)
+    val batch = graft.functions.AnnIndex.knnIvfStaged(spark, dir, col("vec_id") < 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val qVecs = graft.engine.Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.knnIvfStream(
+        input.toDF().toDF("vec_id", "embedding"),
+        spark.read.parquet(s"$base/ivf_centroids"),
+        spark.read.parquet(s"$base/ivf_postings"),
+        5, graft.functions.AnnIndex.Nprobe)
+      .writeStream.format("memory").queryName("ann_out").outputMode("append").start()
+    try {
+      val (h1, h2) = qVecs.splitAt(4)
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      input.addData(qVecs.toSeq); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    val got = spark.table("ann_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length === got.toSet.size && got.length === batch.size,
+      "redelivery must not duplicate any (query, rank) row")
+    assert(got.toSet === batch, "stream ANN serve diverged from the staged batch serve")
+    spark.catalog.clearCache()
+  }
+
   test("streaming bm25 serve matches the staged batch top-k; redelivered terms do not re-emit") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
