@@ -220,6 +220,32 @@ object SigIndex {
       "doc_id")
   }
 
+  /** Staged BPE tokenizer — the frozen-artifact deployment shape: the
+    * merge loop runs ONCE per (corpus revision, merge count) and the
+    * resulting distinct-token segmentation (tok, n_syms — vocabulary-
+    * sized, kilobytes) persists to the warehouse; every encode pass —
+    * batch stats, the streaming encode twin, a training-data token
+    * budget — then joins the store instead of re-running the trainer.
+    * This is how tokenizers actually deploy: trained out-of-band,
+    * shipped as an immutable artifact, revised only with the corpus.
+    */
+  def stageBpe(spark: SparkSession, dir: String, merges: Int = 4): String =
+    buildOnce(spark, storePath(spark, dir, "bpe", s"m${merges}_r1"), "_GRAFT_BPE_OK") { base =>
+      TextAnalysis.bpeSegmentation(Tables.documents(spark, dir), "text", merges)
+        .write.mode("overwrite").parquet(s"$base/segmentation")
+    }
+
+  /** Per-doc encode stats served from the staged tokenizer — the
+    * training loop exists only at staging time; the serve is one
+    * explode + join + per-doc aggregate. Deterministic segmentation ⇒
+    * shares the inline `bpe_encode_k4` oracle unchanged.
+    */
+  def bpeEncodeStaged(spark: SparkSession, dir: String, merges: Int = 4): DataFrame = {
+    val base = stageBpe(spark, dir, merges)
+    TextAnalysis.bpeEncodeStatsFromSeg(Tables.documents(spark, dir), "doc_id", "text",
+      spark.read.parquet(s"$base/segmentation"))
+  }
+
   def stageOnce(spark: SparkSession, dir: String): String =
     buildOnce(spark, basePath(spark, dir), "_GRAFT_SIG_OK") { base =>
       val docs = Tables.documents(spark, dir)
@@ -372,5 +398,9 @@ object SigIndex {
       "bm25_topk_staged",
       (s, dir) => bm25TopKStaged(s, dir, TextAnalysis.Bm25Terms, 5),
       Some(TextAnalysis.bm25TopKSqlFor(TextAnalysis.Bm25Terms, 5))),
+    QueryDef(
+      "bpe_encode_k4_staged",
+      (s, dir) => bpeEncodeStaged(s, dir, 4),
+      Some(TextAnalysis.bpeEncodeStatsSqlFor(4))),
   )
 }

@@ -345,7 +345,7 @@ object Similarity {
     * combines map-side to one row per vector before any exchange
     * (measured 8.2 s → expected ~knn_ivf-level at sf1 auto geometry).
     */
-  private[functions] def assignCells(emb: DataFrame, centroids: DataFrame,
+  private[graft] def assignCells(emb: DataFrame, centroids: DataFrame,
                                      idCol: String, vecCol: String): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
     val e = withNorm(emb, idCol, vecCol)
@@ -745,7 +745,7 @@ object Similarity {
   /** Per-(vector, subspace) slices for product quantization: subspace m
     * carries dimensions [m·subDim, (m+1)·subDim).
     */
-  private[functions] def pqSubVectors(emb: DataFrame, idCol: String, vecCol: String,
+  private[graft] def pqSubVectors(emb: DataFrame, idCol: String, vecCol: String,
                                       numSub: Int, subDim: Int): DataFrame =
     emb.select(col(idCol),
       posexplode(array((0 until numSub).map(m => slice(col(vecCol), m * subDim + 1, subDim)): _*))
@@ -756,7 +756,7 @@ object Similarity {
     * window sort. The distance is the explicit |x|² − 2·x·c + |c|²
     * expansion so both engines evaluate the identical double arithmetic.
     */
-  private[functions] def pqAssign(sub: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
+  private[graft] def pqAssign(sub: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
     val dist = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
       dot(col("cv"), col("cv"))
     sub.join(broadcast(codebook), Seq("m"))

@@ -656,11 +656,20 @@ object TextAnalysis {
   }
 
   def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
-                     merges: Int): DataFrame = {
+                     merges: Int): DataFrame =
+    bpeEncodeStatsFromSeg(docs, idCol, textCol, bpeSegmentation(docs, textCol, merges))
+
+  /** The encode pass over an ALREADY-BUILT (tok, n_syms) segmentation —
+    * shared by the inline [[bpeEncodeStats]] (which trains in-query) and
+    * the staged serve ([[SigIndex.bpeEncodeStaged]], segmentation off
+    * the tokenizer store), so the two can never diverge on the join or
+    * the stats arithmetic.
+    */
+  private[graft] def bpeEncodeStatsFromSeg(docs: DataFrame, idCol: String,
+                                           textCol: String, seg: DataFrame): DataFrame = {
     val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
-    val vt = bpeSegmentation(docs, textCol, merges)
-      .select(col("tok").as("v_tok"), col("n_syms"))
+    val vt = seg.select(col("tok").as("v_tok"), col("n_syms"))
     words.join(vt, col("tok") === col("v_tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),

@@ -727,6 +727,58 @@ object StreamingOps {
         })
   }
 
+  /** Streaming ANN INGEST — the live half of [[graft.functions.AnnIndex
+    * .appendToIndex]]: new vectors arriving on a stream are encoded
+    * against the STORED index artifacts (nearest stored centroid; PQ
+    * codes against the stored codebooks) with zero retraining and zero
+    * state — pure stream-static joins plus per-row expressions, exactly
+    * the per-batch cost a live ingest pays. The batch append's
+    * `assignCells` argmax is a groupBy aggregation (stateful on a
+    * stream), so the argmax here is the [[knnIvfStream]] expression
+    * trick instead: centroids aggregate to a 1-row array and
+    * `array_sort(transform(...))[1]` picks max-sim/lowest-cell — the
+    * identical winner (spec-asserted equal to the batch delta contents
+    * row-for-row).
+    */
+  def ivfAssignStream(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val dot = graft.functions.Similarity.dot _
+    val centArr = centroids
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+      .agg(collect_list(struct(col("cell").cast("long").as("cell"), col("cv"),
+        col("cnrm"))).as("cents"))
+    graft.functions.Similarity.withNorm(vectors, "vec_id", "embedding")
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("v").as("embedding"),
+        element_at(array_sort(transform(col("cents"), c =>
+          struct((-dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm")))
+            .as("negsim"), c.getField("cell").as("cell")))), 1).getField("cell").as("cell"))
+  }
+
+  /** PQ encode of a vector stream against the STORED codebooks — the
+    * codes half of the streaming ingest (see [[ivfAssignStream]]).
+    * Per-(row, subspace) argmin over the per-m codebook array; the
+    * distance is the same |x|² − 2·x·c + |c|² expansion as the batch
+    * [[graft.functions.Similarity.pqAssign]], and struct sort on
+    * (dist, code) is its min(struct(dist, code)) tie-break.
+    */
+  def pqAssignStream(vectors: DataFrame, codebook: DataFrame,
+                     numSub: Int, subDim: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val dot = graft.functions.Similarity.dot _
+    val cbArr = codebook.groupBy(col("m"))
+      .agg(collect_list(struct(col("code"), col("cv"))).as("codes"))
+    val sub = vectors.select(col("vec_id"),
+      posexplode(array((0 until numSub).map(m =>
+        slice(col("embedding"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+    sub.join(broadcast(cbArr), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        element_at(array_sort(transform(col("codes"), c =>
+          struct((dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), c.getField("cv")) +
+            dot(c.getField("cv"), c.getField("cv"))).as("dist"),
+            c.getField("code").as("code")))), 1).getField("code").as("code"))
+  }
+
   case class Bm25Hit(term: String, rnk: Long, doc_id: Long, bm25: Double)
   case class Bm25Served(served: Boolean)
 

@@ -644,6 +644,19 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("staged BPE tokenizer serve equals the inline encode bit-for-bit") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.001"
+    val inline = TextAnalysis.bpeEncodeStats(Tables.documents(spark, dir), "doc_id", "text", 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val staged = graft.functions.SigIndex.bpeEncodeStaged(spark, dir, 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(staged === inline, "tokenizer-store serve diverged from the inline trainer")
+    spark.catalog.clearCache()
+  }
+
   test("bpe encode on real docs: every doc encoded, token count between words and chars") {
     import graft.engine.Tables
     val dir = "/root/testdata/sf0.001"

@@ -776,6 +776,45 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming ANN ingest encodes new vectors exactly like the batch append") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.functions.{AnnIndex, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val base = AnnIndex.stageIncrBase(spark, dir)
+    val centStored = spark.read.parquet(s"$base/ivf_centroids")
+    val cbStored = spark.read.parquet(s"$base/pq_codebook")
+    val batchVecs = graft.engine.Tables.embeddings(spark, dir)
+      .filter(AnnIndex.incrNewPred)
+    // the batch append's exact artifacts for the same ingest batch
+    val batchCells = Similarity.assignCells(batchVecs, centStored, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val batchCodes = Similarity.pqAssign(
+        Similarity.pqSubVectors(batchVecs, "vec_id", "embedding", 8, 8), cbStored, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val fed = batchVecs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val q1 = StreamingOps.ivfAssignStream(vecs, centStored)
+      .select(col("vec_id"), col("cell"))
+      .writeStream.format("memory").queryName("ingest_cells").outputMode("append").start()
+    val q2 = StreamingOps.pqAssignStream(vecs, cbStored, 8, 8)
+      .writeStream.format("memory").queryName("ingest_codes").outputMode("append").start()
+    try {
+      val (h1, h2) = fed.splitAt(fed.length / 2)
+      input.addData(h1.toSeq); q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(h2.toSeq); q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    val gotCells = spark.table("ingest_cells")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotCodes = spark.table("ingest_codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(gotCells === batchCells, "streaming cell assignment diverged from the batch append")
+    assert(gotCodes === batchCodes, "streaming PQ codes diverged from the batch append")
+    spark.catalog.clearCache()
+  }
+
   test("streaming bm25 serve matches the staged batch top-k; redelivered terms do not re-emit") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
