@@ -197,4 +197,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keys === SparkEntry.queries.keySet && !sf1.contains("EXPLAIN FAILED"),
       "PLANS_sf1.txt drifted from the registry — re-run graft.ScaleUp + graft.Explain data/sf1 PLANS_sf1.txt")
   }
+
+  test("PLANS_sf10.txt (when present) covers the registry; strategy selection degrades with scale") {
+    // third-decade audit artifact (data/sf10 via graft.ScaleUp ×100).
+    // Beyond registry coverage it pins the de-hinting CONTRACT: with
+    // broadcast hints restricted to fixed-cardinality frames, growing
+    // sides must shift from broadcast to shuffle joins as data scales —
+    // the plan census below (more SortMergeJoin, fewer
+    // BroadcastHashJoin than the sf0.001 artifact) is that behavior,
+    // measured, not assumed (measured counts: SMJ 66 → 354, BHJ
+    // 585 → 297 across sf0.001 → sf10).
+    val p = java.nio.file.Paths.get("PLANS_sf10.txt")
+    assume(java.nio.file.Files.exists(p), "PLANS_sf10.txt not present — skipping")
+    val sf10 = java.nio.file.Files.readString(p)
+    val keys = "(?m)^== (\\S+)$".r.findAllMatchIn(sf10).map(_.group(1)).toSet
+    assert(keys === SparkEntry.queries.keySet && !sf10.contains("EXPLAIN FAILED"),
+      "PLANS_sf10.txt drifted from the registry — re-run graft.ScaleUp ×100 + graft.Explain data/sf10 PLANS_sf10.txt")
+    val tiny = java.nio.file.Files.readString(java.nio.file.Paths.get("PLANS.txt"))
+    def cnt(s: String, m: String) = m.r.findAllMatchIn(s).size
+    assert(cnt(sf10, "SortMergeJoin") > cnt(tiny, "SortMergeJoin"),
+      "sf10 plans should carry MORE shuffle joins than gate-scale plans")
+    assert(cnt(sf10, "BroadcastHashJoin") < cnt(tiny, "BroadcastHashJoin"),
+      "sf10 plans should carry FEWER broadcast joins than gate-scale plans")
+  }
 }
