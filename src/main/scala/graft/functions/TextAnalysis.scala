@@ -1453,6 +1453,10 @@ object TextAnalysis {
     // driver round-trips halve; the oracle unrolls the batched selection
     // (top pair + top compatible pair) and simultaneous application
     QueryDef("bpe_merges_k4_batched", (s, dir) => bpeTrainBatched(Tables.documents(s, dir), "text", 4, 2), Some(bpeTrainBatchedB2SqlFor(2))),
+    // deeper batched unroll (4 rounds × 2): later rounds select over
+    // symbols minted by earlier BATCHES — the oracle proves the batched
+    // selection/application loop cross-engine past the first iteration
+    QueryDef("bpe_merges_k8_batched", (s, dir) => bpeTrainBatched(Tables.documents(s, dir), "text", 8, 2), Some(bpeTrainBatchedB2SqlFor(4))),
     QueryDef("bpe_vocab_k4", (s, dir) => bpeVocab(Tables.documents(s, dir), "text", 4, 30), Some(bpeVocabSqlFor(4, 30))),
     QueryDef("bpe_encode_k4",
       (s, dir) => bpeEncodeStats(Tables.documents(s, dir), "doc_id", "text", 4),
