@@ -682,20 +682,34 @@ object Dedup {
   /** Candidate band self-join + exact cosine scoring over any (id, band,
     * key) bucket table and normalized-vector frame — shared by the inline
     * [[embeddingLshPairs]] and the staged bucket-store serve.
+    *
+    * Plan shape (round-11 rewrite, measured at the sf10 decade):
+    * vectors attach to the band rows BEFORE the self-join, so scoring
+    * and thresholding run inside the self-join's stage and the pair
+    * stream never re-shuffles. The old shape deduped the ~Σ|bucket|²
+    * candidate pairs first and then joined vectors on twice — the
+    * second attachment shuffled every candidate row already carrying a
+    * 64-float vector (~3 GB at sf10's ~10 M candidates), three pair-
+    * stream shuffles in all. Here the only candidate-volume cost is
+    * re-scoring the (rare) pairs that collide in several bands — 64
+    * codegen flops each — and the distinct collapses the tiny
+    * above-threshold survivor set instead of the full candidate set.
+    * Output is the identical pair set (cosine per pair is
+    * deterministic), so oracles and gate hashes are unchanged.
     */
   private[functions] def embLshScore(bands: DataFrame, n: DataFrame, idCol: String,
                                      threshold: Double): DataFrame = {
-    val cand = bands.select(col(idCol).as("vec_a"), col("band"), col("key"))
-      .join(bands.select(col(idCol).as("vec_b"), col("band").as("band_b"), col("key").as("key_b")),
-        col("band") === col("band_b") && col("key") === col("key_b") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .distinct()
-    val x = n.select(col(idCol).as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val y = n.select(col(idCol).as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val wide = bands.join(n.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
+    val x = wide.select(col(idCol).as("vec_a"), col("band"), col("key"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = wide.select(col(idCol).as("vec_b"), col("band").as("band_b"),
+      col("key").as("key_b"), col("v").as("vb"), col("nrm").as("nb"))
     val cos = Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    cand.join(x, Seq("vec_a")).join(y, Seq("vec_b"))
+    x.join(y, col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("vec_a") < col("vec_b"))
       .filter(cos >= threshold)
       .select(col("vec_a"), col("vec_b"), round(cos, 4).as("cos_sim"))
+      .distinct()
   }
 
   /** DuckDB twin of [[embeddingLshPairs]] at any band geometry: the
