@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -433,13 +433,18 @@ object StreamingOps {
     * Output: one (doc_a = new, doc_b = staged, split_a, split_b) row per
     * offending cross-split pair.
     */
-  def splitLeakageStream(docs: DataFrame, idCol: String, textCol: String,
-                         tsCol: String, delay: String,
-                         corpusBands: DataFrame, corpusSplits: DataFrame,
-                         numHashes: Int = 8, rowsPerBand: Int = 2,
-                         width: Int = 8, stride: Int = 4): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
-    val numBands = numHashes / rowsPerBand
+  /** Per-row MinHash signatures for a STREAMING document frame: a
+    * document's shingles live inside its own text column, so min-hashing
+    * is an `array_min` over in-row md5 digests — zero cross-row state
+    * where the batch path's `groupBy(doc)` would be a stateful
+    * aggregation. Identical values to [[graft.functions.Dedup
+    * .minhashSignatures]] by construction (min over the same shingle
+    * set, same digest slices). Output: (idCol, tsCol, mh_1..mh_n).
+    * Shared by [[splitLeakageStream]] and [[dedupIncrementalStream]].
+    */
+  private def inRowSignatures(docs: DataFrame, idCol: String, textCol: String,
+                              tsCol: String, delay: String, numHashes: Int,
+                              width: Int, stride: Int): DataFrame = {
     val dstride = if (numHashes == 1) 0 else math.max(1, (32 - 8) / (numHashes - 1))
     val uniq = docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCol)
     // in-row digests: one md5 per sampled shingle position, shared by all
@@ -454,16 +459,32 @@ object StreamingOps {
       array_min(transform(col("ds"),
         d => substring(d, (j - 1) * dstride + 1, 8))).as(s"mh_$j")
     }
-    val sigs = digests.select(col(idCol) +: col(tsCol) +: mh: _*)
-    // band composition mirrors Dedup.minhashBands: slot j pairs with
-    // j + numBands so band slices stay digest-disjoint
-    val bandStructs = (0 until numBands).map { b =>
+    digests.select(col(idCol) +: col(tsCol) +: mh: _*)
+  }
+
+  /** The (band, sig) struct array over mh_1..mh_n columns — band
+    * composition mirrors [[graft.functions.Dedup.minhashBands]]: slot j
+    * pairs with j + numBands so band slices stay digest-disjoint.
+    */
+  private def bandStructsOf(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    (0 until numBands).map { b =>
       val sig = concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"mh_${b + 1 + r * numBands}")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
+  }
+
+  def splitLeakageStream(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, delay: String,
+                         corpusBands: DataFrame, corpusSplits: DataFrame,
+                         numHashes: Int = 8, rowsPerBand: Int = 2,
+                         width: Int = 8, stride: Int = 4): DataFrame = {
+    val sigs = inRowSignatures(docs, idCol, textCol, tsCol, delay, numHashes, width, stride)
     val newBands = sigs
-      .select(col(idCol).as("doc_a"), col(tsCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol).as("doc_a"), col(tsCol),
+        explode(array(bandStructsOf(numHashes, rowsPerBand): _*)).as("bs"))
       .select(col("doc_a"), col(tsCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val ex = corpusBands.select(col(idCol).as("doc_b"),
       col("band").as("band_b"), col("sig").as("sig_b"))
@@ -478,6 +499,70 @@ object StreamingOps {
       .join(sb, Seq("doc_b"))
       .filter(col("split_a") =!= col("split_b"))
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+  }
+
+  case class IncrMatch(doc_new: Long, n_matches: Long, best_match: Long, best_jacc: Double)
+
+  /** Streaming incremental dedup — the LIVE ingest near-dup gate, the
+    * streaming twin of [[graft.functions.SigIndex.dedupIncrementalStaged]]:
+    * each arriving document is signed ROW-LOCALLY ([[inRowSignatures]] —
+    * identical values to the batch signature build), banded, and matched
+    * against the STORED corpus signature index (band index for
+    * candidates, signature table for est-Jaccard scoring — both static
+    * frames off [[graft.functions.SigIndex.stageOnce]]'s store). Per
+    * document the report is the batch operator's exact contract: match
+    * count, best-matching corpus doc (est desc, min-id tie-break), and
+    * the agreeing-slot similarity estimate — ranked per micro-batch in
+    * `flatMapGroupsWithState` (the per-key window restatement), with
+    * served-state making redelivery idempotent. Band-collision duplicate
+    * candidates collapse via `dropDuplicatesWithinWatermark` exactly
+    * like [[splitLeakageStream]].
+    *
+    * Scale shape: the corpus side is storage-resident and never
+    * reshuffles per batch; the stream pays one in-row signing + a
+    * band-keyed join per document — the honest per-document ingest
+    * cost, identical to what the staged batch serve pays per batch row.
+    */
+  def dedupIncrementalStream(docs: DataFrame, idCol: String, textCol: String,
+                             tsCol: String, delay: String,
+                             corpusSigs: DataFrame, corpusBands: DataFrame,
+                             threshold: Double = 0.5,
+                             numHashes: Int = 8, rowsPerBand: Int = 2,
+                             width: Int = 8, stride: Int = 4): Dataset[IncrMatch] = {
+    import docs.sparkSession.implicits._
+    val sigs = inRowSignatures(docs, idCol, textCol, tsCol, delay, numHashes, width, stride)
+    // carry the stream doc's signature through the band explode: a
+    // stream cannot re-join itself to fetch it back later
+    val mhCols = (1 to numHashes).map(j => col(s"mh_$j"))
+    val newBands = sigs
+      .select(col(idCol).as("doc_new") +: col(tsCol) +:
+        explode(array(bandStructsOf(numHashes, rowsPerBand): _*)).as("bs") +: mhCols: _*)
+    val ex = corpusBands.select(col(idCol).as("doc_ex"),
+      col("band").as("band_x"), col("sig").as("sig_x"))
+    val cand = newBands
+      .join(ex, col("bs.band") === col("band_x") && col("bs.sig") === col("sig_x"))
+      .select(col("doc_new") +: col(tsCol) +: col("doc_ex") +: mhCols: _*)
+      .dropDuplicatesWithinWatermark("doc_new", "doc_ex")
+    val b = corpusSigs.select(col(idCol).as("doc_ex") +:
+      (1 to numHashes).map(j => col(s"mh_$j").as(s"b_$j")): _*)
+    val agree = (1 to numHashes)
+      .map(j => when(col(s"mh_$j") === col(s"b_$j"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(b, Seq("doc_ex"))
+      .select(col("doc_new"), col("doc_ex"), (agree.cast("double") / numHashes).as("est"))
+      .filter(col("est") >= threshold)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (doc: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Bm25Served]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(Bm25Served(true))
+            val ms = rows.toSeq
+            // est desc, min-id tie-break — the batch window's exact order
+            val best = ms.minBy(r => (-r._3, r._2))
+            Iterator.single(IncrMatch(doc, ms.size.toLong, best._2, best._3))
+          }
+        })
   }
 
   case class FunnelEvent(user_id: Long, event_type: String, us: Long)

@@ -776,6 +776,42 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming incremental dedup matches the staged batch ingest report; redelivery-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.functions.SigIndex
+    val dir = "/root/testdata/sf0.001"
+    val newPred = pmod(col("doc_id"), lit(5L)) === 0L
+    val batch = SigIndex.dedupIncrementalStaged(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val base = SigIndex.stageOnce(spark, dir)
+    val corpusSigs = spark.read.parquet(s"$base/minhash_sigs").filter(!newPred)
+    val corpusBands = spark.read.parquet(s"$base/band_index").filter(!newPred)
+    val docs = graft.engine.Tables.documents(spark, dir).filter(newPred)
+    val baseTs = java.time.Instant.parse("2024-01-01T12:00:00Z")
+    val fed = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => StreamingOps.TimedDoc(r.getLong(0), r.getString(1),
+        java.sql.Timestamp.from(baseTs)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[StreamingOps.TimedDoc]
+    val q = StreamingOps.dedupIncrementalStream(
+        input.toDF(), "doc_id", "text", "ts", "10 seconds", corpusSigs, corpusBands)
+      .writeStream.format("memory").queryName("incr_out").outputMode("append").start()
+    try {
+      val (h1, h2) = fed.splitAt(fed.length / 2)
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      input.addData(fed.toSeq); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    val got = spark.table("incr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === got.toSet.size && got.length === batch.size,
+      "redelivery must not duplicate any ingest-report row")
+    assert(got.toSet === batch, "streaming ingest report diverged from the staged batch serve")
+    assert(batch.nonEmpty, "fixture must actually produce cross-batch matches")
+    spark.catalog.clearCache()
+  }
+
   test("streaming ANN ingest encodes new vectors exactly like the batch append") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
