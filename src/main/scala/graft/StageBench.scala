@@ -63,6 +63,8 @@ object StageBench {
     // ---- warm serves (store on disk; count() forces the full plan) ----
     timed("serve dedup_minhash_staged") { SigIndex.minhashPairsStaged(spark, sfDir).count() }
     timed("serve dedup_qa_staged") { SigIndex.dedupQaReportStaged(spark, sfDir).count() }
+    timed("serve dedup_ngram_sampled") { SigIndex.ngramJaccardStagedSampled(spark, sfDir).count() }
+    timed("serve dedup_contain_sampled") { SigIndex.ngramContainmentStagedSampled(spark, sfDir).count() }
     timed("serve emb_lsh_auto_staged") { SigIndex.embeddingLshAutoStaged(spark, sfDir).count() }
     timed("serve bm25_topk_staged") {
       SigIndex.bm25TopKStaged(spark, sfDir, TextAnalysis.Bm25Terms, 5).count()

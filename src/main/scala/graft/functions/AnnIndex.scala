@@ -710,6 +710,25 @@ object AnnIndex {
     * [[stageOnce]] — a one-time build earns better training. Returns
     * (index dir, cells).
     */
+  /** Below this cell count the final assignment pass stays the flat
+    * exact argmax ([[Similarity.assignCells]] — n × cells is cheap and
+    * the store fingerprint format is unchanged, so existing gate/sf1
+    * stores keep serving); at or above it the pass goes HIERARCHICAL
+    * ([[Similarity.assignCellsHier]]) — the fourth-decade fix for the
+    * one n·√n term the sf10 audit flagged. The rule first activates at
+    * sf10 (447 cells), exactly like the training-sample modulus.
+    */
+  val HierAssignMinCells = 256
+
+  /** Branches probed per vector by the hierarchical assignment: 8 of
+    * ~√cells branches probes a bounded slice of centroid space while
+    * keeping per-vector work at (1 + 8)·√cells sims. At gate geometry
+    * (23 cells → 5 branches) 8 >= branches, so the probe is exhaustive
+    * and provably equal to the flat argmax — but the gate never takes
+    * this path anyway ([[HierAssignMinCells]]).
+    */
+  val HierBranchProbe = 8
+
   def stageAuto(spark: SparkSession, dir: String): (String, Int) = {
     val emb = Tables.embeddings(spark, dir)
     VectorExpressions.register(spark)
@@ -718,18 +737,28 @@ object AnnIndex {
     // sampled Lloyd: training cost stays LINEAR in the corpus (the sf10
     // staging point measured the full-corpus √n-cell build super-linear —
     // 13.3 s → 417 s on 10× data); only the final assignment pass below
-    // touches every vector. mod = 1 (full corpus, unchanged oracle) at
-    // every gate scale and sf1; the mod lives in the directory
-    // fingerprint so a corpus crossing a sampling boundary rebuilds.
+    // touches every vector — hierarchically above HierAssignMinCells.
+    // mod = 1 (full corpus, unchanged oracle) at every gate scale and
+    // sf1; the mod — and the hierarchical-assignment geometry — live in
+    // the directory fingerprint so a corpus crossing a sampling or
+    // assignment boundary rebuilds instead of serving stale artifacts.
     val mod = Similarity.ivfTrainSampleModFor(n, cells)
+    val hier = cells >= HierAssignMinCells
+    val geom = if (hier)
+      s"auto_c${cells}i${Iters}m${mod}h${Similarity.hierBranchesFor(cells)}p${HierBranchProbe}r1"
+    else s"auto_c${cells}i${Iters}m${mod}r1"
     val path = Stores.buildOnce(spark,
-      Stores.storePath(spark, dir, "ann", s"auto_c${cells}i${Iters}m${mod}r1"),
+      Stores.storePath(spark, dir, "ann", geom),
       "_GRAFT_ANN_OK") { base =>
       val cent = Similarity.ivfCentroids(
         Similarity.ivfTrainSlice(emb, "vec_id", mod), "vec_id", "embedding", cells, Iters)
       cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
       val centStored = spark.read.parquet(s"$base/ivf_centroids")
-      Similarity.assignCells(emb, centStored, "vec_id", "embedding")
+      val assigned =
+        if (hier) Similarity.assignCellsHier(emb, centStored, "vec_id", "embedding",
+          Similarity.hierBranchesFor(cells), HierBranchProbe)
+        else Similarity.assignCells(emb, centStored, "vec_id", "embedding")
+      assigned
         .withColumn("cell", col("cell").cast("int"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
     }

@@ -534,9 +534,11 @@ object Dedup {
     * uses), so the expensive exact-truth side is bounded to ~500 docs BY
     * CONSTRUCTION at any corpus size; at the ≤500-doc oracle gates the
     * rule yields 1 and the plan — and hash — are unchanged. The staged
-    * serve (`dedup_qa_report_staged`) stays full-corpus: both of its
-    * sides come off stored artifacts, so there is no quadratic build to
-    * bound.
+    * serve (`dedup_qa_report_staged`) self-bounds with the SAME rule:
+    * its sides come off stored artifacts (no quadratic build), but the
+    * exact-truth pair SCAN is still quadratic in the slice, so the
+    * stored per-doc rows are filtered to the identical hash slice
+    * before serving ([[SigIndex.dedupQaReportStaged]]).
     */
   def dedupQaReport(docs: DataFrame, idCol: String, textCol: String,
                     sampleMod: Long = 1L): DataFrame = {

@@ -73,8 +73,16 @@ object SigIndex {
         .write.mode("overwrite").parquet(s"$base/shingles")
     }
 
-  private def storedShingles(spark: SparkSession, dir: String): DataFrame = {
+  private def storedShingles(spark: SparkSession, dir: String,
+                             sampleMod: Long = 1L): DataFrame = {
+    require(sampleMod >= 1, "storedShingles: sampleMod must be >= 1")
     val base = stageShingles(spark, dir)
+    val raw = spark.read.parquet(s"$base/shingles")
+    // The deterministic doc slice ([[Dedup.embQaSampleModFor]] rule)
+    // applies BEFORE the re-shard so the shuffle moves only slice rows;
+    // mod = 1 leaves the plan filter-free (gate/oracle plans unchanged).
+    val sliced = if (sampleMod == 1) raw
+      else raw.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
     // The store compresses to a handful of file splits, so a bare read
     // plans 1-2 scan partitions — and every downstream join probe then
     // runs near-single-threaded (measured 22 s vs 12 s INLINE at sf1:
@@ -86,8 +94,18 @@ object SigIndex {
     // probes, and hash-on-sh is the layout the df-cap aggregate
     // consumes without a further exchange.
     val parts = spark.sessionState.conf.numShufflePartitions
-    spark.read.parquet(s"$base/shingles").repartition(parts, col("sh"))
+    sliced.repartition(parts, col("sh"))
   }
+
+  /** Count-derived sample modulus for the SAMPLED exact-family serves:
+    * one metadata-only documents count → the [[Dedup.embQaSampleModFor]]
+    * rule (≈ n/500), so the slice — and therefore the quadratic exact
+    * pair work — is bounded to ~500 docs BY CONSTRUCTION at any corpus
+    * size, and equals 1 (filter-free plan, oracle unchanged) at the
+    * ≤500-doc gates.
+    */
+  private def docSampleMod(spark: SparkSession, dir: String): Long =
+    Dedup.embQaSampleModFor(Tables.documents(spark, dir).count())
 
   /** Exact n-gram Jaccard near-dup pairs served from the shingle store —
     * df-cap + inverted-index self-join straight off stored (doc_id, sh)
@@ -104,17 +122,58 @@ object SigIndex {
   def ngramContainmentStaged(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramContainmentFromShingles(storedShingles(spark, dir), "doc_id")
 
+  /** The SAMPLED production preset beside the exact [[ngramJaccardStaged]]
+    * baseline: the same df-cap + inverted-index serve off the shingle
+    * store, on a count-derived deterministic doc slice
+    * ([[docSampleMod]]) — a bounded exact-slice audit at ANY corpus size
+    * (the full-corpus exact serves are deliberate correctness baselines
+    * and scale quadratically in the duplicate structure; this is what a
+    * pipeline actually schedules per ingest batch at 100 TB). At the
+    * ≤500-doc gates the modulus is 1, the filter is absent from the
+    * plan, and the qkey shares the inline ngram oracle unchanged. A
+    * pair survives iff BOTH endpoints survive the slice — the unbiased
+    * pair-rate estimator contract of [[Dedup.dedupQaReport]].
+    */
+  def ngramJaccardStagedSampled(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardStagedMod(spark, dir, docSampleMod(spark, dir))
+
+  private[graft] def ngramJaccardStagedMod(spark: SparkSession, dir: String,
+                                           sampleMod: Long): DataFrame =
+    Dedup.ngramJaccardFromShingles(
+      storedShingles(spark, dir, sampleMod), "doc_id")
+
+  /** Sampled containment preset — see [[ngramJaccardStagedSampled]]. */
+  def ngramContainmentStagedSampled(spark: SparkSession, dir: String): DataFrame =
+    ngramContainmentStagedMod(spark, dir, docSampleMod(spark, dir))
+
+  private[graft] def ngramContainmentStagedMod(spark: SparkSession, dir: String,
+                                               sampleMod: Long): DataFrame =
+    Dedup.ngramContainmentFromShingles(
+      storedShingles(spark, dir, sampleMod), "doc_id")
+
   /** The LSH-vs-exact QA report with BOTH sides served from storage:
     * candidates from the minhash band index, ground truth from the
     * shingle store. The per-ingest-batch dedup health check at 100 TB —
     * the one report that deliberately runs the approximate AND the exact
     * path — without re-reading a byte of document text. Same oracle as
     * the inline dedup_qa_report.
+    *
+    * SELF-BOUNDING like its inline twin: both sides run on the same
+    * count-derived doc slice ([[docSampleMod]] — signatures, bands and
+    * shingles are per-doc, so filtering stored rows to the slice is
+    * exactly the inline operator's document filter), which bounds the
+    * quadratic exact-truth side to ~500 docs at any corpus size. mod = 1
+    * at the ≤500-doc gates keeps the plan filter-free and the oracle
+    * byte-identical.
     */
   def dedupQaReportStaged(spark: SparkSession, dir: String): DataFrame =
+    dedupQaReportStagedMod(spark, dir, docSampleMod(spark, dir))
+
+  private[graft] def dedupQaReportStagedMod(spark: SparkSession, dir: String,
+                                            sampleMod: Long): DataFrame =
     Dedup.qaReportFromPairs(
-      minhashPairsStaged(spark, dir),
-      ngramJaccardStaged(spark, dir))
+      minhashPairsStaged(spark, dir, sampleMod),
+      Dedup.ngramJaccardFromShingles(storedShingles(spark, dir, sampleMod), "doc_id"))
 
   /** Staged sign-LSH bucket index for embedding near-dup — the third
     * store: the corpus-sized band geometry ([[Dedup.lshBitsFor]], 8 bands
@@ -264,9 +323,16 @@ object SigIndex {
     * over (band, sig) rows already on disk. Bit-for-bit equal to the
     * inline [[Dedup.minhashLshPairs]] (same oracle).
     */
-  def minhashPairsStaged(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairsStaged(spark: SparkSession, dir: String,
+                         sampleMod: Long = 1L): DataFrame = {
+    require(sampleMod >= 1, "minhashPairsStaged: sampleMod must be >= 1")
     val base = stageOnce(spark, dir)
-    Dedup.pairsFromBands(spark.read.parquet(s"$base/band_index"), "doc_id")
+    val bands = spark.read.parquet(s"$base/band_index")
+    // band rows are per-doc, so a doc-slice filter here equals the inline
+    // operator's document filter (QA self-bounding); mod = 1 → no filter
+    val sliced = if (sampleMod == 1) bands
+      else bands.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+    Dedup.pairsFromBands(sliced, "doc_id")
   }
 
   /** Estimated-Jaccard scoring served ENTIRELY from the store: candidate
@@ -390,6 +456,14 @@ object SigIndex {
       "dedup_qa_report_staged",
       (s, dir) => dedupQaReportStaged(s, dir),
       Some(Dedup.dedupQaReportSql)),
+    QueryDef(
+      "dedup_ngram_staged_sampled",
+      (s, dir) => ngramJaccardStagedSampled(s, dir),
+      Some(Dedup.ngramJaccardSql)),
+    QueryDef(
+      "dedup_containment_staged_sampled",
+      (s, dir) => ngramContainmentStagedSampled(s, dir),
+      Some(Dedup.ngramContainmentSql)),
     QueryDef(
       "dedup_embedding_lsh_auto_staged",
       (s, dir) => embeddingLshAutoStaged(s, dir),

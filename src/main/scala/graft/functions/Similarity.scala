@@ -181,8 +181,14 @@ object Similarity {
     // scan is narrower than the session width: a corpus big enough to
     // have real splits keeps its layout and pays no shuffle.
     val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    // read the scan width off the INPUT, before withNorm: converting the
+    // derived frame to an RDD would force full physical planning of the
+    // projection lineage on every call just to read a partition count
+    // (ADVICE r11); the scan width is a property of the source layout and
+    // withNorm is a narrow projection, so the two counts are identical
+    val scanParts = emb.rdd.getNumPartitions
     val corpus0 = withNorm(emb, idCol, vecCol, passthrough = Seq(labelCol))
-    val corpus = (if (corpus0.rdd.getNumPartitions < parts)
+    val corpus = (if (scanParts < parts)
         corpus0.repartition(parts) else corpus0)
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"),
         col(labelCol).as("n_label"))
@@ -356,6 +362,83 @@ object Similarity {
       .agg(max(struct(col("sim"), (-col("cell")).as("neg_cell"))).as("best"),
         first(col("v")).as("v_keep"))
       .select(col(idCol), col("v_keep").as(vecCol), (-col("best.neg_cell")).as("cell"))
+  }
+
+  /** Hierarchical two-level nearest-centroid assignment — the
+    * fourth-decade lever for [[graft.functions.AnnIndex.stageAuto]]'s
+    * one remaining n·√n pass: the flat [[assignCells]] argmax scores
+    * every vector against every centroid (n × cells sims — fine through
+    * sf1, super-linear at corpus-sized geometry, measured the dominant
+    * term of the sf10 auto-IVF build). Here the CENTROID table itself is
+    * clustered once into `branches` ≈ √cells super-centroids (cells rows
+    * — trivially small), each vector scores only the branch table plus
+    * the centroids inside its `branchProbe` nearest branches:
+    * n · (√cells + p·√cells) sims ≈ n·cells^0.5 instead of n·cells —
+    * at cells = √n that is n^1.25 instead of n^1.5.
+    *
+    * Exactness contract: the probe is top-p branches by cosine
+    * (sim desc, branch asc — computed entirely in EXPRESSIONS over a
+    * 1-row broadcast branch array, the [[graft.streaming.StreamingOps
+    * .knnIvfStream]] trick: no shuffle before the final 1-row-per-vector
+    * argmax agg), so a vector whose true nearest centroid lives outside
+    * its probed branches lands on the best PROBED centroid — standard
+    * coarse-quantizer behavior, harmless for IVF cell assignment where
+    * query-time nprobe smooths boundary effects. When branchProbe >=
+    * branches the probe is exhaustive and the result is provably equal
+    * to [[assignCells]] (spec-pinned at the gate geometry, where the
+    * production rule IS exhaustive). Totality is unconditional: vectors
+    * whose probed branches somehow hold zero centroids (possible only in
+    * degenerate tie configurations) fall back to the exact argmax — an
+    * anti-join that is empty at runtime in every observed run.
+    *
+    * Tie-breaks mirror [[assignCells]] exactly: branch probe sorts
+    * struct(-sim, branch); final cell argmax is max(struct(sim,
+    * -cell)) = greatest sim, lowest cell.
+    */
+  private[graft] def assignCellsHier(emb: DataFrame, centroids: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     branches: Int,
+                                     branchProbe: Int): DataFrame = {
+    require(branches >= 1 && branchProbe >= 1,
+      "assignCellsHier: branches and branchProbe must be >= 1")
+    VectorExpressions.register(emb.sparkSession)
+    // level 1: cluster the centroids (tiny frame, 2 Lloyd iterations)
+    val cseed = centroids.select(col("cell").as("c_id"), col("cv").as("c_vec"))
+    val bcent = ivfCentroids(cseed, "c_id", "c_vec", branches, iters = 2)
+      .select(col("cell").as("branch"), col("cv").as("bv"))
+    // branch membership of each centroid: exact argmax over branches
+    val cb = assignCells(cseed,
+        bcent.select(col("branch").as("cell"), col("bv").as("cv")), "c_id", "c_vec")
+      .select(col("c_id").as("cell"), col("cell").as("branch"))
+    val cfull = centroids.join(broadcast(cb), Seq("cell"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    // level 2: per-vector top-p branch probe, expression-only
+    val bArr = bcent.withColumn("bnrm", sqrt(dot(col("bv"), col("bv"))))
+      .agg(collect_list(struct(col("branch"), col("bv"), col("bnrm"))).as("bs"))
+    val e = withNorm(emb, idCol, vecCol)
+    val probed = e.crossJoin(broadcast(bArr))
+      .select(col(idCol), col("v"), col("nrm"),
+        explode(slice(array_sort(transform(col("bs"), b =>
+          struct((-dot(col("v"), b.getField("bv")) / (col("nrm") * b.getField("bnrm")))
+            .as("negsim"), b.getField("branch").as("branch")))), 1, branchProbe)).as("pr"))
+      .select(col(idCol), col("v"), col("nrm"), col("pr.branch").as("branch"))
+    val assigned = probed.join(broadcast(cfull), Seq("branch"))
+      .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("cell")).as("neg_cell"))).as("best"),
+        first(col("v")).as("v_keep"))
+      .select(col(idCol), col("v_keep").as(vecCol), (-col("best.neg_cell")).as("cell"))
+    // totality fallback: exact argmax for any vector the probe dropped
+    val missing = emb.join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
+    assigned.unionByName(assignCells(missing, centroids, idCol, vecCol))
+  }
+
+  /** Branch count for [[assignCellsHier]]: √cells — balances the two
+    * probe terms (branch scan + within-branch scan) at ~√cells each.
+    */
+  def hierBranchesFor(cells: Int): Int = {
+    require(cells >= 1, "hierBranchesFor: cells must be >= 1")
+    math.ceil(math.sqrt(cells.toDouble)).toInt
   }
 
   /** √n cell sizing for IVF — the standard production rule: cells ≈ √n

@@ -430,7 +430,8 @@ object TextAnalysis {
     * exactly (spec-asserted both ways).
     */
   private def bpeLoopBatched(docs: DataFrame, textCol: String, merges: Int,
-                             batch: Int): (DataFrame, Seq[(Int, String, Long)]) = {
+                             batch: Int,
+                             prefix0: Int = 0): (DataFrame, Seq[(Int, String, Long)]) = {
     require(merges >= 1 && batch >= 1, "bpeTrainBatched: merges and batch must be >= 1")
     // checkpoint-per-round, same rationale as [[bpeLoop]]
     var vocab = bpeSeedVocab(docs, textCol).localCheckpoint()
@@ -440,18 +441,35 @@ object TextAnalysis {
     while (step <= merges && !exhausted) {
       val want = math.min(batch, merges - step + 1)
       // a generous ranked prefix: the greedy compatible scan almost never
-      // needs more than ~2× want candidates; if the prefix somehow
-      // exhausts before filling the batch, the round simply adopts fewer
-      // and the next round re-ranks — conservative, never wrong
-      val ranked = bpeRankedPairs(vocab, math.max(64, 8 * want)).collect()
-      if (ranked.isEmpty) exhausted = true
-      else {
+      // needs more than ~2× want candidates. If it DOES exhaust a
+      // truncated prefix before filling the batch (every prefix pair
+      // shares a symbol with an earlier selection), re-rank with a 4×
+      // larger limit instead of adopting fewer: the oracle's SQL scans
+      // the FULL pair table for each round's top compatible pairs, so
+      // adopting a short round off a truncated prefix would renumber
+      // steps and diverge (ADVICE r11). Only when the collected prefix
+      // is the WHOLE table (length < limit) is a short round genuinely
+      // "no more compatible pairs exist" — which is what the oracle
+      // computes too.
+      var limit = if (prefix0 >= 1) prefix0 else math.max(64, 8 * want)
+      var ranked = bpeRankedPairs(vocab, limit).collect()
+      def greedy(rs: Array[org.apache.spark.sql.Row]): Seq[(String, String, Long)] = {
         val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        for (r <- ranked if sel.size < want) {
+        for (r <- rs if sel.size < want) {
           val Array(a, b) = r.getString(0).split(" ", 2)
           if (bpeCompatible(sel.map(s => (s._1, s._2)).toSeq, a, b))
             sel += ((a, b, r.getLong(1)))
         }
+        sel.toSeq
+      }
+      var sel = greedy(ranked)
+      while (sel.size < want && ranked.length == limit && limit < Int.MaxValue) {
+        limit = if (limit > Int.MaxValue / 4) Int.MaxValue else limit * 4
+        ranked = bpeRankedPairs(vocab, limit).collect()
+        sel = greedy(ranked)
+      }
+      if (ranked.isEmpty) exhausted = true
+      else {
         val next = bpeApplyMerges(vocab, sel.map(s => (s._1, s._2)).toSeq).localCheckpoint()
         graft.engine.Scoped.unpersistCheckpoint(vocab)
         vocab = next
@@ -466,8 +484,20 @@ object TextAnalysis {
     * over [[bpeLoopBatched]].
     */
   def bpeTrainBatched(docs: DataFrame, textCol: String, merges: Int,
-                      batch: Int): DataFrame = {
-    val (vocab, adopted) = bpeLoopBatched(docs, textCol, merges, batch)
+                      batch: Int): DataFrame =
+    bpeTrainBatchedPrefix(docs, textCol, merges, batch, prefix0 = 0)
+
+  /** [[bpeTrainBatched]] with the INITIAL ranked-prefix limit exposed —
+    * the test seam for the escalating re-rank: prefix0 = 1 forces the
+    * truncated-prefix regime on any fixture (every round starts from a
+    * 1-pair prefix and must escalate to fill its batch), proving the
+    * adopted merges equal the generous-prefix run's bit-for-bit.
+    * prefix0 = 0 (production) starts at max(64, 8·want).
+    */
+  private[graft] def bpeTrainBatchedPrefix(docs: DataFrame, textCol: String,
+                                           merges: Int, batch: Int,
+                                           prefix0: Int): DataFrame = {
+    val (vocab, adopted) = bpeLoopBatched(docs, textCol, merges, batch, prefix0)
     graft.engine.Scoped.unpersistCheckpoint(vocab)
     import docs.sparkSession.implicits._
     adopted.toDF("step", "pair", "cnt")

@@ -1579,4 +1579,93 @@ class DedupSimilaritySpec extends SparkSpec {
     // 0.1f = 0.100000001490… → floor(100.0000014)=100; 0.2f → floor(200.0000029)=200
     assert(got("b") === ((1L, 50000L, 50000L, 50000L)))
   }
+
+  test("sampled staged serves equal the inline operators on the identical hash slice") {
+    import graft.engine.Tables
+    import graft.functions.SigIndex
+    val dir = "/root/testdata/sf0.01"
+    val d = Tables.documents(spark, dir)
+    val mod = 3L
+    // the inline twins on the same deterministic xxhash64 slice
+    val slice = d.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+    val jacSampled = SigIndex.ngramJaccardStagedMod(spark, dir, mod)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jacInline = Dedup.ngramJaccardPairs(slice, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(jacSampled === jacInline,
+      "sampled shingle-store serve drifted from the inline slice (jaccard)")
+    val conSampled = SigIndex.ngramContainmentStagedMod(spark, dir, mod)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val conInline = Dedup.ngramContainmentPairs(slice, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(conSampled === conInline,
+      "sampled shingle-store serve drifted from the inline slice (containment)")
+    // the self-bounding staged QA: both stored sides filtered to the SAME
+    // slice equals the inline report's document filter
+    val qaSampled = SigIndex.dedupQaReportStagedMod(spark, dir, mod).collect().head
+    val qaInline = Dedup.dedupQaReport(d, "doc_id", "text", mod).collect().head
+    assert(qaSampled.toSeq === qaInline.toSeq,
+      "sampled staged QA report drifted from the inline sampled twin")
+    // at the <=500-doc gate the count-derived modulus is 1 — the
+    // registered sampled preset IS the exact staged serve there (shared
+    // oracle by construction)
+    val jacGate = SigIndex.ngramJaccardStagedSampled(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jacExact = SigIndex.ngramJaccardStaged(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(jacGate === jacExact, "gate-scale sampled preset must equal the exact serve")
+    spark.catalog.clearCache()
+  }
+
+  test("hierarchical cell assignment: exhaustive probe equals flat argmax; restricted probe is total") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val cells = Similarity.ivfCellsFor(emb.count())
+    val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells, iters = 1)
+      .localCheckpoint()
+    val exact = Similarity.assignCells(emb, cent, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // probe >= branches: the branch scan is exhaustive, so the
+    // hierarchical result is PROVABLY the flat argmax (identical
+    // tie-breaks) — this is the gate-geometry regime
+    val exhaustive = Similarity.assignCellsHier(emb, cent, "vec_id", "embedding",
+        branches = Similarity.hierBranchesFor(cells), branchProbe = cells)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(exhaustive === exact,
+      "exhaustive-probe hierarchical assignment diverged from the flat argmax")
+    // restricted probe (the sf10 production regime, p < branches):
+    // every vector must still be assigned EXACTLY once, and the
+    // deterministic agreement with the flat argmax stays high — probing
+    // 2 of ~sqrt(cells) branches finds the true cell for the bulk of
+    // vectors, boundary cases land on the best probed centroid
+    val restricted = Similarity.assignCellsHier(emb, cent, "vec_id", "embedding",
+        branches = Similarity.hierBranchesFor(cells), branchProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(restricted.keySet === exact.keySet,
+      "restricted-probe assignment must be total: every vector assigned exactly once")
+    val agree = exact.count { case (id, c) => restricted(id) == c }.toDouble / exact.size
+    info(f"restricted-probe (p=2) agreement with flat argmax: $agree%.3f")
+    assert(agree >= 0.6, s"agreement $agree collapsed — probe geometry broken")
+    spark.catalog.clearCache()
+  }
+
+  test("bpe batched trainer: a starved ranked prefix escalates instead of adopting fewer") {
+    import graft.engine.Tables
+    val dir = "/root/testdata/sf0.001"
+    val d = Tables.documents(spark, dir)
+    // prefix0 = 1 starts every round from a ONE-pair prefix: the greedy
+    // scan can never fill batch=2 from it, forcing the escalating
+    // re-rank loop (4x per step) on every single round. The adopted
+    // merge sequence must be bit-for-bit the generous-prefix run's —
+    // the oracle scans the FULL pair table, so a short round off a
+    // truncated prefix would renumber steps and diverge (ADVICE r11)
+    val generous = TextAnalysis.bpeTrainBatched(d, "text", 8, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val starved = TextAnalysis.bpeTrainBatchedPrefix(d, "text", 8, 2, prefix0 = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(starved === generous,
+      "escalating re-rank must reproduce the generous-prefix adoption exactly")
+    spark.catalog.clearCache()
+  }
 }

@@ -760,7 +760,7 @@ class StreamingSpec extends SparkSpec {
         input.toDF().toDF("vec_id", "embedding"),
         spark.read.parquet(s"$base/ivf_centroids"),
         spark.read.parquet(s"$base/ivf_postings"),
-        5, graft.functions.AnnIndex.Nprobe)
+        5, graft.functions.AnnIndex.Nprobe, servedTtl = None)
       .writeStream.format("memory").queryName("ann_out").outputMode("append").start()
     try {
       val (h1, h2) = qVecs.splitAt(4)
@@ -795,7 +795,8 @@ class StreamingSpec extends SparkSpec {
       .sortBy(_.doc_id)
     val input = MemoryStream[StreamingOps.TimedDoc]
     val q = StreamingOps.dedupIncrementalStream(
-        input.toDF(), "doc_id", "text", "ts", "10 seconds", corpusSigs, corpusBands)
+        input.toDF(), "doc_id", "text", "ts", "10 seconds", corpusSigs, corpusBands,
+        servedTtl = None)
       .writeStream.format("memory").queryName("incr_out").outputMode("append").start()
     try {
       val (h1, h2) = fed.splitAt(fed.length / 2)
@@ -861,7 +862,7 @@ class StreamingSpec extends SparkSpec {
     val scored = graft.functions.SigIndex.bm25ScoredStatic(spark, dir, terms)
     val input = MemoryStream[String]
     val q = StreamingOps.bm25TopKStream(input.toDF().select(col("value").as("term")),
-        scored, 5)
+        scored, 5, servedTtl = None)
       .writeStream.format("memory").queryName("bm25_out").outputMode("append").start()
     try {
       // queries arrive across two batches; then every term is REDELIVERED
@@ -877,6 +878,80 @@ class StreamingSpec extends SparkSpec {
     assert(got.length === got.toSet.size && got.length === batch.size,
       "redelivery must not duplicate any (term, rank) row")
     assert(got.toSet === batch, "stream serve diverged from the staged batch serve")
+    spark.catalog.clearCache()
+  }
+
+  test("bm25 stream: out-of-vocabulary query terms emit an observable sentinel, not silence") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val terms = graft.functions.TextAnalysis.Bm25Terms
+    val scored = graft.functions.SigIndex.bm25ScoredStatic(spark, dir, terms)
+    val input = MemoryStream[String]
+    val q = StreamingOps.bm25TopKStream(input.toDF().select(col("value").as("term")),
+        scored, 5, servedTtl = None)
+      .writeStream.format("memory").queryName("bm25_oov").outputMode("append").start()
+    try {
+      // one real workload term plus a term OUTSIDE the vocabulary the
+      // static frame was built for: the OOV term must NOT vanish (the
+      // inner-join shape made it indistinguishable from never-asked —
+      // ADVICE r11); it emits the rnk=0/doc_id=-1 sentinel instead
+      input.addData(Seq(terms.head, "zz_never_a_term"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bm25_oov")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val sentinel = got.filter(_._1 == "zz_never_a_term")
+    assert(sentinel.toSeq === Seq(("zz_never_a_term", 0L, -1L, 0.0)),
+      "OOV term must emit exactly one sentinel row")
+    val real = got.filter(_._1 == terms.head)
+    assert(real.nonEmpty && real.forall(_._2 >= 1L),
+      "real hits keep rnk >= 1 — the sentinel namespace never collides")
+    spark.catalog.clearCache()
+  }
+
+  test("served-once state expires: a repeat query AFTER the TTL window is served again") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val terms = graft.functions.TextAnalysis.Bm25Terms
+    val scored = graft.functions.SigIndex.bm25ScoredStatic(spark, dir, terms)
+    val input = MemoryStream[String]
+    // NOTE: with a ProcessingTimeTimeout TTL the engine re-batches
+    // continuously to fire pending timers, so processAllAvailable never
+    // settles — the spec POLLS the sink instead (production runs this
+    // under a ProcessingTime trigger)
+    val q = StreamingOps.bm25TopKStream(input.toDF().select(col("value").as("term")),
+        scored, 5, servedTtl = Some(java.time.Duration.ofMillis(100)))
+      .writeStream.format("memory").queryName("bm25_ttl").outputMode("append").start()
+    def await(minRows: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("bm25_ttl").filter(col("term") === terms.head).count() < minRows
+             && System.currentTimeMillis < deadline) Thread.sleep(100)
+    }
+    try {
+      input.addData(Seq(terms.head))
+      await(1)
+      val n1 = spark.table("bm25_ttl").filter(col("term") === terms.head).count()
+      assert(n1 >= 1, "first serve never arrived")
+      // wait out the TTL: the continuous timer batches fire the expired
+      // key's timeout and REMOVE its served-bit (bounded state — ADVICE
+      // r11: NoTimeout state grew with every key ever queried and
+      // suppressed legitimate repeats forever)
+      Thread.sleep(1000)
+      // the repeat query is OUTSIDE the redelivery window — served again
+      input.addData(Seq(terms.head))
+      await(2 * n1)
+    } finally q.stop()
+    val got = spark.table("bm25_ttl")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val first = got.filter(_._1 == terms.head)
+    // the term's full ranking appears TWICE (once per serve): every
+    // distinct row exactly two copies (order-independent — the memory
+    // sink interleaves batches)
+    assert(first.nonEmpty && first.length === 2 * first.toSet.size &&
+      first.groupBy(identity).values.forall(_.length == 2),
+      s"expected the ranking twice after TTL expiry, got ${first.length} rows")
     spark.catalog.clearCache()
   }
 }
