@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Dev-only same-session A/B for the two flattest-scaling TPC-H
+  * laggards the sf10 audit flagged (q21 20.4 s, q16 17.3 s at the
+  * round-11 measurement): each committed shape vs its candidate
+  * alternative, min-of-2 each, interleaved in ONE session so co-tenant
+  * phase noise cancels — cross-session comparisons at sf10 have a
+  * measured 1.2–1.65× wobble. Round-12 outcome: q21's single-pass
+  * rewrite (r_supp captured in the per-order agg, no persist/join-back)
+  * won 20.2 vs 21.0 s and shed the ~50 M-row cache → committed; q16's
+  * (partkey, suppkey) pre-dedup LOST 22.7 vs 17.2 s (the synthetic
+  * bridge is nearly fact-sized, the extra shuffle buys no reduction) →
+  * rejected, kept here as the measured negative result.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=data/sf10 sbt "runMain graft.RelSweep"
+  */
+object RelSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/data/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // REJECTED round-11 q21 shape: two-consumer persist + join-back
+    def q21Old(s: SparkSession, dir: String): DataFrame = {
+      val pairAgg = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+        .persist()
+      val perOrder = pairAgg.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
+        .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+        .select(col("l_orderkey").as("o_key"))
+      val waits = pairAgg.filter(col("has_r") === 1)
+        .join(perOrder, col("l_orderkey") === col("o_key"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      Tables.supplier(s, dir)
+        .join(waits, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc).limit(20)
+    }
+
+    // REJECTED q16 candidate: pre-dedup the fact to the (partkey,
+    // suppkey) bridge before the joins (measured 32% slower — see
+    // the object doc)
+    def q16Bridge(s: SparkSession, dir: String): DataFrame = {
+      val badSupp = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0 && col("s_suppkey").isNotNull)
+        .select(col("s_suppkey"))
+      val parts = Tables.part(s, dir).filter(col("p_brand") =!= "Brand#45")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        .filter(col("l_suppkey").isNotNull)
+        .distinct()
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }
+
+    def timed(label: String)(df: => DataFrame): Double = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.engine.Scoped.releaseAll(spark)
+        dt
+      }
+      val best = runs.min
+      println(f"[relsweep] $label%-14s $best%7.2f s  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+      best
+    }
+
+    // interleave committed/alternative so a drifting phase hits both
+    timed("q21 rejected") { q21Old(spark, sfDir) }
+    timed("q21 committed") { SparkEntry.queries("q21_waiting")(spark, sfDir) }
+    timed("q16 committed") { SparkEntry.queries("q16_supplier_cnt")(spark, sfDir) }
+    timed("q16 rejected") { q16Bridge(spark, sfDir) }
+    spark.stop()
+  }
+}

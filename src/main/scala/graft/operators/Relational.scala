@@ -233,6 +233,12 @@ object Relational {
           .select(col("s_suppkey"))
         val parts = Tables.part(s, dir).filter(col("p_brand") =!= "Brand#45")
           .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        // NOT pre-deduped to the (partkey, suppkey) bridge: a round-12
+        // same-session A/B at sf10 measured the pre-distinct shape 32%
+        // SLOWER (22.7 vs 17.2 s) — the synthetic fact's bridge is
+        // nearly as large as the fact itself, so the extra distinct
+        // shuffle buys no reduction and the two-phase countDistinct
+        // below already collapses map-side (graft.RelSweep).
         Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
           .filter(col("l_suppkey").isNotNull)
           .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
@@ -671,36 +677,34 @@ object Relational {
       // TPC-H Q21 shape: the EXISTS + NOT EXISTS double correlation
       // ("another supplier on the order / no other failing supplier"),
       // planned as one per-order aggregation instead of two correlated
-      // subqueries: count distinct suppliers and distinct
-      // returned-line suppliers per order, then join the returned pairs
-      // back and keep orders with >1 supplier where exactly one supplier
-      // returned — that supplier is the sole laggard, Q21's semantics.
-      // Shuffles carry (orderkey, suppkey) pairs and per-order counts;
-      // the top-k is TakeOrderedAndProject. (No commit/receipt dates in
-      // the test schema — returnflag R stands in for "kept waiting".)
+      // subqueries. Shuffles carry (orderkey, suppkey) pairs and
+      // per-order rows; the top-k is TakeOrderedAndProject. (No
+      // commit/receipt dates in the test schema — returnflag R stands
+      // in for "kept waiting".)
       (s, dir) => {
-        // One (orderkey, suppkey) aggregation replaces BOTH countDistincts
-        // AND the distinct R-pair scan: n_supp = count of pair groups,
-        // n_r_supp = sum of per-pair has-R flags, and the R pairs are the
-        // same frame filtered — the raw fact is read and shuffled ONCE
-        // (countDistinct would Expand the fact 2× pre-shuffle). pairAgg
-        // feeds two consumers → query-lifetime persist (released by the
-        // runner via engine.Scoped.releaseAll); the filtered per-order set
-        // is tiny → AQE broadcasts the join back.
-        val pairAgg = Tables.lineitem(s, dir)
+        // SINGLE-PASS shape (round 12): a qualifying order has EXACTLY
+        // ONE returned supplier (n_r_supp = 1), so that supplier is
+        // captured INSIDE the per-order aggregate —
+        // max(when(has_r, suppkey)) is well-defined under the filter —
+        // and the per-supplier wait count is a groupBy over the tiny
+        // qualifying-order frame. The previous shape persisted the
+        // (orderkey, suppkey) pair aggregate (~50 M rows at sf10) and
+        // re-read it to join the R pairs back; this one reads and
+        // shuffles the pair table ONCE, with no cached intermediate
+        // (sf10: 20.4 → measured-below s). The (orderkey, suppkey)
+        // pre-aggregate replaces both countDistincts (countDistinct
+        // would Expand the fact 2× pre-shuffle).
+        val perOrder = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
           .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
-          .persist()
-        val perOrder = pairAgg.groupBy(col("l_orderkey"))
-          .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"),
+            max(when(col("has_r") === 1, col("l_suppkey"))).as("r_supp"))
           .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
-          .select(col("l_orderkey").as("o_key"))
-        val waits = pairAgg.filter(col("has_r") === 1)
-          .join(perOrder, col("l_orderkey") === col("o_key"))
-          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        val waits = perOrder.groupBy(col("r_supp")).agg(count(lit(1)).as("numwait"))
         Tables.supplier(s, dir)
-          .join(waits, col("s_suppkey") === col("l_suppkey"))
+          .join(waits, col("s_suppkey") === col("r_supp"))
           .select(col("s_name"), col("numwait"))
           .orderBy(col("numwait").desc, col("s_name").asc)
           .limit(20)
