@@ -114,26 +114,36 @@ object ScaleUp {
     }
 
     def replicateEmb(): Unit = {
-      require(copies <= 128,
-        s"embeddings: only 128 distinct shift/negate transforms — " +
-          s"copies=$copies would create exact cross-replica duplicates")
+      require(copies <= 100000,
+        s"embeddings: keep the replica budget sane, got copies=$copies")
       val df = spark.read.parquet(s"$src/embeddings.parquet")
       val dims = 64
       val shift = col("__r") % dims
       val shifted = concat(
         slice(col("embedding"), shift + 1, size(col("embedding")) - shift),
         slice(col("embedding"), lit(1), shift))
+      // r < 128: circular dim shift by r mod 64, negated for r >= 64 —
+      // byte-identical to the pre-round-12 generator, so data/sf1 and
+      // data/sf10 regenerate unchanged. r >= 128 (the fourth-decade
+      // extension, round 12): the same shift/negate COMPOSED with a
+      // per-replica DIAGONAL ±1 map whose signs come from
+      // xxhash64(replica, dim) — an orthogonal involution, so norms and
+      // every intra-replica cosine are still EXACTLY preserved, while
+      // the 2^64 sign patterns make distinct replicas collision-free in
+      // practice (the bare shift/negate family has only 128 members;
+      // composing replicated dirs would alias without this).
+      val negated = when((col("__r") / dims) % 2 === 0, shifted)
+        .otherwise(transform(shifted, x => -x))
+      val flipped = transform(negated, (x, i) =>
+        when(pmod(xxhash64(col("__r"), i), lit(2)) === 0, x).otherwise(-x))
       val out = df
         .withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
         .select(
           (col("vec_id") * copies + col("__r")).as("vec_id"),
-          // circular dim shift by r mod 64, negated for r >= 64: norms
-          // and intra-replica cosines are exactly preserved under both
-          when(col("__r") < dims, shifted)
-            .otherwise(transform(shifted, x => -x)).as("embedding"),
+          when(col("__r") < 2 * dims, negated).otherwise(flipped).as("embedding"),
           col("label"))
       out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-      println(s"[scaleup] embeddings: dim-rotated/negated replication × $copies")
+      println(s"[scaleup] embeddings: dim-rotated/negated/sign-flipped replication × $copies")
     }
 
     def replicateEvents(): Unit = {
