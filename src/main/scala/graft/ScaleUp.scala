@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   *    a = 1, b = r — plain Caesar, byte-identical to the pre-round-11
   *    generator, so data/sf1 regenerates unchanged; r ≥ 26 walks the 12
   *    units of Z₂₆ for `a`, giving 312 distinct maps (enough for ×100 =
-  *    sf10 from sf0.1). (lang/quality scores of mapped replicas shift —
+  *    sf10 from sf0.1); r ≥ 312 switches to seeded Fisher–Yates letter
+  *    PERMUTATIONS (still bijections — the 26! family, enough for
+  *    ×1000 = sf100; see [[docAlphabet]]). (lang/quality scores of mapped replicas shift —
   *    the scaled text points are for the dedup/index operators, not the
   *    linguistic scores.)
   *  - embeddings: replica r circularly shifts vector dimensions by
@@ -44,6 +46,80 @@ import org.apache.spark.sql.functions._
   *         output is NOT committed — regenerate on demand.)
   */
 object ScaleUp {
+
+  /** Per-replica orthogonal transform for the embeddings table.
+    *
+    * r < 128: circular dim shift by r mod `dims`, negated on the odd
+    * half-cycle (r in [64, 128)) — byte-identical to the pre-round-12
+    * generator, so data/sf1 and data/sf10 regenerate unchanged. r >= 128
+    * (the fourth-decade extension): the same shift/negate COMPOSED with a
+    * per-replica DIAGONAL ±1 map whose signs come from
+    * xxhash64(replica, dim) — an orthogonal involution, so norms and
+    * every intra-replica cosine are still EXACTLY preserved, while the
+    * 2^64 sign patterns make distinct replicas collision-free in practice
+    * (the bare shift/negate family has only 128 members; composing
+    * replicated dirs would alias without this).
+    *
+    * The half-cycle test is INTEGER modular arithmetic
+    * (pmod(r, 2·dims) < dims). `(r / dims) % 2 === 0` would be Spark
+    * DOUBLE division (see the Curation.scala integer-division note) and
+    * negates replicas 1..63 — aliasing r with r+64 for every
+    * non-multiple-of-dims replica (ADVICE r12, high).
+    */
+  def embReplica(emb: org.apache.spark.sql.Column,
+                 r: org.apache.spark.sql.Column,
+                 dims: Int = 64): org.apache.spark.sql.Column = {
+    val shift = r % dims
+    val shifted = concat(
+      slice(emb, shift + 1, size(emb) - shift),
+      slice(emb, lit(1), shift))
+    val negated = when(pmod(r, lit(2 * dims)) < dims, shifted)
+      .otherwise(transform(shifted, x => -x))
+    val flipped = transform(negated, (x, i) =>
+      when(pmod(xxhash64(r, i), lit(2)) === 0, x).otherwise(-x))
+    when(r < 2 * dims, negated).otherwise(flipped)
+  }
+
+  private val az = "abcdefghijklmnopqrstuvwxyz"
+  // the 12 multiplicative units of Z26 — each (a, b) is a distinct
+  // bijection on letters; a = 1 first so r < 26 stays plain Caesar
+  private val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Mapped alphabet for document replica r — always a BIJECTION on
+    * letters, so every intra-replica dup/near-dup relation, shingle
+    * frequency, and length is preserved bit-identically while replicas
+    * share (almost) no shingles.
+    *
+    * r < 312: the affine maps x → a·x + b (mod 26) in the historical
+    * order — r < 26 is plain Caesar and the whole range is byte-identical
+    * to the pre-round-13 generator, so data/sf1 (×10) and data/sf10
+    * (×100) regenerate unchanged. r >= 312 (the fourth-decade extension,
+    * sf100 = ×1000): a Fisher–Yates permutation seeded from r via
+    * java.util.Random — the LCG is JLS-spec-defined, so the family is
+    * deterministic forever, and 26! members make collisions (with each
+    * other or with the affine subfamily) practically impossible; the
+    * generator CHECKS distinctness of the alphabets it uses rather than
+    * trusting this.
+    */
+  def docAlphabet(r: Int): String = {
+    require(r >= 0, s"docAlphabet: negative replica $r")
+    if (r < 26 * units.length) {
+      val a = units((r / 26) % units.length)
+      val b = r % 26
+      (0 until 26).map(i => az((a * i + b) % 26)).mkString
+    } else {
+      val rnd = new java.util.Random(0x9E3779B97F4A7C15L * (r + 1))
+      val arr = az.toCharArray
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/data/sf1"
@@ -81,23 +157,19 @@ object ScaleUp {
     copy("region")
 
     // ---- pipeline tables: structure-preserving replication ----
-    val az = "abcdefghijklmnopqrstuvwxyz"
-    // the 12 multiplicative units of Z26 — each (a, b) is a distinct
-    // bijection on letters; a = 1 first so r < 26 stays plain Caesar
-    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    def affineAlpha(r: Int): String = {
-      val a = units((r / 26) % units.length)
-      val b = r % 26
-      (0 until 26).map(i => az((a * i + b) % 26)).mkString
-    }
     def affine(c: org.apache.spark.sql.Column, r: Int) =
       translate(c, az + az.toUpperCase,
-        affineAlpha(r) + affineAlpha(r).toUpperCase)
+        docAlphabet(r) + docAlphabet(r).toUpperCase)
 
     def replicateDocs(): Unit = {
-      require(copies <= 26 * units.length,
-        s"documents: only ${26 * units.length} distinct affine maps — " +
-          s"copies=$copies would create exact cross-replica duplicates")
+      // collision-freedom is CHECKED, not assumed: the affine family is
+      // exactly 312 maps (group closure — composing affines stays
+      // affine), the seeded-permutation extension draws from 26!, and
+      // this driver-side set-size check makes any alias an error at
+      // generation time instead of a silent exact cross-replica dup
+      val alphabets = (0 until copies).map(docAlphabet)
+      require(alphabets.distinct.size == copies,
+        s"documents: replica alphabet collision at copies=$copies")
       val df = spark.read.parquet(s"$src/documents.parquet")
       val out = df
         .withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
@@ -117,30 +189,11 @@ object ScaleUp {
       require(copies <= 100000,
         s"embeddings: keep the replica budget sane, got copies=$copies")
       val df = spark.read.parquet(s"$src/embeddings.parquet")
-      val dims = 64
-      val shift = col("__r") % dims
-      val shifted = concat(
-        slice(col("embedding"), shift + 1, size(col("embedding")) - shift),
-        slice(col("embedding"), lit(1), shift))
-      // r < 128: circular dim shift by r mod 64, negated for r >= 64 —
-      // byte-identical to the pre-round-12 generator, so data/sf1 and
-      // data/sf10 regenerate unchanged. r >= 128 (the fourth-decade
-      // extension, round 12): the same shift/negate COMPOSED with a
-      // per-replica DIAGONAL ±1 map whose signs come from
-      // xxhash64(replica, dim) — an orthogonal involution, so norms and
-      // every intra-replica cosine are still EXACTLY preserved, while
-      // the 2^64 sign patterns make distinct replicas collision-free in
-      // practice (the bare shift/negate family has only 128 members;
-      // composing replicated dirs would alias without this).
-      val negated = when((col("__r") / dims) % 2 === 0, shifted)
-        .otherwise(transform(shifted, x => -x))
-      val flipped = transform(negated, (x, i) =>
-        when(pmod(xxhash64(col("__r"), i), lit(2)) === 0, x).otherwise(-x))
       val out = df
         .withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
         .select(
           (col("vec_id") * copies + col("__r")).as("vec_id"),
-          when(col("__r") < 2 * dims, negated).otherwise(flipped).as("embedding"),
+          embReplica(col("embedding"), col("__r")).as("embedding"),
           col("label"))
       out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
       println(s"[scaleup] embeddings: dim-rotated/negated/sign-flipped replication × $copies")

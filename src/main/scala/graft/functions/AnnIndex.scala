@@ -699,17 +699,6 @@ object AnnIndex {
       Similarity.assignCells(emb, cent, "vec_id", "embedding"), threshold, maxCellSize)
   }
 
-  /** Build-once staging at CORPUS-SIZED geometry — [[stageOnce]]'s IVF
-    * half at cells ≈ √n: the store every production ANN/semantic-dedup
-    * deployment actually maintains (fixed 16-cell geometry is the oracle
-    * gate configuration; this one grows with the corpus). The cell count
-    * is part of the directory fingerprint, so a corpus growth that
-    * changes the derived geometry triggers a fresh build instead of
-    * serving a stale one. Only the IVF artifacts are staged (centroids +
-    * hive-partitioned postings); trains at [[Iters]] = 3 like
-    * [[stageOnce]] — a one-time build earns better training. Returns
-    * (index dir, cells).
-    */
   /** Below this cell count the final assignment pass stays the flat
     * exact argmax ([[Similarity.assignCells]] — n × cells is cheap and
     * the store fingerprint format is unchanged, so existing gate/sf1
@@ -729,6 +718,17 @@ object AnnIndex {
     */
   val HierBranchProbe = 8
 
+  /** Build-once staging at CORPUS-SIZED geometry — [[stageOnce]]'s IVF
+    * half at cells ≈ √n: the store every production ANN/semantic-dedup
+    * deployment actually maintains (fixed 16-cell geometry is the oracle
+    * gate configuration; this one grows with the corpus). The cell count
+    * is part of the directory fingerprint, so a corpus growth that
+    * changes the derived geometry triggers a fresh build instead of
+    * serving a stale one. Only the IVF artifacts are staged (centroids +
+    * hive-partitioned postings); trains at [[Iters]] = 3 like
+    * [[stageOnce]] — a one-time build earns better training. Returns
+    * (index dir, cells).
+    */
   def stageAuto(spark: SparkSession, dir: String): (String, Int) = {
     val emb = Tables.embeddings(spark, dir)
     VectorExpressions.register(spark)

@@ -428,6 +428,14 @@ object Similarity {
       .agg(max(struct(col("sim"), (-col("cell")).as("neg_cell"))).as("best"),
         first(col("v")).as("v_keep"))
       .select(col(idCol), col("v_keep").as(vecCol), (-col("best.neg_cell")).as("cell"))
+      // the plan references `assigned` twice (the union below + the
+      // anti-join's build side): without a persist the full n-vector
+      // probe pipeline can plan and EXECUTE twice unless exchange reuse
+      // happens to kick in — half the n·√cells win gone (ADVICE r12).
+      // Query-lifetime persist per the [[graft.engine.Scoped]] contract:
+      // the runner (Verify/Bench/specs; stageAuto's build is consumed by
+      // one write action) releases it at the query boundary.
+      .persist()
     // totality fallback: exact argmax for any vector the probe dropped
     val missing = emb.join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
     assigned.unionByName(assignCells(missing, centroids, idCol, vecCol))

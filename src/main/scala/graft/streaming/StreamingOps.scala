@@ -891,7 +891,17 @@ object StreamingOps {
       : (K, Iterator[R], GroupState[Bm25Served]) => Iterator[O] =
     (key, rows, state) => {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else if (state.exists) Iterator.empty
+      else if (state.exists) {
+        // Spark CLEARS a group's timeout on every invocation for the
+        // key, so the suppression branch must RE-ARM it: otherwise one
+        // redelivery inside the TTL window disarms expiry permanently —
+        // unbounded state and at-most-once-per-key forever (ADVICE r12).
+        // Re-arming slides the window to the LAST delivery, which is the
+        // documented contract (ttl = redelivery horizon, not first-serve
+        // age).
+        ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+        Iterator.empty
+      }
       else {
         state.update(Bm25Served(true))
         ttl.foreach(d => state.setTimeoutDuration(d.toMillis))

@@ -140,4 +140,78 @@ class ScaleSpec extends SparkSpec {
     assert(got === plain)
     assert(got.nonEmpty)
   }
+
+  test("embReplica r<128 is byte-identical to the pre-round-12 shift/negate generator") {
+    // ADVICE r12 (high): the half-cycle test must be integer modular
+    // arithmetic — double division negated replicas 1..63. The old
+    // generator (copies <= 128) was: shift by r mod 64, negate iff r >= 64.
+    val base = (1 to 64).map(_.toFloat).toArray
+    val df = spark.range(128).select(col("id").cast("int").as("r"))
+      .withColumn("embedding", typedLit(base))
+    val dims = 64
+    val shift = col("r") % dims
+    val shifted = concat(
+      slice(col("embedding"), shift + 1, size(col("embedding")) - shift),
+      slice(col("embedding"), lit(1), shift))
+    val old = when(col("r") < dims, shifted)
+      .otherwise(transform(shifted, x => -x))
+    val mismatches = df.select(
+        ScaleUp.embReplica(col("embedding"), col("r")).as("got"), old.as("want"))
+      .where(not(col("got") === col("want"))).count()
+    assert(mismatches === 0L)
+  }
+
+  test("embReplica replicas 0..255 are pairwise distinct and norm-preserving") {
+    val base = (1 to 64).map(_.toFloat).toArray
+    val df = spark.range(256).select(col("id").cast("int").as("r"))
+      .withColumn("embedding", typedLit(base))
+      .select(ScaleUp.embReplica(col("embedding"), col("r")).as("e"))
+    // pairwise distinct ⟺ 256 distinct arrays (the r/r+64 aliasing the
+    // double-division bug produced would collapse this to < 256)
+    assert(df.distinct().count() === 256L)
+    // shift, negate, and the diagonal ±1 involution are all orthogonal:
+    // every replica keeps the base norm exactly
+    val baseNorm = base.map(x => x.toDouble * x).sum
+    val norms = df
+      .select(aggregate(col("e"), lit(0.0d), (a, x) => a + x * x).as("n"))
+      .distinct().collect().map(_.getDouble(0))
+    assert(norms.length === 1 && math.abs(norms.head - baseNorm) < 1e-6)
+  }
+
+  test("docAlphabet: legacy affine maps below 312, distinct bijections through ×1000") {
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    // r < 26 is plain Caesar — the original generator family
+    assert(ScaleUp.docAlphabet(0) === az)
+    assert(ScaleUp.docAlphabet(2) === "cdefghijklmnopqrstuvwxyzab")
+    // r < 312 stays the affine family byte-for-byte (a walks the units
+    // of Z26 every 26 replicas): r = 26 is a = 3, b = 0
+    assert(ScaleUp.docAlphabet(26) ===
+      (0 until 26).map(i => az((3 * i) % 26)).mkString)
+    // every replica through the sf100 budget is a PERMUTATION of a-z
+    // (bijection ⇒ dup/near-dup structure preserved) and all 1000 are
+    // pairwise distinct (any alias would be an exact cross-replica dup
+    // factory); determinism: the permutation branch re-derives identically
+    val alphas = (0 until 1000).map(ScaleUp.docAlphabet)
+    assert(alphas.forall(_.sorted == az), "non-bijective replica alphabet")
+    assert(alphas.distinct.size === 1000, "replica alphabet collision")
+    assert(ScaleUp.docAlphabet(500) === ScaleUp.docAlphabet(500))
+  }
+
+  test("committed data/sf1 embeddings regenerate unchanged under embReplica") {
+    // data/sf1 was built by the pre-round-12 generator (copies = 10); the
+    // fixed transform must reproduce it bit-for-bit. Optional: skips when
+    // the regenerable dataset is absent (it is not committed).
+    val sf1 = new java.io.File("data/sf1/embeddings.parquet")
+    assume(sf1.exists(), "data/sf1 not present — regenerate with graft.ScaleUp")
+    val copies = 10
+    val regen = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
+      .select(
+        (col("vec_id") * copies + col("__r")).as("vec_id"),
+        ScaleUp.embReplica(col("embedding"), col("__r")).as("embedding"),
+        col("label"))
+    val committed = spark.read.parquet(sf1.getPath)
+    assert(regen.exceptAll(committed).count() === 0L)
+    assert(committed.exceptAll(regen).count() === 0L)
+  }
 }

@@ -954,4 +954,51 @@ class StreamingSpec extends SparkSpec {
       s"expected the ranking twice after TTL expiry, got ${first.length} rows")
     spark.catalog.clearCache()
   }
+
+  test("served-once: redelivery INSIDE the TTL is suppressed yet still expires") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val terms = graft.functions.TextAnalysis.Bm25Terms
+    val scored = graft.functions.SigIndex.bm25ScoredStatic(spark, dir, terms)
+    val input = MemoryStream[String]
+    // ADVICE r12 (medium): Spark clears the timeout on every invocation,
+    // so the suppression branch must re-arm it — without that, the
+    // in-window redelivery below disarms expiry permanently and the
+    // final post-expiry repeat is suppressed forever.
+    val ttlMs = 2000L
+    val q = StreamingOps.bm25TopKStream(input.toDF().select(col("value").as("term")),
+        scored, 5, servedTtl = Some(java.time.Duration.ofMillis(ttlMs)))
+      .writeStream.format("memory").queryName("bm25_ttl_redeliver")
+      .outputMode("append").start()
+    def count(): Long =
+      spark.table("bm25_ttl_redeliver").filter(col("term") === terms.head).count()
+    def await(minRows: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (count() < minRows && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    }
+    try {
+      input.addData(Seq(terms.head))
+      await(1)
+      val n1 = count()
+      assert(n1 >= 1, "first serve never arrived")
+      // redeliver INSIDE the TTL window: must be suppressed
+      input.addData(Seq(terms.head))
+      Thread.sleep(1000)
+      assert(count() === n1, "in-window redelivery was served, not suppressed")
+      // wait out the (re-armed, last-delivery-anchored) TTL, then repeat:
+      // the expired state must have been removed, so this serves again
+      Thread.sleep(ttlMs + 2000)
+      input.addData(Seq(terms.head))
+      await(2 * n1)
+    } finally q.stop()
+    val got = spark.table("bm25_ttl_redeliver")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val first = got.filter(_._1 == terms.head)
+    assert(first.nonEmpty && first.length === 2 * first.toSet.size &&
+      first.groupBy(identity).values.forall(_.length == 2),
+      s"expected exactly two serves (suppressed redelivery in between), got ${first.length} rows")
+    spark.catalog.clearCache()
+  }
 }
