@@ -35,9 +35,16 @@ object Bench {
       case other => sys.error(
         s"SPARK_GRAFT_BENCH_SUBSET=$other not recognized (known: r1)")
     }
+    // shuffle partitions sized to the CORPUS, not the core count: the
+    // driver-side file-listing calculation a cluster job runs before a
+    // big shuffle (floor = 32 keeps every ≤sf10 artifact and timing
+    // identical; sf100's ~10 GB dir sizes up so no reduce partition
+    // carries gigabytes; AQE coalesces the too-many case at runtime)
+    val shufflePartitions = operators.Scale.shufflePartitionsFor(
+      operators.Scale.dirBytes(sfDir))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

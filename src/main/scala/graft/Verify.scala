@@ -7,9 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // corpus-sized shuffle partitions (floor 32 keeps gate-scale runs
+    // identical; large corpora size up — see Bench for the rationale)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        operators.Scale.shufflePartitionsFor(operators.Scale.dirBytes(sfDir)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -59,6 +59,18 @@ object AnnIndex {
     Stores.storePath(spark, dir, "ann",
       s"c${NumCells}s${NumSub}x${NumCodes}i${Iters}r2")
 
+  /** Hive-partitioned postings write, clustered by the partition column
+    * FIRST: without the repartition every write task touches every cell
+    * dir — tasks × cells output files (97 869 in the sf100 auto store,
+    * measured; file listing then dominates serve latency). Hash-clustered
+    * on `cell`, each cell lands in exactly one task → one file per cell.
+    */
+  private def writePostings(assigned: DataFrame, path: String): Unit =
+    assigned
+      .withColumn("cell", col("cell").cast("int"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** Build-once staging via [[Stores.buildOnce]]: the `_GRAFT_ANN_OK`
     * marker written AFTER all four artifacts makes interrupted builds
     * self-healing (no marker → the partial directory is deleted and
@@ -73,9 +85,8 @@ object AnnIndex {
     // assignments derive from the STORED centroids so the index is
     // internally consistent even if training lineage were ever to change
     val centStored = spark.read.parquet(s"$base/ivf_centroids")
-    Similarity.assignCells(emb, centStored, "vec_id", "embedding")
-      .withColumn("cell", col("cell").cast("int"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
+    writePostings(Similarity.assignCells(emb, centStored, "vec_id", "embedding"),
+      s"$base/ivf_postings")
     val (sub, cb) = Similarity.pqTrain(emb, "vec_id", "embedding", NumSub, NumCodes, Dim, Iters)
     cb.write.mode("overwrite").parquet(s"$base/pq_codebook")
     val cbStored = spark.read.parquet(s"$base/pq_codebook")
@@ -123,9 +134,8 @@ object AnnIndex {
     val cent = Similarity.ivfCentroids(emb, "vec_id", "embedding", NumCells, Iters)
     cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
     val centStored = spark.read.parquet(s"$base/ivf_centroids")
-    Similarity.assignCells(emb, centStored, "vec_id", "embedding")
-      .withColumn("cell", col("cell").cast("int"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
+    writePostings(Similarity.assignCells(emb, centStored, "vec_id", "embedding"),
+      s"$base/ivf_postings")
     val (sub, cb) = Similarity.pqTrain(emb, "vec_id", "embedding", NumSub, NumCodes, Dim, Iters)
     cb.write.mode("overwrite").parquet(s"$base/pq_codebook")
     val cbStored = spark.read.parquet(s"$base/pq_codebook")
@@ -179,9 +189,8 @@ object AnnIndex {
       val batch = Tables.embeddings(spark, dir).filter(batchPred)
       VectorExpressions.register(spark)
       val centStored = spark.read.parquet(s"$base/ivf_centroids")
-      Similarity.assignCells(batch, centStored, "vec_id", "embedding")
-        .withColumn("cell", col("cell").cast("int"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$delta/ivf_postings")
+      writePostings(Similarity.assignCells(batch, centStored, "vec_id", "embedding"),
+        s"$delta/ivf_postings")
       val cbStored = spark.read.parquet(s"$base/pq_codebook")
       val sub = Similarity.pqSubVectors(batch, "vec_id", "embedding", NumSub, SubDim)
       Similarity.pqAssign(sub, cbStored, "vec_id")
@@ -351,14 +360,22 @@ object AnnIndex {
                        rawPostings: DataFrame, queryPred: Column, k: Int,
                        nprobe: Int): DataFrame = {
     VectorExpressions.register(spark)
-    val postings = rawPostings.withColumn("cell", col("cell").cast("long"))
-    val cn = Similarity.withNorm(postings, "vec_id", "embedding", passthrough = Seq("cell"))
+    // the probe side casts DOWN to the store's partition-column type
+    // (int, from hive directory inference) instead of casting the scan
+    // side up to long: a cast on the scan's join key is an expression
+    // over the partition column, which disqualifies DYNAMIC PARTITION
+    // PRUNING — with the bare attribute, the broadcast probe's cell
+    // values prune unprobed cell directories at the scan (nprobe/cells
+    // of the corpus read, the fraction the geometry rule promises)
+    val cn = Similarity.withNorm(rawPostings, "vec_id", "embedding",
+        passthrough = Seq("cell"))
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
     val qnorm = Similarity.withNorm(
       Tables.embeddings(spark, dir).filter(queryPred), "vec_id", "embedding")
     val qn = qnorm
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
-      .join(probeCells(qnorm, centroids, nprobe), Seq("q_id"))
+      .join(probeCells(qnorm, centroids, nprobe)
+        .withColumn("cell", col("cell").cast("int")), Seq("q_id"))
     val scored = cn.join(broadcast(qn), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
@@ -758,9 +775,7 @@ object AnnIndex {
         if (hier) Similarity.assignCellsHier(emb, centStored, "vec_id", "embedding",
           Similarity.hierBranchesFor(cells), HierBranchProbe)
         else Similarity.assignCells(emb, centStored, "vec_id", "embedding")
-      assigned
-        .withColumn("cell", col("cell").cast("int"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivf_postings")
+      writePostings(assigned, s"$base/ivf_postings")
     }
     (path, cells)
   }

@@ -40,6 +40,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Re-shard `derived` to the session's shuffle width when `source`'s
+    * SCAN plans narrower — the small-corpus parallelism cliff
+    * ([[hardNegatives]], ARCHITECTURE.md round-10 wave 5), which also
+    * bit the centroid-assignment passes at the sf100 staging point: a
+    * 2 M × 64-float embedding table compacts into ~4 parquet splits, and
+    * every per-vector × per-centroid scoring pipeline downstream of the
+    * scan (broadcast joins preserve partitioning) inherited that width —
+    * the full-corpus assignment ran near single-threaded on a 32-core
+    * session. The width is read off `source` (the raw input) so derived
+    * projection lineage is not physically planned per call (ADVICE r11);
+    * a corpus big enough to have real splits keeps its layout and pays
+    * no shuffle.
+    */
+  private[graft] def widenToSession(derived: DataFrame, source: DataFrame): DataFrame = {
+    val parts = source.sparkSession.sessionState.conf.numShufflePartitions
+    if (source.rdd.getNumPartitions < parts) derived.repartition(parts) else derived
+  }
+
   /** Attach the vector and its L2 norm (computed once); `passthrough`
     * keeps extra columns (bucket/cell ids) so callers don't need a
     * re-attach self-join.
@@ -354,7 +372,7 @@ object Similarity {
   private[graft] def assignCells(emb: DataFrame, centroids: DataFrame,
                                      idCol: String, vecCol: String): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    val e = withNorm(emb, idCol, vecCol)
+    val e = widenToSession(withNorm(emb, idCol, vecCol), emb)
     val c = centroids.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
     val scored = e.crossJoin(broadcast(c))
       .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -415,7 +433,7 @@ object Similarity {
     // level 2: per-vector top-p branch probe, expression-only
     val bArr = bcent.withColumn("bnrm", sqrt(dot(col("bv"), col("bv"))))
       .agg(collect_list(struct(col("branch"), col("bv"), col("bnrm"))).as("bs"))
-    val e = withNorm(emb, idCol, vecCol)
+    val e = widenToSession(withNorm(emb, idCol, vecCol), emb)
     val probed = e.crossJoin(broadcast(bArr))
       .select(col(idCol), col("v"), col("nrm"),
         explode(slice(array_sort(transform(col("bs"), b =>

@@ -275,4 +275,17 @@ object Scale {
   def shufflePartitionsFor(inputBytes: Long, targetBytes: Long = 128L << 20,
                            min: Int = 32, max: Int = 20000): Int =
     math.min(max, math.max(min, math.ceil(inputBytes.toDouble / targetBytes).toInt))
+
+  /** On-disk bytes of a corpus dir (recursive file-length walk) — the
+    * input to [[shufflePartitionsFor]] when a runner sizes its session
+    * before any Spark context exists. Plain java.io so it runs
+    * pre-session; missing dirs count 0 (the caller's clamp floor then
+    * applies).
+    */
+  def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
 }

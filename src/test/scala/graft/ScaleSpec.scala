@@ -118,6 +118,12 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.shufflePartitionsFor(1L << 20) === 32) // tiny input → floor
     assert(Scale.shufflePartitionsFor(100L * (128L << 20)) === 100)
     assert(Scale.shufflePartitionsFor(Long.MaxValue) === 20000) // ceiling
+    // the runner wiring: gate-scale corpora stay at the 32 floor (so all
+    // committed ≤sf10 artifacts and timings are unchanged), absent dirs
+    // fall back to the floor instead of crashing pre-session
+    val gate = Scale.dirBytes("/root/testdata/sf0.001")
+    assert(gate > 0L && Scale.shufflePartitionsFor(gate) === 32)
+    assert(Scale.dirBytes("/no/such/dir") === 0L)
   }
 
   test("partition_pruned_scan resolves the lang predicate as a partition filter") {
