@@ -42,12 +42,23 @@ object Bench {
     // carries gigabytes; AQE coalesces the too-many case at runtime)
     val shufflePartitions = operators.Scale.shufflePartitionsFor(
       operators.Scale.dirBytes(sfDir))
-    val spark = SparkSession.builder()
+    // Dev aid for config A/B runs: SPARK_GRAFT_CONF="k=v;k=v" overlays
+    // arbitrary session confs on top of the standard build (applied LAST,
+    // so an experiment can override any default above or below).
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -70,6 +70,39 @@ object RelSweep {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }
 
+    // ROUND-13 candidate: q17 as ONE shuffle — the per-part average as a
+    // window aggregate over the same partkey-partitioned pass instead of
+    // aggregate-then-join-back (whose two exchanges cannot be reused:
+    // the agg side partial-aggregates BEFORE its exchange, so the two
+    // shuffle subplans differ). Same decimal-sum mean → identical rows.
+    def q17Window(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_partkey"))
+      li.withColumn("avg_qty",
+          sum(col("l_quantity").cast(DecimalType(18, 6))).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(graft.operators.Parity.decSum(col("l_extendedprice")).as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    }
+
+    // ROUND-13 experiment: the same committed shape under a raised
+    // autoBroadcastJoinThreshold (single-node deployment tuning — on
+    // local[32] a broadcast is one in-JVM copy while a shuffle is disk
+    // I/O, so the crossover sits far above the 10 MB cluster default;
+    // on a 1000-executor cluster the same 78 MB part broadcast costs
+    // 1000 copies and the shuffle wins — which is why the THRESHOLD is
+    // the tunable, not a hint baked into the query).
+    def withThreshold(bytes: Long)(body: => Double): Double = {
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, bytes.toString)
+      try body finally spark.conf.set(key, old)
+    }
+
     def timed(label: String)(df: => DataFrame): Double = {
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -79,15 +112,28 @@ object RelSweep {
         dt
       }
       val best = runs.min
-      println(f"[relsweep] $label%-14s $best%7.2f s  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+      println(f"[relsweep] $label%-24s $best%7.2f s  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
       best
     }
 
     // interleave committed/alternative so a drifting phase hits both
-    timed("q21 rejected") { q21Old(spark, sfDir) }
-    timed("q21 committed") { SparkEntry.queries("q21_waiting")(spark, sfDir) }
-    timed("q16 committed") { SparkEntry.queries("q16_supplier_cnt")(spark, sfDir) }
-    timed("q16 rejected") { q16Bridge(spark, sfDir) }
+    val which = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "r13")
+    if (which == "r12") {
+      timed("q21 rejected") { q21Old(spark, sfDir) }
+      timed("q21 committed") { SparkEntry.queries("q21_waiting")(spark, sfDir) }
+      timed("q16 committed") { SparkEntry.queries("q16_supplier_cnt")(spark, sfDir) }
+      timed("q16 rejected") { q16Bridge(spark, sfDir) }
+    } else {
+      val m96 = 96L * 1024 * 1024
+      timed("q17 committed") { SparkEntry.queries("q17_small_qty")(spark, sfDir) }
+      timed("q17 window") { q17Window(spark, sfDir) }
+      timed("q16 committed") { SparkEntry.queries("q16_supplier_cnt")(spark, sfDir) }
+      withThreshold(m96)(timed("q16 bcast96M") { SparkEntry.queries("q16_supplier_cnt")(spark, sfDir) })
+      timed("q9 committed") { SparkEntry.queries("q9_profit")(spark, sfDir) }
+      withThreshold(m96)(timed("q9 bcast96M") { SparkEntry.queries("q9_profit")(spark, sfDir) })
+      timed("q17 committed2") { SparkEntry.queries("q17_small_qty")(spark, sfDir) }
+      timed("q17 window2") { q17Window(spark, sfDir) }
+    }
     spark.stop()
   }
 }

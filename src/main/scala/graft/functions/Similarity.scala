@@ -654,10 +654,22 @@ object Similarity {
   private[graft] def ivfSearch(emb: DataFrame, centroids: DataFrame, queryPred: Column,
                         idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val corpus = assignCells(emb, centroids, idCol, vecCol).persist()
+    ivfSearchAssigned(corpus, emb.filter(queryPred), centroids, idCol, vecCol, k, nprobe)
+  }
+
+  /** The serve half of [[ivfSearch]] over an ALREADY-ASSIGNED corpus
+    * (id, vector, cell) from any provenance — inline [[assignCells]],
+    * hierarchical [[assignCellsHier]], or staged postings. Exposed
+    * separately so assignment-policy A/Bs (graft.AnnAssignSweep) score
+    * the SAME probe over competing assignments.
+    */
+  private[graft] def ivfSearchAssigned(corpus: DataFrame, queries: DataFrame,
+                        centroids: DataFrame,
+                        idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val cn = withNorm(corpus, idCol, vecCol, passthrough = Seq("cell"))
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"), col("cell"))
     // nprobe nearest cells per query: norms attached once per side
-    val qnorm = withNorm(emb.filter(queryPred), idCol, vecCol)
+    val qnorm = withNorm(queries, idCol, vecCol)
     val cwithNrm = centroids.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
     val qcells = qnorm.crossJoin(broadcast(cwithNrm))
       .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))

@@ -220,4 +220,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cnt(sf10, "BroadcastHashJoin") < cnt(tiny, "BroadcastHashJoin"),
       "sf10 plans should carry FEWER broadcast joins than gate-scale plans")
   }
+
+  test("PLANS_sf100.txt (when present) covers the registry; degradation continues a fourth decade") {
+    // fourth-decade audit artifact (data/sf100 via graft.ScaleUp ×1000).
+    // Beyond the sf10 assertions, the decade's signature is the
+    // LOST-BROADCAST CLIFF: part (20 M rows) and supplier (1 M) cross
+    // the broadcast threshold, so the census must degrade FURTHER than
+    // sf10's — strictly more shuffle joins, strictly fewer broadcasts.
+    val p = java.nio.file.Paths.get("PLANS_sf100.txt")
+    assume(java.nio.file.Files.exists(p), "PLANS_sf100.txt not present — skipping")
+    val sf100 = java.nio.file.Files.readString(p)
+    val keys = "(?m)^== (\\S+)$".r.findAllMatchIn(sf100).map(_.group(1)).toSet
+    assert(keys === SparkEntry.queries.keySet && !sf100.contains("EXPLAIN FAILED"),
+      "PLANS_sf100.txt drifted from the registry — re-run graft.ScaleUp ×1000 + graft.Explain data/sf100 PLANS_sf100.txt")
+    def cnt(s: String, m: String) = m.r.findAllMatchIn(s).size
+    val sf10p = java.nio.file.Paths.get("PLANS_sf10.txt")
+    assume(java.nio.file.Files.exists(sf10p), "PLANS_sf10.txt not present — skipping")
+    val sf10 = java.nio.file.Files.readString(sf10p)
+    assert(cnt(sf100, "SortMergeJoin") > cnt(sf10, "SortMergeJoin"),
+      "sf100 plans should carry MORE shuffle joins than sf10 plans")
+    assert(cnt(sf100, "BroadcastHashJoin") < cnt(sf10, "BroadcastHashJoin"),
+      "sf100 plans should carry FEWER broadcast joins than sf10 plans")
+  }
 }

@@ -1001,4 +1001,31 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly two serves (suppressed redelivery in between), got ${first.length} rows")
     spark.catalog.clearCache()
   }
+
+  test("Demo: every runnable demo mode starts, makes progress, and stops cleanly") {
+    // The developer-experience smoke promised by graft.Demo's scaladoc —
+    // each mode wires a LIVE rate-source generator through a registered
+    // streaming operator to its sink; here we only assert the query
+    // reaches a first progress event (wiring is sound end-to-end), then
+    // stop it. The operators' semantics are pinned by their MemoryStream
+    // twins above; this is purely the runnable-main path.
+    def progressed(mode: String, fileDir: Option[String] = None): Unit = {
+      val q = Demo.start(spark, mode, fileDir)
+      try {
+        val deadline = System.currentTimeMillis + 60000
+        while (q.recentProgress.isEmpty && q.exception.isEmpty &&
+               System.currentTimeMillis < deadline)
+          Thread.sleep(200)
+        q.exception.foreach(e => fail(s"demo '$mode' failed: ${e.getMessage}"))
+        assert(q.recentProgress.nonEmpty, s"demo '$mode' made no progress in 60 s")
+      } finally q.stop()
+    }
+    progressed("tumbling")
+    progressed("purgingTrigger")
+    val dir = java.nio.file.Files.createTempDirectory("graft_demo_spec").toString
+    progressed("file", Some(dir))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "ckpt")),
+      "file demo never created its checkpoint dir")
+    intercept[RuntimeException](Demo.start(spark, "nope"))
+  }
 }
