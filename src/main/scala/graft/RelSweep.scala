@@ -123,6 +123,42 @@ object RelSweep {
       timed("q21 committed") { SparkEntry.queries("q21_waiting")(spark, sfDir) }
       timed("q16 committed") { SparkEntry.queries("q16_supplier_cnt")(spark, sfDir) }
       timed("q16 rejected") { q16Bridge(spark, sfDir) }
+    } else if (which == "bloom") {
+      // Runtime bloom-filter join pruning (InjectRuntimeFilter): OFF by
+      // geometry at every SF we run — Spark requires the application-side
+      // scan to exceed 10 GB (spark.sql.optimizer.runtime.bloomFilter.
+      // applicationSideScanSizeThreshold) and the whole sf100 dir is
+      // 9.9 GB. Arms interleave inside ONE session (the VM's noise
+      // phases sank a two-session A/B: q17, which has no join at all,
+      // "improved" 38% between sessions) and each arm prints whether
+      // the executed plan actually carries a bloom_filter, so a null
+      // result is attributable: not-injected vs injected-but-useless.
+      def withBloom(on: Boolean)(body: => Double): Double = {
+        val keys = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        val olds = keys.map(spark.conf.get)
+        if (on) keys.foreach(k => spark.conf.set(k, "256MB"))
+        try body finally keys.zip(olds).foreach { case (k, v) => spark.conf.set(k, v) }
+      }
+      def hasBloom(name: String): Boolean = {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.queryExecution.executedPlan.toString.contains("bloom_filter")
+      }
+      for (q <- Seq("q16_supplier_cnt", "q21_waiting", "q9_profit")) {
+        withBloom(true) { println(s"[relsweep] $q bloom injected: ${hasBloom(q)}"); 0.0 }
+        // timed is itself min-of-2; one timed per arm, arms adjacent so
+        // a drifting noise phase hits both
+        withBloom(false)(timed(s"$q default") { SparkEntry.queries(q)(spark, sfDir) })
+        withBloom(true)(timed(s"$q bloom") { SparkEntry.queries(q)(spark, sfDir) })
+      }
+    } else if (which == "q17") {
+      // fourth-decade check before swapping implementations: the window
+      // form's per-partition sort is the risk term at 600 M rows
+      timed("q17 committed") { SparkEntry.queries("q17_small_qty")(spark, sfDir) }
+      timed("q17 window") { q17Window(spark, sfDir) }
+      timed("q17 committed2") { SparkEntry.queries("q17_small_qty")(spark, sfDir) }
+      timed("q17 window2") { q17Window(spark, sfDir) }
     } else {
       val m96 = 96L * 1024 * 1024
       timed("q17 committed") { SparkEntry.queries("q17_small_qty")(spark, sfDir) }

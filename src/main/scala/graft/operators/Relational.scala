@@ -348,20 +348,29 @@ object Relational {
       "q17_small_qty",
       // TPC-H Q17 shape: revenue from small-quantity lineitems, "small"
       // defined relative to the per-part average — the correlated scalar
-      // subquery pattern. Planned as aggregate-then-join-back: the
-      // per-part averages reduce to one row per part BEFORE rejoining the
-      // fact (never a per-row subquery execution); at test scale the avg
-      // table broadcasts, at 100× both sides hash-partition on l_partkey
-      // and the shape holds. The threshold comparison (0.5 * avg) is one
-      // IEEE multiply on an exact decimal-accumulated mean — the same
-      // value in both engines, so the row set is identical.
+      // subquery pattern. Planned as ONE pass: the per-part average is a
+      // window aggregate over the same l_partkey partitioning the filter
+      // needs, so the fact table is scanned and shuffled ONCE. The
+      // aggregate-then-join-back form reads lineitem twice and its two
+      // exchanges cannot be reused (the agg side partial-aggregates
+      // BEFORE its exchange, so the shuffle subplans differ) — measured
+      // 1.3× slower at sf10 and ~2x at sf100 (RelSweep r13, 600 M rows:
+      // window 39.9-81.5 s vs join-back 76.4-136.2 s; the window sort
+      // stays in-partition and beats the second full-fact shuffle). The
+      // threshold comparison (0.5 * avg) is one IEEE multiply on an
+      // exact decimal-accumulated mean — the same value in both engines
+      // (and as the join-back form), so the row set is identical and the
+      // oracle keeps the two-pass SQL.
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+        // decSum unrolled around the window: .over must wrap the
+        // aggregate itself, so the exactness-preserving double cast
+        // lands on the windowed decimal sum
+        val avgQty = sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double") / count(lit(1)).over(w)
+        Tables.lineitem(s, dir)
           .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        val avgQty = li.groupBy(col("l_partkey"))
-          .agg((decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-          .select(col("l_partkey").as("a_partkey"), col("avg_qty"))
-        li.join(avgQty, col("l_partkey") === col("a_partkey"))
+          .withColumn("avg_qty", avgQty)
           .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
           .agg(decSum(col("l_extendedprice")).as("small_qty_revenue"),
             count(lit(1)).as("n_lines"))
