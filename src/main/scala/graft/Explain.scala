@@ -15,9 +15,18 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outFile = if (args.length > 1) args(1) else "PLANS.txt"
+    // Explain is a RUNNER like Verify/Bench: the in-session staging some
+    // queries perform (q18's bucketed tables rebuild per session — the
+    // in-memory catalog forgets them) is a real 600 M-row sort at sf100,
+    // so shuffle partitions derive from corpus bytes exactly as the
+    // other runners do (4 hardcoded partitions OOMed the sf100 staging).
+    // Partition counts in the dumped plan text follow the same rule, so
+    // the artifact reflects the configuration the benches actually run.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        operators.Scale.shufflePartitionsFor(operators.Scale.dirBytes(sfDir)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

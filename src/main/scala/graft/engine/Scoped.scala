@@ -59,4 +59,31 @@ object Scoped {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Rebuild a `localCheckpoint`ed frame from its materialized rows with
+    * FRESH plan metadata. `localCheckpoint` severs the execution lineage
+    * but `LogicalRDD.fromDataset` carries the origin plan's STATISTICS
+    * and CONSTRAINTS forward — so in an iterative operator whose round
+    * plan references the previous checkpoint k >= 2 times (connected
+    * components: the pointer-jump self-join), the inherited sizeInBytes
+    * is a BigInt whose DIGIT COUNT multiplies by ~k every round.
+    * Catalyst's size-only estimator then multiplies million-digit
+    * BigIntegers at every join node: the sf100 dedup_pipeline — the
+    * first corpus whose pair count pushes connectedComponents onto the
+    * iterative path — spent 40+ min of pure driver CPU inside
+    * `BigInteger.multiplyToomCook3` before the round-13 session killed
+    * it. Single-reference loops (pagerank, the BPE merge loop) only grow
+    * digits LINEARLY per round and do not need this.
+    *
+    * The round-trip through `createDataFrame(df.rdd, schema)` plans a
+    * LogicalRDD with `originStats = None` (sizeInBytes falls back to
+    * `spark.sql.defaultSizeInBytes`, constant-size), at the cost of an
+    * InternalRow <-> Row conversion per consumption — noise next to the
+    * round's joins. The result frame does NOT answer
+    * [[unpersistCheckpoint]] for the underlying blocks (its LogicalRDD
+    * wraps a derived RDD): keep the checkpointed frame for release and
+    * hand this one to the next round's plan.
+    */
+  def severPlanMetadata(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 }

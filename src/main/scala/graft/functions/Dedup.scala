@@ -1000,7 +1000,12 @@ object Dedup {
       converged = next.filter(col("comp") < col("prev")).isEmpty
       unpersistCheckpoint(prevRound) // next is materialized; round N-1's cache is dead weight
       prevRound = next
-      labels = next.select(col("id"), col("comp"))
+      // each round references labels FOUR times (nbrMin + stepped + the
+      // pointer-jump self-join), so the checkpoint's inherited origin
+      // stats would quadruple their BigInt digit count per round —
+      // million-digit sizeInBytes products froze sf100 planning for
+      // 40+ min before this sever (see Scoped.severPlanMetadata)
+      labels = graft.engine.Scoped.severPlanMetadata(next.select(col("id"), col("comp")))
       iters += 1
     }
     edges.unpersist()
