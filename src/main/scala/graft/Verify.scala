@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // corpus-sized shuffle partitions (floor 32 keeps gate-scale runs
-    // identical; large corpora size up — see Bench for the rationale)
+    // corpus-sized shuffle partitions, floor 32 (see Bench for the
+    // rationale). Gate runs previously executed at cpus-default width;
+    // results are partition-count invariant (r13 parity passed all 177
+    // keys at the new width), large corpora size up.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",

@@ -771,11 +771,20 @@ object AnnIndex {
         Similarity.ivfTrainSlice(emb, "vec_id", mod), "vec_id", "embedding", cells, Iters)
       cent.write.mode("overwrite").parquet(s"$base/ivf_centroids")
       val centStored = spark.read.parquet(s"$base/ivf_centroids")
-      val assigned =
-        if (hier) Similarity.assignCellsHier(emb, centStored, "vec_id", "embedding",
+      if (hier) {
+        // the postings write is the ONE action consuming the assignment —
+        // release the hier probe's internal persist immediately instead
+        // of leaving an n-row cache for the runner's releaseAll
+        val (assigned, handle) = Similarity.assignCellsHierWithHandle(
+          emb, centStored, "vec_id", "embedding",
           Similarity.hierBranchesFor(cells), HierBranchProbe)
-        else Similarity.assignCells(emb, centStored, "vec_id", "embedding")
-      writePostings(assigned, s"$base/ivf_postings")
+        writePostings(assigned, s"$base/ivf_postings")
+        handle.unpersist(blocking = false)
+      } else {
+        writePostings(
+          Similarity.assignCells(emb, centStored, "vec_id", "embedding"),
+          s"$base/ivf_postings")
+      }
     }
     (path, cells)
   }

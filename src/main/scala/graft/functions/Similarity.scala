@@ -55,7 +55,26 @@ object Similarity {
     */
   private[graft] def widenToSession(derived: DataFrame, source: DataFrame): DataFrame = {
     val parts = source.sparkSession.sessionState.conf.numShufflePartitions
-    if (source.rdd.getNumPartitions < parts) derived.repartition(parts) else derived
+    // Only a SCAN-ROOTED source can plan narrower than the session width
+    // in the way this guard exists to fix (few parquet splits), and only
+    // a scan-rooted plan can answer `.rdd.getNumPartitions` for free:
+    // under AQE, `.rdd` on a join/agg-rooted frame eagerly EXECUTES its
+    // shuffle stages just to learn a partition count — and again when
+    // the frame is consumed (ADVICE r13: assignCellsHier's anti-join
+    // totality fallback paid two extra passes during the sf100 build).
+    // A shuffle-rooted frame is already at session/AQE width, so the
+    // correct answer there is also the cheap one: leave it alone.
+    val shuffleRooted = {
+      import org.apache.spark.sql.catalyst.plans.{logical => lg}
+      source.queryExecution.optimizedPlan.exists {
+        case _: lg.Join | _: lg.Aggregate | _: lg.Window | _: lg.Sort |
+             _: lg.Deduplicate | _: lg.RepartitionOperation | _: lg.GlobalLimit => true
+        case _ => false
+      }
+    }
+    if (!shuffleRooted && source.rdd.getNumPartitions < parts)
+      derived.repartition(parts)
+    else derived
   }
 
   /** Attach the vector and its L2 norm (computed once); `passthrough`
@@ -416,7 +435,23 @@ object Similarity {
   private[graft] def assignCellsHier(emb: DataFrame, centroids: DataFrame,
                                      idCol: String, vecCol: String,
                                      branches: Int,
-                                     branchProbe: Int): DataFrame = {
+                                     branchProbe: Int): DataFrame =
+    assignCellsHierWithHandle(emb, centroids, idCol, vecCol, branches, branchProbe)._1
+
+  /** [[assignCellsHier]] plus the internal persisted frame as a RELEASE
+    * HANDLE: the returned result is a union that references the persist
+    * from two subtrees, so `.unpersist()` on the result cannot reach it.
+    * Lazy-serve callers keep the query-lifetime persist and rely on the
+    * [[graft.engine.Scoped]] runner contract; a caller that fully
+    * consumes the frame in ONE action (AnnIndex.stageAuto's postings
+    * write) unpersists the handle right after — no n-row assignment
+    * cache left for sessions that never call releaseAll (ADVICE r13).
+    */
+  private[graft] def assignCellsHierWithHandle(
+      emb: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      branches: Int,
+      branchProbe: Int): (DataFrame, DataFrame) = {
     require(branches >= 1 && branchProbe >= 1,
       "assignCellsHier: branches and branchProbe must be >= 1")
     VectorExpressions.register(emb.sparkSession)
@@ -456,7 +491,7 @@ object Similarity {
       .persist()
     // totality fallback: exact argmax for any vector the probe dropped
     val missing = emb.join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
-    assigned.unionByName(assignCells(missing, centroids, idCol, vecCol))
+    (assigned.unionByName(assignCells(missing, centroids, idCol, vecCol)), assigned)
   }
 
   /** Branch count for [[assignCellsHier]]: √cells — balances the two

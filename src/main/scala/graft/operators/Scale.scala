@@ -220,9 +220,14 @@ object Scale {
       ranked.crossJoin(broadcast(stats))
         .filter(col("rn") === ceil(lit(p) * col("n_keys")).cast("long"))
         .select(col("cnt").as(name))
+    // the rank-picks are 1-row frames, but the planner cannot see that
+    // through the window+filter lineage: unhinted, the inner cross joins
+    // planned as CartesianProduct at sf1+ (each cartesian PARTITION PAIR
+    // re-evaluates both sides — the classic scale killer this profile
+    // exists to diagnose). broadcast() pins BroadcastNestedLoopJoin.
     stats
-      .crossJoin(pick(0.5, "p50_cnt"))
-      .crossJoin(pick(0.99, "p99_cnt"))
+      .crossJoin(broadcast(pick(0.5, "p50_cnt")))
+      .crossJoin(broadcast(pick(0.99, "p99_cnt")))
       .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
         skewX1000Expr.as("skew_x1000"))
   }

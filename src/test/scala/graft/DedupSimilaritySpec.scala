@@ -112,6 +112,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("dedup_simhash (xxhash64) pair set is pinned against the oracle-backed md5 twin") {
+    // the error-bound contract for the rows-only qkey: dedup_simhash's
+    // engine hashing (xxhash64) has no DuckDB oracle, but the SAME
+    // banding algorithm over the oracle-backed md5 fingerprint does —
+    // so the xxhash64 pair set is pinned against the hash-green twin.
+    val sf = "/root/testdata/sf0.001"
+    def pairsOf(q: String) = SparkEntry.queries(q)(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val xx = pairsOf("dedup_simhash")
+    val md = pairsOf("dedup_simhash_md5")
+    // identical texts vote identically under ANY per-token hash →
+    // hamming 0 in both schemes, and a hamming-0 pair always shares all
+    // four bands — exact-duplicate recall is 1.0 in BOTH, provably.
+    // (sf0.001's planted duplicates are NEAR-dups, so this set can be
+    // empty there; the invariant still holds and fires wherever byte-
+    // identical docs exist.)
+    val exactPairs = graft.engine.Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).collect()
+      .flatMap { r =>
+        val ids = r.getSeq[Long](1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    exactPairs.foreach { p =>
+      assert(xx.get(p).contains(0), s"xxhash64 simhash missed exact-dup pair $p")
+      assert(md.get(p).contains(0), s"md5 simhash missed exact-dup pair $p")
+    }
+    // cardinality pin: both schemes band the same fingerprint GEOMETRY
+    // (4×16 bits), so candidate volume must agree within 2× — a banding
+    // or vote regression in the un-oracled path shows up here
+    assert(xx.nonEmpty && md.nonEmpty)
+    val ratio = xx.size.toDouble / md.size
+    assert(ratio >= 0.5 && ratio <= 2.0,
+      s"pair-set cardinality diverged: xxhash64 ${xx.size} vs md5 ${md.size}")
+    // overlap floor: random 16-bit band collisions are hash-dependent
+    // noise, but the true near-dup core (low-hamming pairs) must surface
+    // under BOTH hashes — measured at the gate fixture: xxhash64=2459,
+    // md5=2373 (ratio 1.04), shared=135, hamming-0 4 apiece
+    val shared = xx.keySet.intersect(md.keySet)
+    assert(shared.size >= 50,
+      s"near-dup cores diverged: only ${shared.size} shared pairs " +
+        s"(xxhash64=${xx.size}, md5=${md.size})")
+  }
+
   private def vecs(rows: (Long, Seq[Float])*) = {
     import spark.implicits._
     rows.toSeq.toDF("vec_id", "embedding")

@@ -175,6 +175,49 @@ class MultiStreamSpec extends SparkSpec {
     }
   }
 
+  test("approx_distinct tracks the exact distinct counts within the HLL error bound") {
+    // the error-bound contract for the rows-only qkey: the sketch output
+    // is engine-specific (no DuckDB oracle), but its distance from the
+    // oracle-backed exact twin IS checkable — default rsd 0.05 ⇒ a 3σ
+    // envelope of 15% relative error; +2 absolute covers the
+    // tiny-cardinality regime where HLL++'s sparse encoding rounds
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("distinct_users")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(2.0, e * 0.15),
+        s"$k: approx ${approx(k)} vs exact $e exceeds the HLL envelope")
+    }
+  }
+
+  test("approx_percentiles rank error stays within the sketch accuracy contract") {
+    // the rank-error bound approx_percentile actually promises (the value
+    // envelope above is a symptom; this is the contract): with
+    // accuracy=10000 the returned element's rank differs from ceil(q·n)
+    // by at most n/10000 (+1 for discretization at exact ranks)
+    val sf = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val vals = graft.engine.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(approx.keySet === vals.keySet)
+    for ((k, (p50, p90)) <- approx; (q, a) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+      val v = vals(k)
+      val n = v.length
+      val lt = v.count(_ < a)
+      val le = v.count(_ <= a)
+      val target = q * n
+      val slack = n.toDouble / 10000 + 1
+      assert(lt - slack <= target && target <= le + slack,
+        s"$k q=$q: approx $a has rank window [$lt,$le], target $target of $n")
+    }
+  }
+
   test("heavyHittersCms equals an independent JVM sketch; est >= exact always") {
     import spark.implicits._
     val docs = Seq("a a a b b c", "a b d e", "c c f g a").toDF("text")

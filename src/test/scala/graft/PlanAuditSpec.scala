@@ -186,6 +186,61 @@ class PlanAuditSpec extends AnyFunSuite {
         s"step filter for '$t' must push into the parquet scan")
   }
 
+  test("no scale-killer strategies in ANY plans artifact: CartesianProduct and " +
+      "single-partition exchanges only where semantics are global") {
+    // The hand audit the round-13 verdict ran, locked in as a spec: a
+    // CartesianProduct evaluates every partition PAIR (quadratic tasks),
+    // and an Exchange SinglePartition funnels the stage through one task
+    // — either one appearing in a new query at any recorded scale is a
+    // regression unless the operator's SEMANTICS are global.
+    //
+    // CartesianProduct allowlist: the deliberately-registered exact
+    // all-pairs oracle baselines ONLY (vector pairs with a non-equi
+    // cosine-threshold condition; gate-scale correctness anchors,
+    // config-skipped by Bench at scale). Everything else — including
+    // every report/profile — must stay broadcast or equi-join.
+    val cartesianOk = Set("dedup_embedding", "embedding_dedup_qa")
+    // SinglePartition allowlist: ops whose CONTRACT is one global result
+    // or one global ordering — global-window emulations of the
+    // reference's parallelism-1 AllWindowed streams (count_window,
+    // session_count), global-scalar aggregates and TPC-H scalar
+    // subqueries (coprocess_ratio, funnel_steps, q6/q11/q14/q15/q17/
+    // q19/q22, corpus-constant aggregates in bm25/tfidf/token stats),
+    // one-row QA/profile reports, and global curriculum/rank orderings.
+    val singlePartOk = Set(
+      "ann_recall_report", "bm25_topk", "cms_counters", "coprocess_ratio",
+      "count_window", "curriculum_order", "dedup_qa_report",
+      "dedup_qa_report_staged", "embedding_dedup_qa", "funnel_steps",
+      "key_skew_profile", "knn_ivf_auto", "mrl_recall", "packing_stats",
+      "pq_knn_rerank", "q11_important_parts", "q14_promo",
+      "q15_top_supplier", "q17_small_qty", "q19_disjunct",
+      "q22_idle_custs", "q6_forecast", "quality_token_budget",
+      "session_count", "stratified_sample", "tfidf_top_terms",
+      "token_rarity", "token_surprisal")
+    val keyRe = "(?m)^== ([a-z0-9_]+)$".r
+    for (name <- Seq("PLANS.txt", "PLANS_sf1.txt", "PLANS_sf10.txt", "PLANS_sf100.txt")) {
+      val p = java.nio.file.Paths.get(name)
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val ms = keyRe.findAllMatchIn(txt).toSeq
+        val secs = ms.zipWithIndex.map { case (m, i) =>
+          val end = if (i + 1 < ms.size) ms(i + 1).start else txt.length
+          m.group(1) -> txt.substring(m.end, end)
+        }
+        val cartesianBad = secs.collect {
+          case (k, s) if s.contains("CartesianProduct") && !cartesianOk(k) => k }
+        assert(cartesianBad.isEmpty,
+          s"$name: CartesianProduct outside the exact all-pairs baselines: " +
+            cartesianBad.distinct.sorted.mkString(","))
+        val singleBad = secs.collect {
+          case (k, s) if s.contains("SinglePartition") && !singlePartOk(k) => k }
+        assert(singleBad.isEmpty,
+          s"$name: single-partition exchange in a non-global-semantics op: " +
+            singleBad.distinct.sorted.mkString(","))
+      }
+    }
+  }
+
   test("PLANS_sf1.txt (when present) also covers the registry with no failed explains") {
     // the at-scale audit artifact, regenerated on demand against the
     // ScaleUp-built data/sf1 — optional because that dataset is not

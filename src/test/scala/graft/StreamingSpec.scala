@@ -966,7 +966,10 @@ class StreamingSpec extends SparkSpec {
     // so the suppression branch must re-arm it — without that, the
     // in-window redelivery below disarms expiry permanently and the
     // final post-expiry repeat is suppressed forever.
-    val ttlMs = 2000L
+    // TTL of 10 s (ADVICE r13): with 2 s, the redelivery + fixed 1 s
+    // poll sleep could slip past expiry on a loaded machine, turning the
+    // "suppressed" assertion flaky — the window now has generous slack.
+    val ttlMs = 10000L
     val q = StreamingOps.bm25TopKStream(input.toDF().select(col("value").as("term")),
         scored, 5, servedTtl = Some(java.time.Duration.ofMillis(ttlMs)))
       .writeStream.format("memory").queryName("bm25_ttl_redeliver")
@@ -1021,6 +1024,7 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
     progressed("tumbling")
+    progressed("countTrigger") // non-purging wiring of the shared branch
     progressed("purgingTrigger")
     val dir = java.nio.file.Files.createTempDirectory("graft_demo_spec").toString
     progressed("file", Some(dir))
