@@ -657,7 +657,7 @@ object Dedup {
     * ([[SigIndex.embeddingLshAutoStaged]]) can build it once per corpus
     * revision and read it from storage thereafter.
     */
-  private[functions] def embLshBandTable(n: DataFrame, idCol: String, numPlanes: Int,
+  private[graft] def embLshBandTable(n: DataFrame, idCol: String, numPlanes: Int,
                                          bitsPerBand: Int, dim: Int): DataFrame = {
     require(numPlanes % bitsPerBand == 0,
       s"numPlanes ($numPlanes) must be a multiple of bitsPerBand ($bitsPerBand): " +
@@ -699,8 +699,53 @@ object Dedup {
     * Output is the identical pair set (cosine per pair is
     * deterministic), so oracles and gate hashes are unchanged.
     */
-  private[functions] def embLshScore(bands: DataFrame, n: DataFrame, idCol: String,
-                                     threshold: Double): DataFrame = {
+  private[graft] def embLshScore(bands: DataFrame, n: DataFrame, idCol: String,
+                                     threshold: Double): DataFrame =
+    embLshScoreProbed(bands, n, idCol, threshold, bitsPerBand = 0, probeFlips = 0)
+
+  /** [[embLshScore]] with optional 1-bit multi-probe: with
+    * `probeFlips = 1` the PROBE side of the band self-join additionally
+    * emits each band key with every single bit flipped, so a pair is a
+    * candidate when its band keys differ by ≤ 1 bit — the recall
+    * compensation that lets [[lshGeometryFor]] keep shrinking buckets
+    * past the 16-bit clamp. Only one side expands (a 1-bit-apart pair
+    * matches exactly once: A's flip meets B's original); the stored band
+    * table stays unprobed — the store format is probe-agnostic, the
+    * policy is serve-time.
+    *
+    * Probed plan shape differs from the unprobed one deliberately: the
+    * (1+bits)× probe expansion must stay NARROW (id, band, key — the
+    * wide vector-attached shape the unprobed path uses would multiply
+    * the exchanged vector bytes by the probe factor), so candidates are
+    * deduped as bare id pairs first and the two vector attachments run
+    * on the deduped pair set. That re-attachment is exactly what the
+    * round-11 rewrite removed from the unprobed path — correct there,
+    * because without probes the band rows already carry vectors at no
+    * expansion; with probes the narrow-first shape exchanges ~20× fewer
+    * bytes. Measured A/B in graft.LshGeometrySweep.
+    */
+  private[graft] def embLshScoreProbed(bands: DataFrame, n: DataFrame, idCol: String,
+                                           threshold: Double, bitsPerBand: Int,
+                                           probeFlips: Int): DataFrame = {
+    require(probeFlips == 0 || probeFlips == 1, "probeFlips beyond 1 bit explodes volume")
+    if (probeFlips == 1) {
+      require(bitsPerBand > 0, "multi-probe needs the band width to enumerate flips")
+      val probes = bands.select(col(idCol).as("vec_a"), col("band"),
+        explode(expr(
+          s"array_union(array(key), transform(sequence(0, ${bitsPerBand - 1}), " +
+            "r -> key ^ shiftleft(1L, r)))")).as("key"))
+      val yk = bands.select(col(idCol).as("vec_b"), col("band"), col("key"))
+      val cand = probes.join(yk, Seq("band", "key"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      val nv = n.select(col(idCol), col("v"), col("nrm"))
+      val cos = Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+      return cand
+        .join(nv.select(col(idCol).as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+        .join(nv.select(col(idCol).as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+        .filter(cos >= threshold)
+        .select(col("vec_a"), col("vec_b"), round(cos, 4).as("cos_sim"))
+    }
     val wide = bands.join(n.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
     val x = wide.select(col(idCol).as("vec_a"), col("band"), col("key"),
       col("v").as("va"), col("nrm").as("na"))
@@ -758,6 +803,41 @@ object Dedup {
     require(n > 0 && targetBucket > 0, "corpus and bucket target must be positive")
     val raw = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
     math.max(minBits, math.min(maxBits, raw))
+  }
+
+  /** Band geometry PLUS probe policy for a corpus of `n` vectors — the
+    * round-14 extension past [[lshBitsFor]]'s 16-bit clamp. Below the
+    * clamp (n ≤ targetBucket·2^16 ≈ 1.05 M) the rule is [[lshBitsFor]]
+    * unchanged — zero geometry/oracle/store churn at every ≤sf10 scale.
+    * Above it, single-probe banding has no lever left: at the clamp,
+    * candidate volume grows linearly with n, while raising bits alone
+    * pays recall (at cos 0.9 the per-band collision odds shrink ~0.855×
+    * per added bit). So the probed regime re-sizes bits for 1-bit
+    * MULTI-PROBE banding: each vector additionally probes the `bits`
+    * buckets one flip away, so a pair collides per band when its keys
+    * differ by ≤ 1 bit — recall at cos 0.97 stays ≥ 0.99 where the
+    * unprobed 16-bit geometry gives ~0.92 (1-(1-p)^8 with
+    * p = s^b + b·s^(b-1)(1-s), s = 1-θ/π). Bits are chosen as the
+    * smallest b with n·(1+b)/2^b ≤ targetBucket — probe-INCLUSIVE
+    * per-vector candidate work stays at the same constant the unprobed
+    * rule targeted, for ANY n (at sf100's 2 M vectors: b = 22, ~2.8×
+    * fewer scored candidates than the clamped 16-bit geometry; measured
+    * in graft.LshGeometrySweep).
+    *
+    * Returns (bitsPerBand, probeFlips ∈ {0, 1}).
+    */
+  def lshGeometryFor(n: Long, targetBucket: Int = 16): (Int, Int) = {
+    require(n > 0 && targetBucket > 0, "corpus and bucket target must be positive")
+    val clamped = lshBitsFor(n, targetBucket)
+    val raw = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    if (raw <= 16) (clamped, 0)
+    else {
+      // smallest b ≥ 17 holding probed volume: n·(1+b)/2^b ≤ target.
+      // 62 is the Long band-key packing bound; n·(1+62)/2^62 ≤ target
+      // for any conceivable corpus, so the search always terminates.
+      val b = (17 to 62).find(b => n.toDouble * (1 + b) / math.pow(2.0, b) <= targetBucket).get
+      (b, 1)
+    }
   }
 
   /** [[embeddingLshPairs]] with corpus-sized band geometry (NOTES thread 0):

@@ -187,28 +187,69 @@ object Extended {
   }
 
   /** Hourly-grid resampling with last-observation-carried-forward — the
-    * align/fill primitive for sensor and metric series. The grid comes
-    * from each key's own [first, last] hour bounds via sequence() (no
-    * driver loop, no global-calendar cross join); the fill reuses the
-    * as-of union-scan idiom: tag grid and event rows, ONE hash shuffle on
-    * the key, running last(ignoreNulls) — never a grid×events join. Grid
-    * points before a key's first event are dropped (ASOF inner-join
-    * semantics). Event rows sort before grid rows at the same instant, so
-    * an on-the-hour event is visible to that hour's point.
+    * align/fill primitive for sensor and metric series. LEAD-RANGE form
+    * (round 14): each event covers the grid hours from its own timestamp
+    * (hour-ceiling) up to just before the NEXT event — `lead(us)` over
+    * the key, then a map-side `sequence()` explode per event. ONE hash
+    * shuffle of the EVENTS only; the grid rows (users × hours — 10× the
+    * event count at sf100: 1.05 B grid vs 100 M events, avg user spans
+    * 700 of 720 hours, so span-pruning has nothing to prune) are
+    * generated AFTER the shuffle and never exchanged or sorted. The
+    * previous union-scan form (tag grid + events, running
+    * last(ignoreNulls) window — kept as
+    * [[resampleLocfUnionScan]] for the A/B) shuffled and window-sorted
+    * all 1.15 B tagged rows; measured at sf100 in graft.LocfSweep.
     *
-    * Null-valued events are dropped up front: Spark's
+    * Range algebra (matches ASOF-inner-join semantics exactly):
+    * event at `us` with next event at `nus` covers hours
+    * [ceil_h(us), floor_h(nus − 1)]; the key's last event covers
+    * [ceil_h(us), floor_h(us)] (empty unless on the hour — later hours
+    * don't exist in the [first, last] grid). Consecutive ranges chain
+    * gaplessly: floor_h(nus−1) + 1 h == ceil_h(nus) for every nus. Grid
+    * points before a key's first event are dropped (inner semantics) —
+    * they are simply never generated. An on-the-hour event is visible
+    * to its own hour's point (`ceil_h(us) == us`).
+    *
+    * Null-valued events are dropped up front: a running
     * last(ignoreNulls=true) would skip them (carrying the OLDER value
     * forward) while an ASOF-join oracle returns the latest row's null —
-    * divergent semantics. Filtering them before the bounds computation
-    * makes "last observation" mean "last non-null observation" in both
-    * engines, and keys whose events are all null produce no grid.
+    * divergent semantics. Filtering them first makes "last observation"
+    * mean "last non-null observation" in both engines, and keys whose
+    * events are all null produce no grid. Same-instant events per key
+    * must be unique (they are, at every recorded scale — probed sf0.01
+    * through sf100): under ties both this form and the ASOF oracle are
+    * order-ambiguous.
     */
   def resampleLocf(events: DataFrame, keyCol: String, tsCol: String, valCol: String): DataFrame = {
     val ev = events.filter(col(valCol).isNotNull)
       .select(col(keyCol), unix_micros(col(tsCol)).as("us"), col(valCol).as("v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("us"))
+    // `div`, not `/`: Column./ on longs is DOUBLE division. All epochs
+    // are positive, so truncating div == floor; hour-ceiling is the
+    // (us + hour−1) div hour idiom.
+    ev.withColumn("nus", lead(col("us"), 1).over(w))
+      .select(col(keyCol), col("v"),
+        expr("((us + 3599999999) div 3600000000) * 3600000000").as("g0"),
+        expr("coalesce((nus - 1) div 3600000000, us div 3600000000) * 3600000000").as("g1"))
+      .filter(col("g0") <= col("g1")) // sequence() rejects start > stop
+      .select(col(keyCol),
+        explode(sequence(col("g0"), col("g1"), lit(3600000000L))).as("us"),
+        col("v"))
+      .select(col(keyCol), expr("us div 1000000").as("gts_s"), col("v").as("locf_value"))
+  }
+
+  /** The round-5..13 union-scan form of [[resampleLocf]], kept as the
+    * A/B counterpart (graft.LocfSweep): tag grid and event rows, ONE
+    * hash shuffle on the key, running last(ignoreNulls) window. Correct
+    * and general (it also fills MISSING values, not just missing rows),
+    * but the shuffle carries events + grid ≈ 11× the event bytes at
+    * sf100 — the lead-range form above exchanges events only.
+    */
+  private[graft] def resampleLocfUnionScan(events: DataFrame, keyCol: String,
+                                           tsCol: String, valCol: String): DataFrame = {
+    val ev = events.filter(col(valCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("us"), col(valCol).as("v"))
     val bounds = ev.groupBy(col(keyCol)).agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
-    // `div`, not `/`: Column./ on longs is DOUBLE division — the quotient
-    // would round-trip back to us0 instead of flooring to the hour
     val grid = bounds.select(col(keyCol),
       explode(sequence(
         expr("(us0 div 3600000000) * 3600000000"),
@@ -397,17 +438,15 @@ object Extended {
     QueryDef(
       "resample_locf",
       // Time-series resampling to an hourly grid with last-observation-
-      // carried-forward — the align-sensors/fill-gaps primitive. The grid
-      // is generated per user from its own [first, last] hour bounds
-      // (sequence() — no driver loop, no cross join with a global
-      // calendar); the fill reuses the as-of union-scan idiom: tag grid
-      // and event rows, ONE hash shuffle on user_id, running
-      // last(ignoreNulls) window — never a per-grid-point subquery or a
-      // grid×events join. Grid points before a user's first event have
-      // nothing to carry forward and are dropped (ASOF inner-join
-      // semantics in the oracle). Comparisons are in epoch µs; event rows
-      // sort before grid rows at the same instant so an on-the-hour
-      // event is visible to that hour's grid point.
+      // carried-forward — the align-sensors/fill-gaps primitive. Lead-
+      // range form: lead(us) over user_id, then each event map-side
+      // sequence()-explodes the grid hours it covers — ONE shuffle of
+      // the EVENTS only; the (much larger) grid is generated after the
+      // exchange and never shuffled or sorted. Never a per-grid-point
+      // subquery or a grid×events join. Grid points before a user's
+      // first event have nothing to carry forward and are never emitted
+      // (ASOF inner-join semantics in the oracle). Comparisons are in
+      // epoch µs; an on-the-hour event covers its own hour's grid point.
       (s, dir) => resampleLocf(Tables.events(s, dir), "user_id", "ts", "value"),
       Some(
         """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
