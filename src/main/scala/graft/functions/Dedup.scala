@@ -663,22 +663,20 @@ object Dedup {
       s"numPlanes ($numPlanes) must be a multiple of bitsPerBand ($bitsPerBand): " +
         "trailing sign bits would silently never band-join")
     require(bitsPerBand <= 62, "band key is packed into one Long")
-    val numBands = numPlanes / bitsPerBand
-    val planes = Similarity.md5Hyperplanes(numPlanes, dim)
-    def bit(p: Int): Column =
-      when(Similarity.dot(col("v"), typedLit(planes(p).toSeq)) > 0, lit(1L)).otherwise(lit(0L))
-    val bandStructs = (0 until numBands).map { b =>
-      val key = (0 until bitsPerBand).map(r => bit(b * bitsPerBand + r) * lit(1L << r)).reduce(_ + _)
-      // fail fast on a dim mismatch: VectorDotProduct truncates to the
-      // shorter side, which would silently band on a prefix of the vector
-      val guarded = when(size(col("v")) =!= dim,
-        raise_error(concat(lit(s"embeddingLshPairs: expected $dim-dim vectors, got "), size(col("v")))))
-        .otherwise(key)
-      struct(lit(b).as("band"), guarded.as("key"))
-    }
+    // ONE compiled loop for all planes ([[VectorSignBands]]): the old
+    // composable form (numPlanes inlined dot expressions per projection)
+    // exceeded the JIT method limit at production widths and ran
+    // INTERPRETED — 570 of the 597 s sf100 inline run, and the whole of
+    // the "vlsh build 688 s" round-13 entry. Keys are bit-identical
+    // (same per-element double widening, same accumulation order), so
+    // stores and oracles are unchanged. Dim mismatch fails fast inside
+    // the expression — banding a prefix would be a silent wrong answer.
+    VectorExpressions.register(n.sparkSession)
+    val planesFlat = Similarity.md5Hyperplanes(numPlanes, dim).flatMap(_.toSeq)
     // narrow band index (id, band, key); both self-join sides read it
-    n.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    n.select(col(idCol),
+        posexplode(VectorExpressions.vectorSignBands(col("v"), planesFlat, dim, bitsPerBand)))
+      .toDF(idCol, "band", "key")
   }
 
   /** Candidate band self-join + exact cosine scoring over any (id, band,
@@ -806,37 +804,49 @@ object Dedup {
   }
 
   /** Band geometry PLUS probe policy for a corpus of `n` vectors — the
-    * round-14 extension past [[lshBitsFor]]'s 16-bit clamp. Below the
-    * clamp (n ≤ targetBucket·2^16 ≈ 1.05 M) the rule is [[lshBitsFor]]
-    * unchanged — zero geometry/oracle/store churn at every ≤sf10 scale.
-    * Above it, single-probe banding has no lever left: at the clamp,
-    * candidate volume grows linearly with n, while raising bits alone
-    * pays recall (at cos 0.9 the per-band collision odds shrink ~0.855×
-    * per added bit). So the probed regime re-sizes bits for 1-bit
-    * MULTI-PROBE banding: each vector additionally probes the `bits`
-    * buckets one flip away, so a pair collides per band when its keys
-    * differ by ≤ 1 bit — recall at cos 0.97 stays ≥ 0.99 where the
-    * unprobed 16-bit geometry gives ~0.92 (1-(1-p)^8 with
-    * p = s^b + b·s^(b-1)(1-s), s = 1-θ/π). Bits are chosen as the
-    * smallest b with n·(1+b)/2^b ≤ targetBucket — probe-INCLUSIVE
-    * per-vector candidate work stays at the same constant the unprobed
-    * rule targeted, for ANY n (at sf100's 2 M vectors: b = 22, ~2.8×
-    * fewer scored candidates than the clamped 16-bit geometry; measured
-    * in graft.LshGeometrySweep).
+    * round-14 rule past [[lshBitsFor]]'s 16-bit clamp, CHOSEN FROM
+    * MEASUREMENT (graft.LshProbeSweep at sf10 + sf100; BASELINE.md):
+    *
+    * Default (`probeRecall = false`): bits keep growing with the corpus
+    * — `ceil(log2(n/targetBucket))`, UNCLAMPED (62 = the Long-packing
+    * bound) — and no probe. Mean bucket occupancy stays ≈ targetBucket
+    * at any n, so candidate volume is ~bands·target/2 per vector
+    * (linear in n, constant per-vector work) forever. The recall cost
+    * of each added bit is real but gentle in the production near-dup
+    * regime, measured not modeled: clustered-fixture recall at
+    * cos ≥ 0.9 is 0.999 @14 bits, 0.995 @16, 0.991 @18, 0.985 @20,
+    * 0.974 @22. (The old 16-bit clamp guarded banding COST, which grew
+    * with bits only because the per-plane dot projection ran
+    * INTERPRETED — the bottleneck [[VectorSignBands]] removed; with it
+    * gone, wider bands are nearly free at build and halve serve
+    * candidates per bit.) Identical to the old rule at every n below
+    * the clamp — zero geometry/oracle/store churn at the gates and
+    * ≤sf10.
+    *
+    * `probeRecall = true`: 1-bit multi-probe with bits re-sized so
+    * probe-INCLUSIVE volume n·(1+b)/2^b ≤ targetBucket — recall 1.000
+    * measured at sf100 geometry (vs 0.995 unprobed) but 2.2× the
+    * inline wall (1308 vs 597 s at sf100, pre-VectorSignBands: the
+    * narrow probe expansion + pair dedup + double vector re-attach
+    * dominates). The measured-negative default, kept for
+    * recall-critical serving.
     *
     * Returns (bitsPerBand, probeFlips ∈ {0, 1}).
     */
-  def lshGeometryFor(n: Long, targetBucket: Int = 16): (Int, Int) = {
+  def lshGeometryFor(n: Long, targetBucket: Int = 16,
+                     probeRecall: Boolean = false): (Int, Int) = {
     require(n > 0 && targetBucket > 0, "corpus and bucket target must be positive")
-    val clamped = lshBitsFor(n, targetBucket)
-    val raw = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
-    if (raw <= 16) (clamped, 0)
+    if (!probeRecall) (lshBitsFor(n, targetBucket, maxBits = 62), 0)
     else {
-      // smallest b ≥ 17 holding probed volume: n·(1+b)/2^b ≤ target.
-      // 62 is the Long band-key packing bound; n·(1+62)/2^62 ≤ target
-      // for any conceivable corpus, so the search always terminates.
-      val b = (17 to 62).find(b => n.toDouble * (1 + b) / math.pow(2.0, b) <= targetBucket).get
-      (b, 1)
+      val raw = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+      if (raw <= 16) (lshBitsFor(n, targetBucket), 0)
+      else {
+        // smallest b ≥ 17 holding probed volume: n·(1+b)/2^b ≤ target.
+        // n·(1+62)/2^62 ≤ target for any conceivable corpus, so the
+        // search always terminates.
+        val b = (17 to 62).find(b => n.toDouble * (1 + b) / math.pow(2.0, b) <= targetBucket).get
+        (b, 1)
+      }
     }
   }
 
@@ -856,10 +866,16 @@ object Dedup {
                             threshold: Double, numBands: Int = 8,
                             targetBucket: Int = 16, dim: Int = 64): DataFrame = {
     // max(1, n): an empty corpus has no meaningful geometry but must
-    // still plan (output is empty regardless of band width)
-    val bits = lshBitsFor(math.max(1L, emb.count()), targetBucket)
-    embeddingLshPairs(emb, idCol, vecCol, threshold,
-      numPlanes = numBands * bits, bitsPerBand = bits, dim = dim)
+    // still plan (output is empty regardless of band width).
+    // Geometry comes from [[lshGeometryFor]]: identical to the old
+    // lshBitsFor rule (probe off) at every corpus up to ~1 M vectors —
+    // gates and oracles unchanged — and the volume-equalized 1-bit
+    // multi-probe regime past the old 16-bit clamp (round 14; A/B in
+    // BASELINE.md's LshProbeSweep table).
+    val (bits, probe) = lshGeometryFor(math.max(1L, emb.count()), targetBucket)
+    val n = Similarity.withNorm(emb, idCol, vecCol).persist()
+    val bands = embLshBandTable(n, idCol, numBands * bits, bits, dim).persist()
+    embLshScoreProbed(bands, n, idCol, threshold, bits, probe)
   }
 
   /** Oracle of `dedup_embedding_lsh_auto`, pinned to the geometry the

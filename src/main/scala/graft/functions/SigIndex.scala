@@ -189,7 +189,11 @@ object SigIndex {
   def stageEmbLsh(spark: SparkSession, dir: String, numBands: Int = 8,
                   targetBucket: Int = 16, dim: Int = 64): String = {
     val emb = Tables.embeddings(spark, dir)
-    val bits = Dedup.lshBitsFor(emb.count(), targetBucket)
+    // geometry from lshGeometryFor (round 14): unchanged through the old
+    // 16-bit clamp; past it the store keys on the PROBED bits — probe
+    // itself is a serve-time policy over the same unprobed band rows,
+    // but the bit width is part of the directory fingerprint
+    val (bits, _) = Dedup.lshGeometryFor(emb.count(), targetBucket)
     buildOnce(spark, storePath(spark, dir, "vlsh", s"b${numBands}x${bits}_r1"),
         "_GRAFT_VLSH_OK") { base =>
       Dedup.embLshBandTable(Similarity.withNorm(emb, "vec_id", "embedding"),
@@ -208,9 +212,11 @@ object SigIndex {
                              threshold: Double = 0.4): DataFrame = {
     val base = stageEmbLsh(spark, dir)
     val bands = spark.read.parquet(s"$base/bands")
+    // serve probes with the same rule the build keyed the store on
+    val (bits, probe) = Dedup.lshGeometryFor(Tables.embeddings(spark, dir).count())
     // normalized vectors feed both scoring sides → persist
     val n = Similarity.withNorm(Tables.embeddings(spark, dir), "vec_id", "embedding").persist()
-    Dedup.embLshScore(bands, n, "vec_id", threshold)
+    Dedup.embLshScoreProbed(bands, n, "vec_id", threshold, bits, probe)
   }
 
   /** Staged BM25 postings index — retrieval as build-once/serve-many.

@@ -80,6 +80,93 @@ case class VectorDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-LSH band keys of a float vector in ONE compiled loop.
+  *
+  * The composable form — `numPlanes` separate [[VectorDotProduct]] calls
+  * wrapped in when()/shiftleft()/sum chains inside one projection — is
+  * correct but BLOWS THE JIT METHOD LIMIT once planes reach production
+  * width (8 bands × 16 bits = 128 inlined dot loops in the generated
+  * method): HotSpot refuses to compile it and the whole banding
+  * projection runs in the bytecode interpreter, measured ~2 µs per dot —
+  * 570 of the 597 s sf100 inline LSH run, and the entirety of the
+  * round-13 "vlsh build 688 s" entry (the staged SERVE of the same data
+  * is 29 s). Same failure mode as the round-1 SimHash lesson, one level
+  * up. This expression emits ONE call into a pre-compiled helper whose
+  * plane×dim loop JITs once: generated code stays tiny at any geometry.
+  *
+  * Key parity contract: bit r of band b is `dot(v, plane[b·bits+r]) > 0`
+  * with the SAME arithmetic as [[VectorDotProduct]] (per-element
+  * float→double widening, sequential left-to-right double accumulation
+  * — and IEEE multiplication is commutative bitwise, so plane·v == v·plane),
+  * so keys are bit-identical to the old projection: existing stores stay
+  * valid, oracles unchanged.
+  *
+  * Planes arrive FLAT (plane p occupies [p·dim, (p+1)·dim)); a vector of
+  * any other length than `dim` fails fast — truncating would silently
+  * band on a prefix.
+  */
+case class VectorSignBands(child: Expression, planes: Seq[Float],
+                           dim: Int, bitsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(dim > 0 && bitsPerBand > 0 && planes.nonEmpty &&
+    planes.length % (dim * bitsPerBand) == 0,
+    "vector_sign_bands: planes must hold whole bands of whole planes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "vector_sign_bands"
+
+  @transient private lazy val flat: Array[Float] = planes.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorSignBands.compute(input.asInstanceOf[ArrayData], flat, dim, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorSignBands.compute(" +
+        s"$v, $planesRef, $dim, $bitsPerBand);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorSignBands {
+  /** Shared by eval and codegen — one JIT-compiled loop for any geometry. */
+  def compute(v: ArrayData, planes: Array[Float], dim: Int, bitsPerBand: Int): ArrayData = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"embeddingLshPairs: expected $dim-dim vectors, got ${v.numElements()}")
+    val numBands = planes.length / (dim * bitsPerBand)
+    val keys = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var key = 0L
+      var r = 0
+      while (r < bitsPerBand) {
+        var s = 0.0
+        var i = 0
+        var off = (b * bitsPerBand + r) * dim
+        while (i < dim) {
+          s += planes(off).toDouble * v.getFloat(i).toDouble
+          i += 1
+          off += 1
+        }
+        if (s > 0) key |= (1L << r)
+        r += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+}
+
 object VectorExpressions {
   /** Column-API handle for [[VectorDotProduct]]. Spark 4's Column no longer
     * exposes the catalyst expression directly, so the handle goes through
@@ -107,6 +194,39 @@ object VectorExpressions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "vector_dot", exprs => VectorDotProduct(exprs(0), exprs(1)), "built-in")
     }
+    val sb = org.apache.spark.sql.catalyst.FunctionIdentifier("vector_sign_bands")
+    if (!spark.sessionState.functionRegistry.functionExists(sb)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vector_sign_bands", signBandsFromExprs, "built-in")
+    }
+  }
+
+  /** Column-API handle for [[VectorSignBands]] (see [[register]]). */
+  def vectorSignBands(v: Column, planesFlat: Seq[Float], dim: Int, bitsPerBand: Int): Column =
+    org.apache.spark.sql.functions.call_function("vector_sign_bands",
+      v, org.apache.spark.sql.functions.typedLit(planesFlat),
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(bitsPerBand))
+
+  /** Registry/extension constructor: the planes/dim/bits arguments must
+    * be LITERALS (the planes are plan-time constants by design — the
+    * md5-derived hyperplane table is part of the operator's identity).
+    */
+  private[functions] def signBandsFromExprs(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(exprs.length == 4,
+      "vector_sign_bands(vec, planesFlat, dim, bitsPerBand) takes 4 arguments")
+    val planes = exprs(1) match {
+      case Literal(a: ArrayData, ArrayType(FloatType, _)) => a.toFloatArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"vector_sign_bands: planes must be a float-array literal, got $other")
+    }
+    (exprs(2), exprs(3)) match {
+      case (Literal(dim: Int, _), Literal(bits: Int, _)) =>
+        VectorSignBands(exprs(0), planes, dim, bits)
+      case other => throw new IllegalArgumentException(
+        s"vector_sign_bands: dim and bitsPerBand must be int literals, got $other")
+    }
   }
 }
 
@@ -118,11 +238,18 @@ object VectorExpressions {
   * defensively.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[VectorDotProduct].getName, "vector_dot"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           VectorDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vector_sign_bands"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VectorSignBands].getName, "vector_sign_bands"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          VectorExpressions.signBandsFromExprs(exprs)))
+  }
 }

@@ -518,6 +518,97 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.lshBitsFor(4096) + 1 === Dedup.lshBitsFor(8192))
   }
 
+  test("lshGeometryFor: unclamped occupancy-constant bits by default, probed regime only on request") {
+    // below the old clamp the rule IS lshBitsFor with probe off — zero
+    // geometry/oracle/store churn at the gates and every <=sf10 scale
+    for (n <- Seq(500L, 20000L, 200000L, 16L * 65536L))
+      assert(Dedup.lshGeometryFor(n) === ((Dedup.lshBitsFor(n), 0)), s"n=$n")
+    // past it: bits keep growing (occupancy ~= targetBucket at any n —
+    // the CHOSEN rule; the LshProbeSweep sf100 A/B measured the probed
+    // alternative 2.2x slower for +0.005 production recall)
+    assert(Dedup.lshGeometryFor(2000000L) === ((17, 0))) // the sf100 corpus
+    val unclamped = Seq(2000000L, 20000000L, 200000000L, 2000000000L).map { n =>
+      val (b, p) = Dedup.lshGeometryFor(n)
+      assert(p === 0 && n.toDouble / math.pow(2.0, b) <= 16.0, s"n=$n b=$b")
+      b
+    }
+    assert(unclamped === unclamped.sorted && unclamped.head === 17)
+    // the recall-insurance variant: 1-bit multi-probe with bits re-sized
+    // so PROBE-INCLUSIVE volume n*(1+b)/2^b stays at the target
+    val (b100, p100) = Dedup.lshGeometryFor(2000000L, probeRecall = true)
+    assert(p100 === 1 && b100 === 22)
+    assert(2000000.0 * (1 + b100) / math.pow(2.0, b100) <= 16.0)
+    assert(2000000.0 * b100 / math.pow(2.0, b100 - 1) > 16.0,
+      "chosen bits must be the SMALLEST satisfying the volume bound")
+  }
+
+  test("1-bit multi-probe: candidate superset of unprobed at the same geometry, recall strictly lifted") {
+    import spark.implicits._
+    // clustered mixture (the regime the probe exists for): members of a
+    // tight cluster that differ in exactly one band bit are invisible to
+    // the unprobed join and caught by the probe
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val emb = (for { c <- 0 until 8; i <- 0 until 40 } yield {
+      val v = centers(c).map(x => x + 0.12f * rnd.nextGaussian().toFloat)
+      ((c * 40 + i).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val bits = 12
+    val n = Similarity.withNorm(emb, "vec_id", "embedding").persist()
+    val bands = Dedup.embLshBandTable(n, "vec_id", 8 * bits, bits, 64).persist()
+    def pairsOf(probe: Int) =
+      Dedup.embLshScoreProbed(bands, n, "vec_id", 0.9, bits, probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unprobed = pairsOf(0)
+    val probed = pairsOf(1)
+    assert(unprobed.subsetOf(probed),
+      "probing may only ADD candidates — hamming-0 pairs must all survive")
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r0 = unprobed.count(exact.contains).toDouble / exact.size
+    val r1 = probed.count(exact.contains).toDouble / exact.size
+    info(f"recall at cos>=0.9, ${bits}-bit bands: unprobed $r0%.3f -> probed $r1%.3f")
+    assert(r1 >= r0, "probe must never lose recall")
+    assert(r1 >= 0.9, f"probed recall $r1%.3f below 0.9 on clustered data")
+    spark.catalog.clearCache()
+  }
+
+  test("vector_sign_bands keys are bit-identical to the composable dot/when/shift formula") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val dim = 64
+    val emb = (0L until 200L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, "vec_id", "embedding")
+    for ((planes, bits) <- Seq((32, 4), (64, 8), (128, 16))) {
+      // the new single-expression path
+      val got = Dedup.embLshBandTable(n, "vec_id", planes, bits, dim)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // the pre-round-14 composable formula, reconstructed verbatim
+      val planeVals = Similarity.md5Hyperplanes(planes, dim)
+      def bit(p: Int) =
+        when(Similarity.dot(col("v"), typedLit(planeVals(p).toSeq)) > 0, lit(1L)).otherwise(lit(0L))
+      val structs = (0 until planes / bits).map { b =>
+        val key = (0 until bits).map(r => bit(b * bits + r) * lit(1L << r)).reduce(_ + _)
+        struct(lit(b).as("band"), key.as("key"))
+      }
+      val want = n.select(col("vec_id"), explode(array(structs: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band"), col("bk.key"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === want, s"key drift at geometry ($planes planes, $bits bits)")
+    }
+    // dim guard: a wrong-width vector fails fast, never bands a prefix
+    val bad = Seq((0L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Dedup.embLshBandTable(Similarity.withNorm(bad, "vec_id", "embedding"),
+        "vec_id", 32, 4, 64).collect()
+    }
+    assert(err.getMessage.contains("expected 64-dim") ||
+      Option(err.getCause).exists(_.getMessage.contains("expected 64-dim")))
+    spark.catalog.clearCache()
+  }
+
   test("embeddingLshPairsAuto equals the fixed geometry its rule selects") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val auto = Dedup.embeddingLshPairsAuto(emb, "vec_id", "embedding", 0.4)
