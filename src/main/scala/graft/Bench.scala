@@ -56,6 +56,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffled-hash over sort-merge when broadcast is off the table:
+      // with no downstream consumer of SMJ's sort order, the hash build
+      // skips sorting both sides of a 600 M-row join. Same-session
+      // interleaved min-of-2 at sf100 (graft.ShjSweep, round 14):
+      // q9 73.0 vs 99.8 s, q16 89.8 vs 135.6 s; mechanism-verified —
+      // exactly the SMJ nodes flip to ShuffledHashJoin, broadcasts
+      // unchanged. AQE still falls back to SMJ where a hash build
+      // cannot fit.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
