@@ -98,13 +98,35 @@ object Bench {
     val embRows =
       try graft.engine.Tables(spark, sfDir, "embeddings").count()
       catch { case _: Throwable => 0L }
-    val skipped = if (embRows > QuadraticMaxRows) {
+    val quadSkipped = if (embRows > QuadraticMaxRows) {
       System.err.println(
         s"[bench] skipping ${QuadraticBaselines.mkString(",")}: embeddings has " +
           s"$embRows rows > $QuadraticMaxRows — O(n²) exact baselines are " +
           "gate-only (use dedup_embedding_lsh_auto at scale)")
       QuadraticBaselines
     } else Set.empty[String]
+    // The two full-corpus EXACT staged anchors (n-gram jaccard and
+    // containment over every stored shingle posting) are correctness
+    // baselines whose production paths are the sampled presets
+    // (dedup_*_staged_sampled, 2.4-2.8 s at sf10). Above this corpus
+    // they are DISK-bound, not compute-bound: at sf100 (5 M docs) each
+    // spills >50 GB of posting-pair shuffle and ENOSPC'd this sandbox
+    // twice (round 14). Same hard-config treatment as the quadratic
+    // baselines — recorded in the JSON line, impossible to include in a
+    // scale-up bench by accident.
+    val ExactAnchors = Set("dedup_ngram_staged", "dedup_containment_staged")
+    val ExactAnchorMaxDocs = 1000000L
+    val docRows =
+      try graft.engine.Tables(spark, sfDir, "documents").count()
+      catch { case _: Throwable => 0L }
+    val anchorSkipped = if (docRows > ExactAnchorMaxDocs) {
+      System.err.println(
+        s"[bench] skipping ${ExactAnchors.mkString(",")}: documents has " +
+          s"$docRows rows > $ExactAnchorMaxDocs — full-corpus exact anchors " +
+          "are disk-bound at this scale (use the _sampled presets)")
+      ExactAnchors
+    } else Set.empty[String]
+    val skipped = quadSkipped ++ anchorSkipped
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         only.forall(_.contains(n)) && subset.forall(_.contains(n)) && !skipped.contains(n) }
