@@ -35,41 +35,11 @@ object Bench {
       case other => sys.error(
         s"SPARK_GRAFT_BENCH_SUBSET=$other not recognized (known: r1)")
     }
-    // shuffle partitions sized to the CORPUS, not the core count: the
-    // driver-side file-listing calculation a cluster job runs before a
-    // big shuffle (floor = 32 keeps every ≤sf10 artifact and timing
-    // identical; sf100's ~10 GB dir sizes up so no reduce partition
-    // carries gigabytes; AQE coalesces the too-many case at runtime)
-    val shufflePartitions = operators.Scale.shufflePartitionsFor(
-      operators.Scale.dirBytes(sfDir))
-    // Dev aid for config A/B runs: SPARK_GRAFT_CONF="k=v;k=v" overlays
-    // arbitrary session confs on top of the standard build (applied LAST,
-    // so an experiment can override any default above or below).
-    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      .map { kv =>
-        val i = kv.indexOf('=')
-        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
-        (kv.take(i), kv.drop(i + 1))
-      }
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
-      // shuffled-hash over sort-merge when broadcast is off the table:
-      // with no downstream consumer of SMJ's sort order, the hash build
-      // skips sorting both sides of a 600 M-row join. Same-session
-      // interleaved min-of-2 at sf100 (graft.ShjSweep, round 14):
-      // q9 73.0 vs 99.8 s, q16 89.8 vs 135.6 s; mechanism-verified —
-      // exactly the SMJ nodes flip to ShuffledHashJoin, broadcasts
-      // unchanged. AQE still falls back to SMJ where a hash build
-      // cannot fit.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ONE builder shared with Verify/Explain/StageBench — see
+    // graft.engine.RunnerSession for the full config rationale
+    // (corpus-sized shuffle partitions, AQE, shuffled-hash preference,
+    // UTC, SPARK_GRAFT_CONF overlay applied last).
+    val spark = graft.engine.RunnerSession.build(sfDir, cpus)
 
     // Warm-up: touch every table once (file-index + footer + codegen/JIT
     // init) so first-touch setup is not charged to whichever query happens

@@ -15,22 +15,15 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outFile = if (args.length > 1) args(1) else "PLANS.txt"
-    // Explain is a RUNNER like Verify/Bench: the in-session staging some
-    // queries perform (q18's bucketed tables rebuild per session — the
-    // in-memory catalog forgets them) is a real 600 M-row sort at sf100,
-    // so shuffle partitions derive from corpus bytes exactly as the
-    // other runners do (4 hardcoded partitions OOMed the sf100 staging).
-    // Partition counts in the dumped plan text follow the same rule, so
-    // the artifact reflects the configuration the benches actually run.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        operators.Scale.shufflePartitionsFor(operators.Scale.dirBytes(sfDir)))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // Explain is a RUNNER like Verify/Bench and builds the SAME session
+    // (graft.engine.RunnerSession — corpus-sized shuffle partitions, AQE,
+    // shuffled-hash preference): the dumped plans are exactly the plans
+    // the benches execute, join strategy included. Round 14's config
+    // drift — the bench preferring shuffled-hash joins while this dumper
+    // did not — made the committed artifacts structurally unable to show
+    // the strategy the benches ran; sharing the builder closes that class
+    // of drift permanently.
+    val spark = graft.engine.RunnerSession.build(sfDir, logLevel = "ERROR")
 
     val sb = new StringBuilder
     var nFailed = 0

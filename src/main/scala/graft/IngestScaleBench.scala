@@ -22,16 +22,8 @@ import graft.streaming.StreamingOps
 object IngestScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/data/sf10")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        operators.Scale.shufflePartitionsFor(operators.Scale.dirBytes(sfDir)))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // shared runner builder — see graft.engine.RunnerSession
+    val spark = graft.engine.RunnerSession.build(sfDir, "32", logLevel = "ERROR")
     import spark.implicits._
     implicit val sq = spark.sqlContext
 
@@ -40,6 +32,7 @@ object IngestScaleBench {
       val times = (1 to batches).map { i =>
         feed(i); procAll(); lastMs()
       }
+      // -1 marks "no progress event yet" (see lastMs guards below)
       println(s"[ingest-scale] $sfDir $label per-batch ms: ${times.mkString(", ")}")
     }
 
@@ -62,7 +55,9 @@ object IngestScaleBench {
       try perBatch(s"dedup_incremental (store=$nDocs docs)")(
         i => { input.addData(batchDocs(i - 1).toSeq); () },
         () => q.processAllAvailable(),
-        () => q.lastProgress.durationMs.get("triggerExecution"), batchDocs.size)
+        () => Option(q.lastProgress)
+          .flatMap(pr => Option(pr.durationMs.get("triggerExecution")))
+          .map(_.longValue).getOrElse(-1L), batchDocs.size)
       finally q.stop()
       graft.engine.Scoped.releaseAll(spark)
     }
@@ -81,7 +76,9 @@ object IngestScaleBench {
       try perBatch(s"ivf_assign (cells=$cells)")(
         i => { input.addData(batchVecs(i - 1).toSeq); () },
         () => q.processAllAvailable(),
-        () => q.lastProgress.durationMs.get("triggerExecution"), batchVecs.size)
+        () => Option(q.lastProgress)
+          .flatMap(pr => Option(pr.durationMs.get("triggerExecution")))
+          .map(_.longValue).getOrElse(-1L), batchVecs.size)
       finally q.stop()
       graft.engine.Scoped.releaseAll(spark)
     }

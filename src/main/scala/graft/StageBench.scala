@@ -19,16 +19,8 @@ object StageBench {
   def main(args: Array[String]): Unit = {
     val only = args.headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/data/sf1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        operators.Scale.shufflePartitionsFor(operators.Scale.dirBytes(sfDir)))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // shared runner builder — see graft.engine.RunnerSession
+    val spark = graft.engine.RunnerSession.build(sfDir, "32", logLevel = "ERROR")
     import graft.functions.{AnnIndex, SigIndex, TextAnalysis}
     import org.apache.spark.sql.functions.col
 
@@ -58,6 +50,7 @@ object StageBench {
     timed("build shingle store") { SigIndex.stageShingles(spark, sfDir) }
     timed("build vlsh bucket store") { SigIndex.stageEmbLsh(spark, sfDir) }
     timed("build bm25 postings") { SigIndex.stageBm25(spark, sfDir) }
+    timed("build cluster map (CC)") { SigIndex.stageClusters(spark, sfDir) }
     timed("build ann (ivf+pq+ivfpq)") { AnnIndex.stageOnce(spark, sfDir) }
     timed("build ann auto (cells=√n)") { AnnIndex.stageAuto(spark, sfDir) }
     timed("build ann incr base+delta") { AnnIndex.appendToIndex(spark, sfDir, AnnIndex.incrNewPred) }
@@ -67,6 +60,8 @@ object StageBench {
     timed("serve dedup_ngram_sampled") { SigIndex.ngramJaccardStagedSampled(spark, sfDir).count() }
     timed("serve dedup_contain_sampled") { SigIndex.ngramContainmentStagedSampled(spark, sfDir).count() }
     timed("serve emb_lsh_auto_staged") { SigIndex.embeddingLshAutoStaged(spark, sfDir).count() }
+    timed("serve dedup_clusters_staged") { SigIndex.dedupClustersStaged(spark, sfDir).count() }
+    timed("serve dedup_pipeline_staged") { SigIndex.dedupPipelineStaged(spark, sfDir).count() }
     timed("serve bm25_topk_staged") {
       SigIndex.bm25TopKStaged(spark, sfDir, TextAnalysis.Bm25Terms, 5).count()
     }

@@ -6,19 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // corpus-sized shuffle partitions, floor 32 (see Bench for the
-    // rationale). Gate runs previously executed at cpus-default width;
-    // results are partition-count invariant (r13 parity passed all 177
-    // keys at the new width), large corpora size up.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        operators.Scale.shufflePartitionsFor(operators.Scale.dirBytes(sfDir)))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ONE builder shared with Bench/Explain/StageBench (see
+    // graft.engine.RunnerSession): gate runs execute the same join
+    // strategy and partition sizing as the benches. Results are
+    // strategy- and width-invariant (r13 parity passed all 177 keys at
+    // the corpus-derived width), so hashes are unchanged.
+    val spark = graft.engine.RunnerSession.build(sfDir)
     new java.io.File(outDir).mkdirs()
     def rmdir(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()

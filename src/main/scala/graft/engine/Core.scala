@@ -76,6 +76,64 @@ object GraftSql {
   }
 }
 
+/** ONE session builder for every artifact-producing runner (Bench,
+  * Verify, Explain, StageBench, IngestScaleBench): the round-14 verdict
+  * found the bench executing `preferSortMergeJoin=false` while the plan
+  * dumper and the gate runner did not — the committed plan artifacts
+  * could never show the ShuffledHashJoin strategy the benches actually
+  * ran. Centralizing the build makes "the plans are the plans the bench
+  * executes" a structural property instead of a per-main convention.
+  *
+  * The configuration, in order:
+  *  - `local[cpus]` from SPARK_GRAFT_CPUS (per-main default);
+  *  - shuffle partitions sized to the CORPUS, not the core count — the
+  *    driver-side file-listing calculation a cluster job runs before a
+  *    big shuffle (floor 32 keeps every ≤sf10 artifact identical;
+  *    sf100's ~10 GB dirs size up so no reduce partition carries
+  *    gigabytes; AQE coalesces the too-many case at runtime);
+  *  - AQE on (runtime re-plan: skew splits, coalescing, SMJ fallback);
+  *  - shuffled-hash over sort-merge when broadcast is off the table:
+  *    with no downstream consumer of SMJ's sort order, the hash build
+  *    skips sorting both sides of a 600 M-row join. Same-session
+  *    interleaved min-of-2 at sf100 (graft.ShjSweep, round 14): q9 73.0
+  *    vs 99.8 s, q16 89.8 vs 135.6 s; mechanism-verified — exactly the
+  *    SMJ nodes flip to ShuffledHashJoin, broadcasts unchanged. AQE
+  *    still falls back to SMJ where a hash build cannot fit;
+  *  - UTC + no UI;
+  *  - SPARK_GRAFT_CONF="k=v;k=v" overlay applied LAST, so a config A/B
+  *    can override any default above.
+  *
+  * Results are strategy- and partition-count-invariant (r13 parity ran
+  * all 177 gate keys at the corpus-derived width; SHJ/SMJ agree by
+  * definition), so Verify sharing this build changes no hashes.
+  */
+object RunnerSession {
+  def build(sfDir: String, defaultCpus: String = "4",
+            logLevel: String = "WARN"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        graft.operators.Scale.shufflePartitionsFor(
+          graft.operators.Scale.dirBytes(sfDir)))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+}
+
 /** Session factory for local runs/tests. Production deploys pass their own
   * session; nothing in the engine assumes local mode.
   */

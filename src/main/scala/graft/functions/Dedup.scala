@@ -992,6 +992,13 @@ object Dedup {
     * one shuffle-free pass instead of 5+ iterative rounds of joins. This
     * is the same small-subgraph cutoff every distributed CC implementation
     * uses; work stays on an executor, nothing is collected to the driver.
+    * Graphs ABOVE the cutoff first run a per-partition union-find
+    * CONTRACTION ([[contractEdges]]): each partition's edges collapse to
+    * a spanning star, killing the O(k²) clique redundancy of banded pair
+    * lists in one narrow pass — the contracted remainder almost always
+    * fits the endgame task, and only a genuinely huge component graph
+    * falls through to the iterative path (then over the contracted, not
+    * raw, edges).
     * (3) on the iterative path, `localCheckpoint` after each round
     * truncates the growing lineage, and the PREVIOUS round's checkpoint
     * RDD is unpersisted as soon as the new round materializes, so executor
@@ -1014,8 +1021,23 @@ object Dedup {
       p.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
     val (labels, labelsSmall) =
       if (idIsLong && nEdges <= localMaxEdges) (unionFindLocal(p), true)
+      else if (idIsLong) {
+        // Too many edges for one task — CONTRACT before anything
+        // iterative. Banded-LSH pair lists are clique-shaped (a cluster
+        // of k near-identical docs emits O(k²) pairs, repeated per
+        // band), so a per-partition union-find that replaces each
+        // partition's edges with a spanning star of the same node set
+        // removes the quadratic redundancy in ONE narrow pass — the
+        // round-14 sf100 graph (the 286 s iterative cliff) contracts
+        // under the local bound and finishes in a single endgame task.
+        val (contracted, nC) = contractEdges(p, localMaxEdges)
+        val l = if (nC <= localMaxEdges) (unionFindLocal(contracted), true)
+                else (propagateIteratively(contracted, maxIters), false)
+        unpersistCheckpoint(contracted)
+        l
+      }
       else (propagateIteratively(p, maxIters), false)
-    p.unpersist() // both paths have materialized their own copy by now
+    p.unpersist() // all paths have materialized their own copy by now
     // singletons never enter the component computation; identity-label
     // them here. The component map broadcasts only when a MEASURED row
     // count says it is genuinely small: the union-find path alone bounds
@@ -1031,6 +1053,32 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
 
+  /** In-task union-find with path compression and union-by-min (root ==
+    * component minimum) — the primitive both the endgame task and the
+    * contraction passes run. Instantiated INSIDE mapPartitions closures,
+    * so it lives and dies on one executor; nothing is serialized or
+    * collected.
+    */
+  private final class LongUnionFind {
+    private val parent = new java.util.HashMap[Long, Long]()
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+      var cur = x // path-compress the walked chain
+      while (parent.getOrDefault(cur, cur) != cur) {
+        val nxt = parent.get(cur); parent.put(cur, root); cur = nxt
+      }
+      root
+    }
+    def union(a: Long, b: Long): Unit = {
+      seen.add(a); seen.add(b)
+      val ra = find(a); val rb = find(b)
+      // union-by-min keeps the invariant root == component minimum
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+  }
+
   /** Endgame path: the whole (small) edge list flows into one task; a
     * union-find with path compression and union-by-min labels every
     * touched node with its component minimum in one pass. Runs as a
@@ -1041,27 +1089,74 @@ object Dedup {
     val spark = p.sparkSession
     import spark.implicits._
     p.as[(Long, Long)].coalesce(1).mapPartitions { it =>
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var root = x
-        while (parent.getOrDefault(root, root) != root) root = parent.get(root)
-        var cur = x // path-compress the walked chain
-        while (parent.getOrDefault(cur, cur) != cur) {
-          val nxt = parent.get(cur); parent.put(cur, root); cur = nxt
-        }
-        root
-      }
-      val seen = new java.util.TreeSet[java.lang.Long]()
-      it.foreach { case (a, b) =>
-        seen.add(a); seen.add(b)
-        val ra = find(a); val rb = find(b)
-        // union-by-min keeps the invariant root == component minimum
-        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
-      }
+      val uf = new LongUnionFind
+      it.foreach { case (a, b) => uf.union(a, b) }
       val out = Iterator.newBuilder[(Long, Long)]
-      seen.forEach(x => out += ((x.longValue, find(x.longValue))))
+      uf.seen.forEach(x => out += ((x.longValue, uf.find(x.longValue))))
       out.result()
     }.toDF("id", "comp").localCheckpoint()
+  }
+
+  /** One contraction pass: per PARTITION, union-find the local edges and
+    * emit a spanning star of the same node set — (node → local root) for
+    * every non-root node. Connectivity-preserving by construction (each
+    * partition's edge subset is replaced by an equivalent spanning
+    * structure over exactly the same nodes), narrow (no shuffle — it runs
+    * on whatever partitioning the input already has), and it is where the
+    * clique redundancy of banded-LSH pair lists dies: a k-clique's O(k²)
+    * pairs leave as k−1 star edges.
+    */
+  private def contractPass(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].mapPartitions { it =>
+      val uf = new LongUnionFind
+      it.foreach { case (a, b) => uf.union(a, b) }
+      val out = Iterator.newBuilder[(Long, Long)]
+      uf.seen.forEach { x =>
+        val r = uf.find(x.longValue)
+        if (r != x.longValue) out += ((x.longValue, r))
+      }
+      out.result()
+    }.toDF("src", "dst")
+  }
+
+  /** Two-level contraction driver (the round-14 scale fix): pass 0 runs
+    * on the pair list's natural partitioning (one narrow job — this is
+    * the 10-100× clique-collapse pass); further passes alternate
+    * re-hashing on `src` (merges the stars of a node that reached
+    * different local roots in different partitions) and on `dst`
+    * (co-locates each root's members) until the remainder fits the
+    * endgame task or stops shrinking. Each pass `localCheckpoint`s its
+    * (long, long) output — megabytes, not corpus-scale — and releases the
+    * previous one, so lineage and storage stay O(1) passes. Returns the
+    * contracted edges (checkpointed; caller releases) and their count.
+    *
+    * vs the iterative min-label fallback this replaces in front of: a
+    * contraction pass is ONE narrow map over long pairs, where an
+    * iterative round is 4 joins + a materialization over the full label
+    * set — at sf100 (round 14) the fallback cost 286 s for
+    * `dedup_clusters_staged`; the contracted graph fits the single-task
+    * endgame instead.
+    */
+  private def contractEdges(p: DataFrame, localMaxEdges: Long,
+                            maxPasses: Int = 4): (DataFrame, Long) = {
+    var cur = contractPass(p).localCheckpoint()
+    var n = cur.count()
+    var pass = 0
+    var stalled = false
+    while (n > localMaxEdges && pass < maxPasses && !stalled) {
+      val key = if (pass % 2 == 0) "src" else "dst"
+      val next = contractPass(cur.repartition(col(key))).localCheckpoint()
+      val nNext = next.count()
+      unpersistCheckpoint(cur)
+      // a star list re-contracts to (at best) itself once roots are
+      // merged — under 10% reduction means the node count IS the floor,
+      // and more passes only add shuffles
+      stalled = nNext > (n / 10) * 9
+      cur = next; n = nNext; pass += 1
+    }
+    (cur, n)
   }
 
   /** Iterative path for graphs too large for [[unionFindLocal]]:

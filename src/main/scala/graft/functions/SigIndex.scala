@@ -187,19 +187,32 @@ object SigIndex {
     * candidates) plus the bucket rows — no hyperplane math in the plan.
     */
   def stageEmbLsh(spark: SparkSession, dir: String, numBands: Int = 8,
-                  targetBucket: Int = 16, dim: Int = 64): String = {
+                  targetBucket: Int = 16, dim: Int = 64): String =
+    stageEmbLshGeom(spark, dir, numBands, targetBucket, dim)._1
+
+  /** [[stageEmbLsh]] plus the geometry it keyed the store on — the serve
+    * reuses (bits, probe) from here instead of re-counting the live
+    * embeddings table (round-14 advice: a second count is wasted I/O, and
+    * a table that drifts between staging and serving could disagree with
+    * the stored band keys; the store fingerprint is the single source of
+    * geometry truth).
+    */
+  private def stageEmbLshGeom(spark: SparkSession, dir: String, numBands: Int = 8,
+                              targetBucket: Int = 16, dim: Int = 64): (String, Int, Int) = {
     val emb = Tables.embeddings(spark, dir)
     // geometry from lshGeometryFor (round 14): unchanged through the old
     // 16-bit clamp; past it the store keys on the PROBED bits — probe
     // itself is a serve-time policy over the same unprobed band rows,
     // but the bit width is part of the directory fingerprint
-    val (bits, _) = Dedup.lshGeometryFor(emb.count(), targetBucket)
-    buildOnce(spark, storePath(spark, dir, "vlsh", s"b${numBands}x${bits}_r1"),
+    val (bits, probe) = Dedup.lshGeometryFor(emb.count(), targetBucket)
+    val base = buildOnce(spark,
+        storePath(spark, dir, "vlsh", s"b${numBands}x${bits}_r1"),
         "_GRAFT_VLSH_OK") { base =>
       Dedup.embLshBandTable(Similarity.withNorm(emb, "vec_id", "embedding"),
           "vec_id", numBands * bits, bits, dim)
         .write.mode("overwrite").parquet(s"$base/bands")
     }
+    (base, bits, probe)
   }
 
   /** Embedding near-dup pairs at the corpus-sized geometry, served from
@@ -210,10 +223,10 @@ object SigIndex {
     */
   def embeddingLshAutoStaged(spark: SparkSession, dir: String,
                              threshold: Double = 0.4): DataFrame = {
-    val base = stageEmbLsh(spark, dir)
+    // the serve probes with exactly the geometry the build keyed the
+    // store on — no second count of the live table (see stageEmbLshGeom)
+    val (base, bits, probe) = stageEmbLshGeom(spark, dir)
     val bands = spark.read.parquet(s"$base/bands")
-    // serve probes with the same rule the build keyed the store on
-    val (bits, probe) = Dedup.lshGeometryFor(Tables.embeddings(spark, dir).count())
     // normalized vectors feed both scoring sides → persist
     val n = Similarity.withNorm(Tables.embeddings(spark, dir), "vec_id", "embedding").persist()
     Dedup.embLshScoreProbed(bands, n, "vec_id", threshold, bits, probe)
@@ -361,14 +374,42 @@ object SigIndex {
       .select(col("doc_a"), col("doc_b"), (agree.cast("double") / NumHashes).as("est_jacc"))
   }
 
-  /** Near-dup clustering off the store: stored-band candidate pairs →
-    * the same union-find/iterative connected components as the inline
-    * dedup_clusters — the full corpus-dedup decision, with text read
-    * zero times.
+  /** Fingerprint directory for the staged CLUSTER MAP — the connected-
+    * components decision itself as a store product. Round 14 measured the
+    * gap this closes: the clusters/pipeline serves recomputed the full CC
+    * per serve, and at sf100 that recomputation was the repo's only
+    * super-linear entry (286 s/serve). A production pipeline materializes
+    * cluster assignments once per corpus revision — exactly like the
+    * signature/shingle/ANN stores — and every downstream consumer
+    * (keep-best, reporting, repeated curation passes) JOINS the stored
+    * (doc_id, cluster_id) map instead of re-running graph algorithms.
+    * Geometry inherits the signature store's (the map is a pure function
+    * of the band index), plus the CC marker.
+    */
+  private def clustersBasePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path =
+    storePath(spark, dir, "clusters", s"h${NumHashes}b${RowsPerBand}cc_r1")
+
+  /** Build the cluster map once per (corpus dir, geometry): stored-band
+    * candidate pairs → connected components (contraction + single-task
+    * union-find endgame) → one (doc_id, cluster_id) row per document,
+    * singletons included. Same `_GRAFT_CLUSTERS_OK` self-healing marker
+    * protocol as every other store.
+    */
+  def stageClusters(spark: SparkSession, dir: String): String =
+    buildOnce(spark, clustersBasePath(spark, dir), "_GRAFT_CLUSTERS_OK") { base =>
+      Dedup.connectedComponents(Tables.documents(spark, dir),
+          minhashPairsStaged(spark, dir), "doc_id")
+        .write.mode("overwrite").parquet(s"$base/cluster_map")
+    }
+
+  /** Near-dup clustering off the store — a READ of the staged cluster
+    * map (built once by [[stageClusters]]); no graph computation in the
+    * serve plan at all. md5-deterministic signatures make the stored map
+    * bit-for-bit equal to the inline dedup_clusters, so the oracle is
+    * shared unchanged.
     */
   def dedupClustersStaged(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(Tables.documents(spark, dir),
-      minhashPairsStaged(spark, dir), "doc_id")
+    spark.read.parquet(s"${stageClusters(spark, dir)}/cluster_map")
 
   /** Duplicate-graph PageRank off the store: stored-band candidate graph
     * → the same integer fixed-point rank rounds as the inline
@@ -385,11 +426,10 @@ object SigIndex {
     Curation.splitLeakageFromPairs(Tables.documents(spark, dir),
       minhashPairsStaged(spark, dir), "doc_id")
 
-  /** The full keep-best dedup DECISION off the store: stored-band pairs →
-    * components → longest-member-per-cluster — the end-to-end pipeline a
-    * curation pass applies, amortized onto the staged signature build
-    * (text is read only for the keep-best length lookup, one pruned
-    * column scan).
+  /** The full keep-best dedup DECISION off the store: the STAGED cluster
+    * map joined against one pruned (doc_id, length(text)) column scan —
+    * the end-to-end pipeline a curation pass applies, with both the
+    * signature build AND the graph computation amortized into staging.
     */
   def dedupPipelineStaged(spark: SparkSession, dir: String): DataFrame =
     Dedup.keepBestOfClusters(Tables.documents(spark, dir),

@@ -64,13 +64,28 @@ object Similarity {
     // totality fallback paid two extra passes during the sf100 build).
     // A shuffle-rooted frame is already at session/AQE width, so the
     // correct answer there is also the cheap one: leave it alone.
+    // ROOT-walk, not exists-anywhere (ADVICE r14): a source that merely
+    // CONTAINS a join somewhere under a scan-rooted projection is still
+    // scan-partitioned at its root, and an exists() over the whole plan
+    // would wrongly skip widening it. Walk from the root through the
+    // partitioning-PRESERVING unary nodes (project/filter/limit-local);
+    // the first partitioning-DETERMINING node decides. A broadcast-join
+    // root preserves its probe side's (possibly narrow) layout, but that
+    // cannot be told apart from a shuffle join in the logical plan
+    // without paying exactly the AQE eager-execution this guard avoids —
+    // accepted and documented: such callers widen explicitly.
     val shuffleRooted = {
       import org.apache.spark.sql.catalyst.plans.{logical => lg}
-      source.queryExecution.optimizedPlan.exists {
+      @annotation.tailrec
+      def walk(p: lg.LogicalPlan): Boolean = p match {
         case _: lg.Join | _: lg.Aggregate | _: lg.Window | _: lg.Sort |
              _: lg.Deduplicate | _: lg.RepartitionOperation | _: lg.GlobalLimit => true
+        case u: lg.Project => walk(u.child)
+        case u: lg.Filter => walk(u.child)
+        case u: lg.LocalLimit => walk(u.child)
         case _ => false
       }
+      walk(source.queryExecution.optimizedPlan)
     }
     if (!shuffleRooted && source.rdd.getNumPartitions < parts)
       derived.repartition(parts)

@@ -1233,6 +1233,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels.toSeq === Seq(1L))
   }
 
+  test("connected components: contraction pre-pass collapses cliques to the endgame bound") {
+    import spark.implicits._
+    // two 12-cliques (66 pairs each) + a singleton: 132 edges is far above
+    // localMaxEdges = 40, so the contraction pre-pass MUST run — and one
+    // local pass collapses each clique to ≤11 star edges, landing the
+    // remainder in the single-task endgame. Scatter the pairs across many
+    // partitions first so contraction has to merge per-partition roots
+    // (the alternating src/dst re-hash passes), not just dedupe one task.
+    val docs = (1L to 25L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val clique = (off: Long) => for {
+      a <- 1L to 12L; b <- (a + 1) to 12L
+    } yield (a + off, b + off)
+    val pairs = (clique(0L) ++ clique(12L)).toDF("doc_a", "doc_b").repartition(16)
+    val contracted = Dedup.connectedComponents(docs, pairs, "doc_id", localMaxEdges = 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((1L to 12L).map(_ -> 1L) ++ (13L to 24L).map(_ -> 13L) ++ Seq(25L -> 25L)).toMap
+    assert(contracted === expected)
+    // and the contracted path agrees with the direct endgame bit-for-bit
+    val direct = Dedup.connectedComponents(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contracted === direct)
+  }
+
+  test("connected components: contraction feeding the iterative fallback still labels minima") {
+    import spark.implicits._
+    // localMaxEdges = 0 can never be reached by contraction (star edges
+    // persist while components exist), so this pins the full three-layer
+    // path: contract → stall → iterate over the CONTRACTED graph.
+    val docs = (1L to 20L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = ((1L until 10L).map(i => (i, i + 1)) ++ // path 1..10
+      Seq((15L, 16L), (16L, 17L), (15L, 17L)))          // triangle
+      .toDF("doc_a", "doc_b").repartition(8)
+    val got = Dedup.connectedComponents(docs, pairs, "doc_id", localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((1L to 10L).map(_ -> 1L) ++ (11L to 14L).map(i => i -> i) ++
+      (15L to 17L).map(_ -> 15L) ++ (18L to 20L).map(i => i -> i)).toMap
+    assert(got === expected)
+  }
+
   test("dedup_clusters end-to-end: minhash near-dups land in one cluster") {
     val got = Dedup.connectedComponents(
       corpus, Dedup.minhashLshPairs(corpus, "doc_id", "text"), "doc_id")
