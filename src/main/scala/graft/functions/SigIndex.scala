@@ -337,6 +337,35 @@ object SigIndex {
         .write.mode("overwrite").parquet(s"$base/band_index")
     }
 
+  /** The band index as a BUCKETED catalog table — the shape the
+    * STREAMING incremental-dedup serve needs (round-14 IngestScaleBench:
+    * per-batch cost grew ~2.5× per store decade because the stream-static
+    * join re-shuffled the full static band index EVERY micro-batch). A
+    * table bucketed on the join keys (band, sig) carries its partitioning
+    * in the catalog, so the static subtree of each micro-batch plan is a
+    * bare bucket-pruned scan — zero Exchange, zero per-batch sort (bucket
+    * files are pre-sorted); only the kilobyte-scale batch side shuffles.
+    * On a 1000-executor cluster this is the difference between re-hashing
+    * a corpus-scale index per trigger and reading co-located bucket
+    * files.
+    *
+    * Spark's in-memory catalog forgets table METADATA per session (the
+    * q18 bucketed-join precedent), but the bucket FILES persist under the
+    * warehouse: re-registration costs a metadata write, not a re-bucket.
+    * Bucket count derives from the session's corpus-sized shuffle width
+    * at first staging.
+    */
+  def stageBandsBucketed(spark: SparkSession, dir: String): String = {
+    val tbl = s"graft_sig_bands_bkt_${Stores.dirTag(dir)}"
+    if (!spark.catalog.tableExists(tbl)) {
+      val buckets = spark.sessionState.conf.numShufflePartitions
+      spark.read.parquet(s"${stageOnce(spark, dir)}/band_index")
+        .write.bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+        .mode("overwrite").format("parquet").saveAsTable(tbl)
+    }
+    tbl
+  }
+
   /** LSH candidate pairs served from the STORED band index — the
     * dedup_minhash serve that never touches document text: one equi-join
     * over (band, sig) rows already on disk. Bit-for-bit equal to the

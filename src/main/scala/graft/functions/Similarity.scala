@@ -103,7 +103,22 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
-  /** Exact top-k cosine neighbors for each query vector (self excluded). */
+  /** Exact top-k cosine neighbors for each query vector (self excluded).
+    *
+    * Scale shape: the scoring pass (corpus ⋈ broadcast queries) is
+    * embarrassingly parallel, but a bare window over `q_id` would then
+    * shuffle ALL |corpus|·|queries| scored rows into |queries| window
+    * partitions — at sf100 that is 16 M rows sorting in 8 tasks, and on
+    * a 1000-executor cluster parallelism would be capped at the query
+    * count no matter the corpus (the round-14 `ann_recall_report` tail,
+    * 43 s/6.8× per decade). So (long-id path) each SCAN partition first
+    * reduces to its local top-k per query with a bounded in-task heap —
+    * k·|queries| rows per partition, exact by the same
+    * (cs desc, id asc) comparator — and only partitions·k·|queries|
+    * rows reach the global window. Top-k of a union of per-partition
+    * top-ks IS the global top-k, so results are bit-for-bit unchanged
+    * (the comparator is total — no float ties can reorder).
+    */
   def knnBrute(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val corpus = withNorm(emb, idCol, vecCol)
       .select(col(idCol).as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
@@ -113,8 +128,27 @@ object Similarity {
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+    val idIsLong = Seq(emb.schema(idCol), queries.schema(idCol))
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val pruned = if (!idIsLong) scored else {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      scored.as[(Long, Long, Double)].mapPartitions { it =>
+        // better-first total order: higher cs, then lower neighbor id
+        val ord = Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+        val heaps = new java.util.HashMap[Long, scala.collection.mutable.TreeSet[(Double, Long)]]()
+        it.foreach { case (q, n, cs) =>
+          val h = heaps.computeIfAbsent(q, _ => scala.collection.mutable.TreeSet.empty(ord))
+          if (h.size < k) h.add((cs, n))
+          else if (ord.lt((cs, n), h.last)) { h.add((cs, n)); h.remove(h.last); () }
+        }
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        heaps.forEach((q, h) => h.foreach { case (cs, n) => out += ((q, n, cs)) })
+        out.result()
+      }.toDF("q_id", "n_id", "cs")
+    }
     val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), round(col("cs"), 4).as("cos_sim"), col("rank"))
   }

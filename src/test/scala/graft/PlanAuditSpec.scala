@@ -99,8 +99,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // locations); inline twins must not. dedup_incremental_staged signs
     // the NEW batch inline by design (that is the per-batch cost a live
     // ingest pays), so it appears here but not in the no-sigMark list.
-    // The clusters/pipeline staged serves are absent for the same
-    // localCheckpoint-severed-lineage reason as dedup_clusters above.
+    // The clusters/pipeline staged serves are absent because they read
+    // the staged CLUSTER MAP, not the signature store (their own
+    // `graft_clusters_` scan is pinned by the freshness tripwire test).
     for (k <- Seq("dedup_minhash_staged", "dedup_minhash_est_staged",
                   "doc_pagerank_staged", "split_leakage_staged",
                   "dedup_incremental_staged"))
@@ -138,10 +139,13 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!sections(k).contains("graft_shingle_"),
         s"$k (inline oracle twin) reads the store — it must stay self-contained")
     }
-    // the embedding bucket store: hyperplane banding (whose plan
-    // fingerprint is the dim-guard raise_error message) runs at staging
-    // time only; the serve reads stored buckets + the embedding table
-    val planeMark = "expected 64-dim vectors"
+    // the embedding bucket store: hyperplane banding — whose plan
+    // fingerprint since round 14 is the compiled `vector_sign_bands`
+    // expression (the old dim-guard raise_error message lived in the
+    // inlined per-plane projection that expression replaced) — runs at
+    // staging time only; the serve reads stored buckets + the embedding
+    // table
+    val planeMark = "vector_sign_bands"
     assert(sections("dedup_embedding_lsh_auto_staged").contains("graft_vlsh_"),
       "dedup_embedding_lsh_auto_staged plan does not read the bucket store")
     assert(!sections("dedup_embedding_lsh_auto_staged").contains(planeMark),
@@ -232,8 +236,16 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(cartesianBad.isEmpty,
           s"$name: CartesianProduct outside the exact all-pairs baselines: " +
             cartesianBad.distinct.sorted.mkString(","))
+        // match single-partition EXCHANGES only (an `(N) Exchange` node
+        // whose Arguments line is SinglePartition) — a `Scan ExistingRDD`
+        // whose stored partitioning happens to be single (the CC
+        // endgame's one-task union-find output, by design) is a scan
+        // property, not a stage funnel: the join above it immediately
+        // re-exchanges to hash partitioning
+        val singleExchange =
+          "(?m)^\\(\\d+\\) Exchange\\s*\\n(?:(?!^\\(\\d).*\\n)*?^Arguments: SinglePartition".r
         val singleBad = secs.collect {
-          case (k, s) if s.contains("SinglePartition") && !singlePartOk(k) => k }
+          case (k, s) if singleExchange.findFirstIn(s).isDefined && !singlePartOk(k) => k }
         assert(singleBad.isEmpty,
           s"$name: single-partition exchange in a non-global-semantics op: " +
             singleBad.distinct.sorted.mkString(","))
@@ -257,11 +269,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // third-decade audit artifact (data/sf10 via graft.ScaleUp ×100).
     // Beyond registry coverage it pins the de-hinting CONTRACT: with
     // broadcast hints restricted to fixed-cardinality frames, growing
-    // sides must shift from broadcast to shuffle joins as data scales —
-    // the plan census below (more SortMergeJoin, fewer
-    // BroadcastHashJoin than the sf0.001 artifact) is that behavior,
-    // measured, not assumed (measured counts: SMJ 66 → 354, BHJ
-    // 585 → 297 across sf0.001 → sf10).
+    // sides must shift from broadcast to SHUFFLE joins as data scales.
+    // "Shuffle join" counts SortMergeJoin AND ShuffledHashJoin: the
+    // runners prefer the hash build when broadcast is off the table
+    // (RunnerSession, preferSortMergeJoin=false — the round-14 SHJ
+    // adoption, q9 73.0 vs 99.8 s at sf100), so which of the two a plan
+    // shows is a cost choice, not the de-hinting contract under test.
     val p = java.nio.file.Paths.get("PLANS_sf10.txt")
     assume(java.nio.file.Files.exists(p), "PLANS_sf10.txt not present — skipping")
     val sf10 = java.nio.file.Files.readString(p)
@@ -270,7 +283,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "PLANS_sf10.txt drifted from the registry — re-run graft.ScaleUp ×100 + graft.Explain data/sf10 PLANS_sf10.txt")
     val tiny = java.nio.file.Files.readString(java.nio.file.Paths.get("PLANS.txt"))
     def cnt(s: String, m: String) = m.r.findAllMatchIn(s).size
-    assert(cnt(sf10, "SortMergeJoin") > cnt(tiny, "SortMergeJoin"),
+    def shuffleJoins(s: String) = cnt(s, "SortMergeJoin") + cnt(s, "ShuffledHashJoin")
+    assert(shuffleJoins(sf10) > shuffleJoins(tiny),
       "sf10 plans should carry MORE shuffle joins than gate-scale plans")
     assert(cnt(sf10, "BroadcastHashJoin") < cnt(tiny, "BroadcastHashJoin"),
       "sf10 plans should carry FEWER broadcast joins than gate-scale plans")
@@ -289,12 +303,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keys === SparkEntry.queries.keySet && !sf100.contains("EXPLAIN FAILED"),
       "PLANS_sf100.txt drifted from the registry — re-run graft.ScaleUp ×1000 + graft.Explain data/sf100 PLANS_sf100.txt")
     def cnt(s: String, m: String) = m.r.findAllMatchIn(s).size
+    def shuffleJoins(s: String) = cnt(s, "SortMergeJoin") + cnt(s, "ShuffledHashJoin")
     val sf10p = java.nio.file.Paths.get("PLANS_sf10.txt")
     assume(java.nio.file.Files.exists(sf10p), "PLANS_sf10.txt not present — skipping")
     val sf10 = java.nio.file.Files.readString(sf10p)
-    assert(cnt(sf100, "SortMergeJoin") > cnt(sf10, "SortMergeJoin"),
+    assert(shuffleJoins(sf100) > shuffleJoins(sf10),
       "sf100 plans should carry MORE shuffle joins than sf10 plans")
     assert(cnt(sf100, "BroadcastHashJoin") < cnt(sf10, "BroadcastHashJoin"),
       "sf100 plans should carry FEWER broadcast joins than sf10 plans")
+  }
+
+  test("artifact freshness tripwire: registered rewrites fingerprint every plans artifact") {
+    // Round 14 failed its own suite on STALE artifacts: the code fixed a
+    // CartesianProduct hazard but three of the four PLANS files were
+    // never regenerated, so the committed evidence contradicted HEAD for
+    // a full round. This test pins a plan-shape fingerprint for each
+    // registered rewrite, so a code/artifact drift fails the suite in
+    // the session that introduces it:
+    //  - resample_locf is the lead-range LOCF form (map-side
+    //    `sequence(`-exploded grid, NO Union of scans);
+    //  - LSH banding is the compiled `vector_sign_bands` expression
+    //    (the inlined per-plane projection ran interpreted past the JIT
+    //    method limit — 597 vs 56.7 s at sf100);
+    //  - key_skew_profile pins its 1-row rank-pick frames with
+    //    `broadcast()` → BroadcastNestedLoopJoin, never CartesianProduct
+    //    (also covered by the scale-killer census above);
+    //  - the clusters/pipeline staged serves READ the staged cluster map
+    //    (graft_clusters_*) instead of recomputing components per serve.
+    val keyRe = "(?m)^== ([a-z0-9_]+)$".r
+    for (name <- Seq("PLANS.txt", "PLANS_sf1.txt", "PLANS_sf10.txt", "PLANS_sf100.txt")) {
+      val p = java.nio.file.Paths.get(name)
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val ms = keyRe.findAllMatchIn(txt).toSeq
+        val secs = ms.zipWithIndex.map { case (m, i) =>
+          val end = if (i + 1 < ms.size) ms(i + 1).start else txt.length
+          m.group(1) -> txt.substring(m.end, end)
+        }.toMap
+        assert(secs("resample_locf").contains("sequence("),
+          s"$name: resample_locf lost the lead-range grid (`sequence(`) — stale artifact or regressed rewrite")
+        assert(!secs("resample_locf").contains("Union"),
+          s"$name: resample_locf shows the old union-of-scans plan — stale artifact or regressed rewrite")
+        assert(txt.contains("vector_sign_bands"),
+          s"$name: no plan uses the compiled vector_sign_bands banding expression — stale artifact or regressed rewrite")
+        assert(secs("key_skew_profile").contains("BroadcastNestedLoopJoin"),
+          s"$name: key_skew_profile rank-pick frames are not broadcast-pinned — stale artifact or regressed hint")
+        for (k <- Seq("dedup_clusters_staged", "dedup_pipeline_staged"))
+          assert(secs(k).contains("graft_clusters_"),
+            s"$name: $k does not read the staged cluster map — stale artifact or regressed serve")
+      }
+    }
   }
 }
