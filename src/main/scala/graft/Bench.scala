@@ -75,16 +75,20 @@ object Bench {
           "gate-only (use dedup_embedding_lsh_auto at scale)")
       QuadraticBaselines
     } else Set.empty[String]
-    // The two full-corpus EXACT staged anchors (n-gram jaccard and
-    // containment over every stored shingle posting) are correctness
-    // baselines whose production paths are the sampled presets
-    // (dedup_*_staged_sampled, 2.4-2.8 s at sf10). Above this corpus
-    // they are DISK-bound, not compute-bound: at sf100 (5 M docs) each
-    // spills >50 GB of posting-pair shuffle and ENOSPC'd this sandbox
-    // twice (round 14). Same hard-config treatment as the quadratic
-    // baselines — recorded in the JSON line, impossible to include in a
-    // scale-up bench by accident.
-    val ExactAnchors = Set("dedup_ngram_staged", "dedup_containment_staged")
+    // The full-corpus EXACT anchors (n-gram jaccard, containment, and
+    // the QA report's exact truth side — over every shingle posting,
+    // staged AND inline forms alike) are correctness baselines whose
+    // production paths are the sampled presets (dedup_*_staged_sampled,
+    // 2.4-2.8 s at sf10). Above this corpus they are DISK-bound, not
+    // compute-bound: at sf100 (5 M docs) each spills >50 GB of
+    // posting-pair shuffle and ENOSPC'd this sandbox (staged forms in
+    // round 14; the INLINE twins the first time the full registry ran at
+    // sf100, round 15 — same posting-pair explosion, the store only
+    // changes where the shingles come from). Same hard-config treatment
+    // as the quadratic baselines — recorded in the JSON line, impossible
+    // to include in a scale-up bench by accident.
+    val ExactAnchors = Set("dedup_ngram_staged", "dedup_containment_staged",
+      "dedup_ngram", "dedup_containment", "dedup_qa_report")
     val ExactAnchorMaxDocs = 1000000L
     val docRows =
       try graft.engine.Tables(spark, sfDir, "documents").count()
