@@ -147,12 +147,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"subset":$subsetJson,"sf":"$sfDir"}"""
     println(line)
     // committable evidence: the same line lands in bench_out/ (driver
-    // stdout tails have repeatedly truncated it — ADVICE r7)
+    // stdout tails have repeatedly truncated it — ADVICE r7). Dev runs
+    // (SPARK_GRAFT_ONLY / SPARK_GRAFT_BENCH_SUBSET) write a _dev-suffixed
+    // file instead: the round-15 snapshot swept a 2-query SPARK_GRAFT_ONLY
+    // scrap over the committed 177-query sf0.1 artifact because this write
+    // was unconditional (VERDICT r15).
     try {
       val dir = java.nio.file.Paths.get("bench_out")
       java.nio.file.Files.createDirectories(dir)
       val sfName = sfDir.replaceAll(".*/", "")
-      java.nio.file.Files.writeString(dir.resolve(s"bench_$sfName.json"), line + "\n")
+      val suffix = if (only.isEmpty && subset.isEmpty) "" else "_dev"
+      java.nio.file.Files.writeString(dir.resolve(s"bench_$sfName$suffix.json"), line + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write skipped: $e") }
     spark.stop()
   }

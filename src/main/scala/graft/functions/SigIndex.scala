@@ -349,16 +349,26 @@ object SigIndex {
     * a corpus-scale index per trigger and reading co-located bucket
     * files.
     *
-    * Spark's in-memory catalog forgets table METADATA per session (the
-    * q18 bucketed-join precedent), but the bucket FILES persist under the
-    * warehouse: re-registration costs a metadata write, not a re-bucket.
-    * Bucket count derives from the session's corpus-sized shuffle width
-    * at first staging.
+    * Spark's in-memory catalog forgets table METADATA per session, so each
+    * new driver run re-buckets from the stored band index (a CTAS, not a
+    * metadata-only write) — the warehouse files a previous session left
+    * behind are deleted first, since Spark 4's default
+    * allowNonEmptyLocationInCTAS=false rejects a CREATE into a non-empty
+    * location (same handling as [[graft.operators.Scale.stageBucketedOnce]]).
+    * The table name fingerprints the corpus dir, the signature GEOMETRY,
+    * and the BUCKET COUNT (which derives from the session's corpus-sized
+    * shuffle width): a SPARK_GRAFT_CONF override of the shuffle width or a
+    * future geometry bump gets its own table instead of silently reusing
+    * one bucketed under different parameters.
     */
   def stageBandsBucketed(spark: SparkSession, dir: String): String = {
-    val tbl = s"graft_sig_bands_bkt_${Stores.dirTag(dir)}"
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val tbl = s"graft_sig_bands_bkt_${Stores.dirTag(dir)}_h${NumHashes}b${RowsPerBand}n$buckets"
     if (!spark.catalog.tableExists(tbl)) {
-      val buckets = spark.sessionState.conf.numShufflePartitions
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       spark.read.parquet(s"${stageOnce(spark, dir)}/band_index")
         .write.bucketBy(buckets, "band", "sig").sortBy("band", "sig")
         .mode("overwrite").format("parquet").saveAsTable(tbl)

@@ -128,6 +128,13 @@ object Similarity {
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cs"))
+      // a zero-norm vector makes cs = 0/0 = NaN, and the two paths below
+      // rank NaN OPPOSITELY (Spark's desc sorts NaN first; the heap's
+      // negated-key Scala ordering prunes it as worst) — drop such rows
+      // before EITHER path so pruned and unpruned results stay identical.
+      // Cosine against the zero vector is undefined, so exclusion is the
+      // semantics, not a shortcut.
+      .filter(!isnan(col("cs")))
     val idIsLong = Seq(emb.schema(idCol), queries.schema(idCol))
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     val pruned = if (!idIsLong) scored else {

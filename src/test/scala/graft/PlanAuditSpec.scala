@@ -222,9 +222,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "session_count", "stratified_sample", "tfidf_top_terms",
       "token_rarity", "token_surprisal")
     val keyRe = "(?m)^== ([a-z0-9_]+)$".r
+    // present artifacts are all checked FIRST; a missing one then cancels
+    // (assume) rather than silently passing — a deleted/never-generated
+    // artifact must surface as a skip, not disable the tripwire (ADVICE r15)
+    val missing = scala.collection.mutable.ListBuffer.empty[String]
     for (name <- Seq("PLANS.txt", "PLANS_sf1.txt", "PLANS_sf10.txt", "PLANS_sf100.txt")) {
       val p = java.nio.file.Paths.get(name)
-      if (java.nio.file.Files.exists(p)) {
+      if (!java.nio.file.Files.exists(p)) missing += name
+      else {
         val txt = java.nio.file.Files.readString(p)
         val ms = keyRe.findAllMatchIn(txt).toSeq
         val secs = ms.zipWithIndex.map { case (m, i) =>
@@ -251,6 +256,8 @@ class PlanAuditSpec extends AnyFunSuite {
             singleBad.distinct.sorted.mkString(","))
       }
     }
+    assume(missing.isEmpty,
+      s"plan artifacts absent, census skipped for: ${missing.mkString(",")}")
   }
 
   test("PLANS_sf1.txt (when present) also covers the registry with no failed explains") {
@@ -331,9 +338,14 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - the clusters/pipeline staged serves READ the staged cluster map
     //    (graft_clusters_*) instead of recomputing components per serve.
     val keyRe = "(?m)^== ([a-z0-9_]+)$".r
+    // present artifacts checked first, then missing ones surface as a
+    // cancel instead of a silent pass (ADVICE r15 — same shape as the
+    // census test above)
+    val missing = scala.collection.mutable.ListBuffer.empty[String]
     for (name <- Seq("PLANS.txt", "PLANS_sf1.txt", "PLANS_sf10.txt", "PLANS_sf100.txt")) {
       val p = java.nio.file.Paths.get(name)
-      if (java.nio.file.Files.exists(p)) {
+      if (!java.nio.file.Files.exists(p)) missing += name
+      else {
         val txt = java.nio.file.Files.readString(p)
         val ms = keyRe.findAllMatchIn(txt).toSeq
         val secs = ms.zipWithIndex.map { case (m, i) =>
@@ -353,5 +365,7 @@ class PlanAuditSpec extends AnyFunSuite {
             s"$name: $k does not read the staged cluster map — stale artifact or regressed serve")
       }
     }
+    assume(missing.isEmpty,
+      s"plan artifacts absent, fingerprints skipped for: ${missing.mkString(",")}")
   }
 }
