@@ -117,9 +117,36 @@ object Extended {
     * engines, so this qkey is rows-only checked; the exact twin
     * (`distinct_users`) is oracle-checked.
     */
+  /** HLL distinct-count sketch per event type — the raw estimates, the
+    * shape a dashboard consumes (`approx_count_distinct` = HLL++:
+    * mergeable fixed-size sketches, the 100 TB drop-in for
+    * `distinct_users`' exact two-level shuffle).
+    */
   def approxDistinct(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** The ORACLE-CHECKABLE projection of [[approxDistinct]] (VERDICT r15
+    * item 6): sketch estimates are engine-specific (Spark HLL++ vs
+    * DuckDB HLL — different registers, different bias tables), so the
+    * raw estimate can never hash-match a DuckDB oracle. What IS
+    * deterministic and portable: the exact count (oracle-computable)
+    * and WHETHER the estimate lands inside its error envelope — default
+    * rsd 0.05, 3σ ⇒ 15% relative, max'd with +2 absolute for HLL++'s
+    * sparse-encoding rounding at tiny cardinalities (the same envelope
+    * OperatorsSpec has pinned since round 14). The oracle emits the
+    * exact counts and a constant-true flag: a sketch regression outside
+    * the envelope flips the flag and fails the hash gate.
+    */
+  def approxDistinctChecked(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("est"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          greatest(lit(2.0), col("exact_users") * 0.15)).cast("int")
+          .as("in_hll_envelope"))
 
   // ---- qkey registry -----------------------------------------------------
 
@@ -351,24 +378,42 @@ object Extended {
           |FROM events""".stripMargin)),
     QueryDef(
       "approx_distinct",
-      (s, dir) => approxDistinct(Tables.events(s, dir)),
-      None), // sketch values are engine-specific; exact twin: distinct_users
+      // [[approxDistinctChecked]]: the deterministic projection — exact
+      // counts + the in-envelope flag — so the sketch qkey is
+      // hash-gated, not rows-only (VERDICT r15 item 6). The raw-estimate
+      // form stays available as [[approxDistinct]].
+      (s, dir) => approxDistinctChecked(Tables.events(s, dir)),
+      Some("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "1 AS in_hll_envelope FROM events GROUP BY 1")),
     QueryDef(
       "approx_percentiles",
       // approx_percentile = mergeable quantile sketch (Spark's GK-style
       // summary): per-partition summaries merge on the reduce side, so
       // memory is O(1/accuracy) per group regardless of group size —
       // the 100 TB drop-in for value_percentiles' exact sort-based state.
-      // Sketch outputs are engine-specific (DuckDB uses t-digest) →
-      // rows-only; the exact twin value_percentiles is the oracle-backed
-      // counterpart, and the sketch error is asserted against it in
-      // OperatorsSpec.
+      // Sketch VALUES are engine-specific (DuckDB uses t-digest), so the
+      // oracle-checkable projection is the RANK-BAND flag (VERDICT r15
+      // item 6): with accuracy 10000 the returned element's rank errs by
+      // ≤ n/10000, so it must lie between the exact interpolated
+      // quantiles at q ∓ 0.02 — a 200× slack that is still tight enough
+      // to catch any real sketch regression. Inclusive bounds: an
+      // element can EQUAL an interpolated bound when ranks tie. The
+      // exact quantile pass rides the same shuffle as the sketch (one
+      // groupBy), and its per-group state is a distinct-value count map
+      // — bounded by the value domain, not the row count.
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           expr("approx_percentile(value, 0.5, 10000)").as("p50"),
-          expr("approx_percentile(value, 0.9, 10000)").as("p90")),
-      None), // sketch values are engine-specific; exact twin: value_percentiles
+          expr("approx_percentile(value, 0.9, 10000)").as("p90"),
+          expr("percentile(value, array(0.48, 0.52, 0.88, 0.92))").as("ex"))
+        .select(col("event_type"),
+          (col("p50") >= col("ex")(0) && col("p50") <= col("ex")(1))
+            .cast("int").as("p50_in_rank_band"),
+          (col("p90") >= col("ex")(2) && col("p90") <= col("ex")(3))
+            .cast("int").as("p90_in_rank_band")),
+      Some("SELECT event_type, 1 AS p50_in_rank_band, 1 AS p90_in_rank_band " +
+        "FROM events GROUP BY 1")),
     QueryDef(
       "event_gaps",
       // lead/lag analytic: per-user inter-event gap in µs — the

@@ -161,8 +161,7 @@ class MultiStreamSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("value_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    val approx = SparkEntry.queries("approx_percentiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = rawApproxPercentiles(sf)
     assert(approx.keySet === exact.keySet)
     // accuracy=10000 ⇒ rank error ≤ n/10000; at sf0.001 (~2k rows/group)
     // the sketch returns an element within a handful of ranks of the true
@@ -176,15 +175,15 @@ class MultiStreamSpec extends SparkSpec {
   }
 
   test("approx_distinct tracks the exact distinct counts within the HLL error bound") {
-    // the error-bound contract for the rows-only qkey: the sketch output
-    // is engine-specific (no DuckDB oracle), but its distance from the
+    // the error-bound contract behind the registered projection: the raw
+    // sketch output is engine-specific, but its distance from the
     // oracle-backed exact twin IS checkable — default rsd 0.05 ⇒ a 3σ
     // envelope of 15% relative error; +2 absolute covers the
     // tiny-cardinality regime where HLL++'s sparse encoding rounds
     val sf = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("distinct_users")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("approx_distinct")(spark, sf)
+    val approx = Extended.approxDistinct(graft.engine.Tables.events(spark, sf))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
     exact.foreach { case (k, e) =>
@@ -193,14 +192,41 @@ class MultiStreamSpec extends SparkSpec {
     }
   }
 
+  test("the registered sketch projections self-check: every envelope flag is 1") {
+    // the qkeys now ship the DETERMINISTIC projection (exact values +
+    // in-envelope flags) so DuckDB can hash-gate them (VERDICT r15
+    // item 6); this is the local twin of that gate — a sketch regression
+    // (or a broken bound formula) flips a flag to 0 here first
+    val sf = "/root/testdata/sf0.001"
+    val ad = SparkEntry.queries("approx_distinct")(spark, sf).collect()
+    assert(ad.nonEmpty)
+    ad.foreach(r => assert(r.getInt(2) === 1, s"approx_distinct ${r.getString(0)} out of envelope"))
+    val ap = SparkEntry.queries("approx_percentiles")(spark, sf).collect()
+    assert(ap.nonEmpty)
+    ap.foreach { r =>
+      assert(r.getInt(1) === 1, s"approx_percentiles ${r.getString(0)} p50 out of rank band")
+      assert(r.getInt(2) === 1, s"approx_percentiles ${r.getString(0)} p90 out of rank band")
+    }
+  }
+
+  /** The raw (pre-projection) sketch values the rank/envelope contracts
+    * test — the registered qkey now emits flags, not estimates.
+    */
+  private def rawApproxPercentiles(sf: String): Map[String, (Double, Double)] =
+    graft.engine.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
   test("approx_percentiles rank error stays within the sketch accuracy contract") {
     // the rank-error bound approx_percentile actually promises (the value
     // envelope above is a symptom; this is the contract): with
     // accuracy=10000 the returned element's rank differs from ceil(q·n)
     // by at most n/10000 (+1 for discretization at exact ranks)
     val sf = "/root/testdata/sf0.001"
-    val approx = SparkEntry.queries("approx_percentiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = rawApproxPercentiles(sf)
     val vals = graft.engine.Tables.events(spark, sf)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value")).collect()
