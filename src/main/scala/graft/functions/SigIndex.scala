@@ -496,6 +496,62 @@ object SigIndex {
     Dedup.incrementalMatches(mhB, bandsB, mhEx, bandsEx, "doc_id", threshold, NumHashes)
   }
 
+  /** One micro-batch of the end-to-end ingest curation pipeline
+    * (VERDICT r15 item 8) — the composition a production training-data
+    * pipeline runs per arriving batch, all off the STAGED stores:
+    *
+    *   quality filter → near-dup gate vs the stored signature index →
+    *   kept documents
+    *
+    * Returns the batch documents that survive both gates, with the
+    * quality signals attached (the columns an audit trail keeps). The
+    * batch side pays one shingle+sign pass over ITS OWN text only; the
+    * corpus side is the storage-resident band index + signature table —
+    * per-batch cost is independent of corpus size up to the static-side
+    * scan (measured ~2.5×/store-decade, see BASELINE.md round-14 ingest
+    * row). [[packIngestBatch]] adds the trainer-facing packing step.
+    */
+  def curateBatchAgainstStore(batch: DataFrame, corpusSigs: DataFrame,
+                              corpusBands: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              threshold: Double = 0.5): DataFrame = {
+    val quality = batch.join(
+      TextAnalysis.qualityFilter(batch, idCol, textCol)
+        .filter(col("keep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    // sign ONLY the quality survivors — the near-dup gate is the
+    // expensive stage, so it runs on the pre-filtered batch
+    val mhB = Dedup.minhashSignatures(
+      TextAnalysis.shingles(quality, idCol, textCol, distinct = false),
+      idCol, NumHashes).persist()
+    val bandsB = Dedup.minhashBands(mhB, idCol, NumHashes, RowsPerBand)
+    val matches = Dedup.incrementalMatches(
+      mhB, bandsB, corpusSigs, corpusBands, idCol, threshold, NumHashes)
+    quality.join(matches.select(col("doc_new").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** [[curateBatchAgainstStore]] + training-sequence packing: the full
+    * ingest → dedup → quality → packed-sequences chain, one call per
+    * micro-batch (see [[graft.PipelineDemo]] for the streaming session
+    * that drives it via foreachBatch). Output is [[Curation.seqPacking]]'s
+    * per-sequence fill report over the kept documents.
+    */
+  def packIngestBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      threshold: Double = 0.5,
+                      budget: Int = 256, nShards: Int = 4): DataFrame = {
+    val base = stageOnce(spark, dir)
+    val kept = curateBatchAgainstStore(
+      batch,
+      spark.read.parquet(s"$base/minhash_sigs"),
+      spark.read.parquet(s"$base/band_index"),
+      idCol, textCol, threshold)
+    Curation.seqPacking(
+      kept.withColumn("source", lit("ingest")),
+      idCol, "source", textCol, budget, nShards)
+  }
+
   /** Same oracles as the inline twins: the index contents are
     * md5-deterministic, so "hash in SQL, serve the store in Spark" must
     * produce identical bytes.

@@ -1032,4 +1032,45 @@ class StreamingSpec extends SparkSpec {
       "file demo never created its checkpoint dir")
     intercept[RuntimeException](Demo.start(spark, "nope"))
   }
+
+  test("PipelineDemo: staged stores compose in one streaming session (per-batch progress, store reuse)") {
+    // The end-to-end ingest pipeline (VERDICT r15 item 8): stream →
+    // quality filter → near-dup gate vs the STORED signature index →
+    // packed sequences, per micro-batch. Pins (a) one progress event +
+    // one report per fed batch, (b) the store is staged once and only
+    // READ by the batches — its completion marker's mtime is untouched,
+    // (c) both gates bite: kept < fed, and the verbatim corpus replicas
+    // (every even feed slot) are dropped by the dedup gate, so kept is
+    // at most the odd (word-reversed) half, (d) the parquet sink's
+    // per-sequence fill sums to the per-batch reports.
+    val sf = "/root/testdata/sf0.001"
+    val base = graft.functions.SigIndex.stageOnce(spark, sf)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_SIG_OK")
+    val mtime0 = fs.getFileStatus(marker).getModificationTime
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline_spec").toString
+    val h = PipelineDemo.build(spark, sf, batches = 2, batchSize = 100, outDir = out)
+    try {
+      h.drive(0)
+      val p0 = h.query.lastProgress
+      assert(p0 != null && p0.numInputRows === 100L, "batch 0 made no progress")
+      h.drive(1)
+      val p1 = h.query.lastProgress
+      assert(p1 != null && p1.batchId > p0.batchId, "batch 1 did not advance the batch id")
+    } finally h.query.stop()
+    assert(h.perBatch.size === 2, s"expected 2 per-batch reports, got ${h.perBatch.size}")
+    h.perBatch.foreach { case (kept, toks) =>
+      assert(kept > 0 && kept <= 50, s"kept $kept outside (0, 50]: dedup gate not biting")
+      assert(toks > 0)
+    }
+    assert(fs.getFileStatus(marker).getModificationTime === mtime0,
+      "signature store was rebuilt mid-stream — batches must REUSE the staged artifacts")
+    val packed = spark.read.parquet(s"$out/packed")
+    val sums = packed.groupBy(col("batch_id"))
+      .agg(sum(col("n_docs")).as("kept"), sum(col("seq_tokens")).as("toks"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sums === Map(0L -> h.perBatch(0), 1L -> h.perBatch(1)),
+      "parquet sink disagrees with the per-batch reports")
+  }
 }
