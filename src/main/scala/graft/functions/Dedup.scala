@@ -206,11 +206,28 @@ object Dedup {
   private[functions] def incrementalMatches(mhNew: DataFrame, bandsNew: DataFrame,
                                             mhEx: DataFrame, bandsEx: DataFrame,
                                             idCol: String, threshold: Double,
-                                            numHashes: Int): DataFrame = {
+                                            numHashes: Int,
+                                            batchJoin: String = "shuffle"): DataFrame = {
     val ex = bandsEx.select(col(idCol).as("doc_ex"), col("band"), col("sig"))
-    val nw = bandsNew
+    val nw0 = bandsNew
       .select(col(idCol).as("doc_new"), col("band").as("band_n"), col("sig").as("sig_n"))
-    val pairs = ex.join(nw, col("band") === col("band_n") && col("sig") === col("sig_n"))
+    // Candidate-join strategy against the (much larger) existing-corpus
+    // band index — the r15 advice lever for the staged ingest serve:
+    //  - "shuffle":   both sides exchange on (band, sig) — the baseline.
+    //  - "broadcast": the batch's band table broadcasts; the corpus side
+    //    is scanned once and NEVER exchanged — rows die at the join right
+    //    above the store scan. Payload is |batch|·bands rows.
+    //  - "semi":      the corpus side is pre-pruned by a broadcast
+    //    LEFT SEMI on the batch's DISTINCT band keys (smaller payload
+    //    than "broadcast" — no doc ids), then the survivors (band
+    //    collisions only) flow into the regular shuffle join.
+    // Winner by measurement (IncrSweep, sf10+sf100): see BASELINE.md.
+    val nw = if (batchJoin == "broadcast") broadcast(nw0) else nw0
+    val exPruned = if (batchJoin == "semi")
+      ex.join(broadcast(nw0.select(col("band_n"), col("sig_n")).distinct()),
+        col("band") === col("band_n") && col("sig") === col("sig_n"), "left_semi")
+    else ex
+    val pairs = exPruned.join(nw, col("band") === col("band_n") && col("sig") === col("sig_n"))
       .select(col("doc_new"), col("doc_ex"))
       .distinct()
     val a = mhNew.select(col(idCol).as("doc_new") +:

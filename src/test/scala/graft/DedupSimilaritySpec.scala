@@ -868,11 +868,18 @@ class DedupSimilaritySpec extends SparkSpec {
     import graft.functions.SigIndex
     val dir = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, dir)
-    val pairsStaged = SigIndex.minhashPairsStaged(spark, dir)
+    // the SERVED path since r16 is the stored pair list (pairsStaged);
+    // minhashPairsStaged (the band self-join off the band index) remains
+    // the build-time deriver — pin BOTH against the inline operator
+    val pairsStaged = SigIndex.pairsStaged(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsDerived = SigIndex.minhashPairsStaged(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pairsInline = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsStaged === pairsInline,
+      "stored pair list drifted from the inline signature build")
+    assert(pairsDerived === pairsInline,
       "stored band index drifted from the inline signature build")
     val estStaged = SigIndex.estJaccardStaged(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

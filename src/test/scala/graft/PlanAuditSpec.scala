@@ -94,19 +94,26 @@ class PlanAuditSpec extends AnyFunSuite {
                   "doc_pagerank", "split_leakage"))
       assert(sections(k).contains(sigMark),
         s"$k (inline oracle twin) lost its signature lineage — did it silently switch to the store?")
-    // positive direction: every sig-staged serve must actually SCAN the
-    // store (its fingerprint prefix appears in the plan's file
-    // locations); inline twins must not. dedup_incremental_staged signs
+    // positive direction: every staged serve must actually SCAN its
+    // store (the fingerprint prefix appears in the plan's file
+    // locations); inline twins must not. Since the r16 pairs artifact,
+    // the pair CONSUMERS read the clusters store's stored pair list
+    // (the band self-join runs once per revision, at staging):
+    // dedup_minhash_staged / doc_pagerank_staged / split_leakage_staged
+    // read graft_clusters_ only; the est serve additionally scores off
+    // the signature table (graft_sig_). dedup_incremental_staged signs
     // the NEW batch inline by design (that is the per-batch cost a live
-    // ingest pays), so it appears here but not in the no-sigMark list.
-    // The clusters/pipeline staged serves are absent because they read
-    // the staged CLUSTER MAP, not the signature store (their own
-    // `graft_clusters_` scan is pinned by the freshness tripwire test).
+    // ingest pays) and joins the signature store.
     for (k <- Seq("dedup_minhash_staged", "dedup_minhash_est_staged",
-                  "doc_pagerank_staged", "split_leakage_staged",
-                  "dedup_incremental_staged"))
+                  "doc_pagerank_staged", "split_leakage_staged"))
+      assert(sections(k).contains("graft_clusters_"),
+        s"$k plan does not read the staged pair list")
+    for (k <- Seq("dedup_minhash_est_staged", "dedup_incremental_staged"))
       assert(sections(k).contains("graft_sig_"),
         s"$k plan does not read the signature store")
+    for (k <- Seq("dedup_minhash_staged", "doc_pagerank_staged", "split_leakage_staged"))
+      assert(!sections(k).contains("graft_sig_"),
+        s"$k plan still re-derives pairs from the band index — it must read the stored pair list")
     for (k <- Seq("dedup_minhash", "dedup_minhash_est", "doc_pagerank",
                   "split_leakage", "dedup_pipeline", "dedup_incremental"))
       assert(!sections(k).contains("graft_sig_"),
