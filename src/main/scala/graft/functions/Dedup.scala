@@ -1271,6 +1271,22 @@ object Dedup {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     // loop-invariant: (src, dst, deg-of-src) — contribution routing table
     val edgeDeg = edges.join(deg, Seq("src")).persist()
+    pagerankOnEdgeDeg(edgeDeg, deg, idCol, iters, scale)
+  }
+
+  /** The rank rounds over EXPLICIT (src, dst, deg) routing-table and
+    * (src, deg) degree frames — shared by the inline operator above
+    * (both derived in-plan from the pair list) and the staged serve
+    * ([[graft.functions.SigIndex.docPagerankStaged]]: both read from the
+    * clusters store, where they are revision-static artifacts — the
+    * graph prep never runs in a serve plan). Integer fixed-point
+    * arithmetic makes the two paths bit-identical, so the oracle is
+    * shared unchanged.
+    */
+  private[functions] def pagerankOnEdgeDeg(edgeDeg: DataFrame, deg: DataFrame,
+                                           idCol: String, iters: Int,
+                                           scale: Long): DataFrame = {
+    require(iters >= 1 && scale % 100L == 0L, "need iters >= 1 and scale % 100 == 0")
     val teleport = 15L * scale / 100L
     var rank = deg.select(col("src").as(idCol), lit(scale).as("pr"))
     for (_ <- 1 to iters) {

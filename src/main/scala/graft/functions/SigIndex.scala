@@ -433,7 +433,7 @@ object SigIndex {
   // free at build time (they flow to CC through the same write) and
   // turns every consumer's candidate stage into a parquet read.
   private def clustersBasePath(spark: SparkSession, dir: String): org.apache.hadoop.fs.Path =
-    storePath(spark, dir, "clusters", s"h${NumHashes}b${RowsPerBand}cc_r2")
+    storePath(spark, dir, "clusters", s"h${NumHashes}b${RowsPerBand}cc_r3")
 
   /** Build the pair list + cluster map once per (corpus dir, geometry):
     * stored-band candidate pairs (written as the `pairs` artifact) →
@@ -447,8 +447,20 @@ object SigIndex {
     buildOnce(spark, clustersBasePath(spark, dir), "_GRAFT_CLUSTERS_OK") { base =>
       minhashPairsStaged(spark, dir)
         .write.mode("overwrite").parquet(s"$base/pairs")
+      val pairs = spark.read.parquet(s"$base/pairs")
+      // r3: the PageRank routing tables join the store — (src, dst, deg)
+      // and (src, deg) are pure functions of the pair list, and deriving
+      // them per serve (union + degree agg + join over 2·|pairs| rows)
+      // was the remaining graph-prep cost in doc_pagerank_staged
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+      deg.write.mode("overwrite").parquet(s"$base/deg")
+      edges.join(deg, Seq("src"))
+        .write.mode("overwrite").parquet(s"$base/edge_deg")
+      deg.unpersist(blocking = false)
       Dedup.connectedComponents(Tables.documents(spark, dir),
-          spark.read.parquet(s"$base/pairs"), "doc_id")
+          pairs, "doc_id")
         .write.mode("overwrite").parquet(s"$base/cluster_map")
     }
 
@@ -471,12 +483,22 @@ object SigIndex {
   def dedupClustersStaged(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${stageClusters(spark, dir)}/cluster_map")
 
-  /** Duplicate-graph PageRank off the store: stored-band candidate graph
-    * → the same integer fixed-point rank rounds as the inline
-    * doc_pagerank.
+  /** Duplicate-graph PageRank off the store: the STORED routing tables
+    * (`edge_deg` = (src, dst, deg), `deg` = (src, deg) — r3 artifacts,
+    * pure functions of the pair list) feed the same integer fixed-point
+    * rank rounds as the inline doc_pagerank. No graph prep in the serve
+    * plan: no band self-join, no edge union, no degree aggregation —
+    * the serve pays the rank rounds only.
     */
-  def docPagerankStaged(spark: SparkSession, dir: String): DataFrame =
-    Dedup.pagerankOnPairs(pairsStaged(spark, dir), "doc_id", 5, 1000000L)
+  def docPagerankStaged(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageClusters(spark, dir)
+    // both frames feed every rank round — persist for the serve plan;
+    // the runner releases at the query boundary
+    Dedup.pagerankOnEdgeDeg(
+      spark.read.parquet(s"$base/edge_deg").persist(),
+      spark.read.parquet(s"$base/deg").persist(),
+      "doc_id", 5, 1000000L)
+  }
 
   /** Split-leakage audit off the store: stored-band candidate pairs
     * joined against the hash-deterministic split assignment — the
