@@ -36,7 +36,7 @@ object IncrSweep {
       val t = (System.nanoTime() - t0) / 1e9
       graft.engine.Scoped.releaseAll(spark)
       times(v) = t :: times(v)
-      digests(v) = (d.getLong(0), d.getLong(1))
+      digests(v) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
       println(f"[incr-sweep] round $round $v%-10s $t%8.1f s  digest=${digests(v)}")
     }
     for (v <- variants)

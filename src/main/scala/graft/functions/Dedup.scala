@@ -65,17 +65,38 @@ object Dedup {
       .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Row-local signature build straight from document text: ONE pass per
+    * document through the compiled [[MinHashSlices]] expression — no
+    * shingle explode, no row multiplication, no aggregate shuffle. The
+    * canonical signing path for every from-text consumer (inline
+    * operators, the sig store build, per-batch ingest signing): at sf100
+    * the explode+agg composition pushed ~250 M shingle rows through a
+    * hash aggregate and that plumbing was 31.7 s of the 33 s incremental
+    * serve (round 16). Output is bit-identical to
+    * `minhashSignatures(shingles(docs, distinct = false))` — the
+    * expression's parity contract, spec-pinned — so stores, serves, and
+    * the DuckDB oracles are all unchanged.
+    */
+  def minhashSignaturesFromText(docs: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int, width: Int = 8,
+                                stride: Int = 4): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
+    docs.filter(length(col(textCol)) >= width)
+      .select(col(idCol),
+        VectorExpressions.minhashSlices(col(textCol), numHashes, width, stride).as("mhs"))
+      .select(col(idCol) +:
+        (1 to numHashes).map(j => element_at(col("mhs"), j).as(s"mh_$j")): _*)
+  }
+
   /** LSH banding over minhash signatures: `numHashes` signature elements in
     * bands of `rowsPerBand`; docs sharing any full band signature become
     * candidate pairs. Pure equi-join on (band, sig) — candidate volume is
     * sum of bucket², tunable via band shape, never n².
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // min-agg is duplicate-insensitive → non-distinct shingles (no dedup shuffle)
-    val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
-    minhashLshPairsFrom(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, rowsPerBand)
-  }
+                      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashLshPairsFrom(minhashSignaturesFromText(docs, idCol, textCol, numHashes),
+      idCol, numHashes, rowsPerBand)
 
   val minhashSql: String =
     s"""WITH sh AS (${TextAnalysis.shinglesSql()}),
@@ -100,8 +121,7 @@ object Dedup {
     */
   def minhashEstJaccard(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
-    val mh = minhashSignatures(sh, idCol, numHashes).persist()
+    val mh = minhashSignaturesFromText(docs, idCol, textCol, numHashes).persist()
     val pairs = minhashLshPairsFrom(mh, idCol, numHashes, rowsPerBand)
     val a = mh.select(col(idCol).as("doc_a") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"a_$j")): _*)
     val b = mh.select(col(idCol).as("doc_b") +: (1 to numHashes).map(j => col(s"mh_$j").as(s"b_$j")): _*)
@@ -139,10 +159,9 @@ object Dedup {
     * revision, exactly like the ANN postings).
     */
   def bandIndex(docs: DataFrame, idCol: String, textCol: String,
-                numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
-    minhashBands(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, rowsPerBand)
-  }
+                numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashBands(minhashSignaturesFromText(docs, idCol, textCol, numHashes),
+      idCol, numHashes, rowsPerBand)
 
   /** (id, band, sig) LSH band index off a signature frame — the shared
     * candidate-generation structure of the self-join ([[minhashLshPairsFrom]])
@@ -190,8 +209,7 @@ object Dedup {
   def dedupIncremental(docs: DataFrame, idCol: String, textCol: String,
                        newPred: Column, threshold: Double = 0.5,
                        numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextAnalysis.shingles(docs, idCol, textCol, distinct = false)
-    val mh = minhashSignatures(sh, idCol, numHashes).persist()
+    val mh = minhashSignaturesFromText(docs, idCol, textCol, numHashes).persist()
     val bands = minhashBands(mh, idCol, numHashes, rowsPerBand).persist()
     incrementalMatches(mh.filter(newPred), bands.filter(newPred),
       mh.filter(!newPred), bands.filter(!newPred), idCol, threshold, numHashes)

@@ -327,8 +327,7 @@ object SigIndex {
   def stageOnce(spark: SparkSession, dir: String): String =
     buildOnce(spark, basePath(spark, dir), "_GRAFT_SIG_OK") { base =>
       val docs = Tables.documents(spark, dir)
-      val sh = TextAnalysis.shingles(docs, "doc_id", "text", distinct = false)
-      Dedup.minhashSignatures(sh, "doc_id", NumHashes)
+      Dedup.minhashSignaturesFromText(docs, "doc_id", "text", NumHashes)
         .write.mode("overwrite").parquet(s"$base/minhash_sigs")
       // bands derive from the STORED signatures so the index is internally
       // consistent even if the signature lineage were ever to change
@@ -492,11 +491,15 @@ object SigIndex {
     */
   def docPagerankStaged(spark: SparkSession, dir: String): DataFrame = {
     val base = stageClusters(spark, dir)
-    // both frames feed every rank round — persist for the serve plan;
-    // the runner releases at the query boundary
+    // Both frames feed every rank round, UNPERSISTED deliberately: the
+    // round-16 A/B at sf100 (38 M edges) measured direct per-round
+    // parquet re-scans at 14.4-14.7 s vs 21.7-23.9 s persisted — the
+    // cache build + InMemoryTableScan decode costs more than re-running
+    // the columnar scan (OS-cached locally; on a cluster the re-reads
+    // are storage-tier bytes, the standard iterative-reader trade).
     Dedup.pagerankOnEdgeDeg(
-      spark.read.parquet(s"$base/edge_deg").persist(),
-      spark.read.parquet(s"$base/deg").persist(),
+      spark.read.parquet(s"$base/edge_deg"),
+      spark.read.parquet(s"$base/deg"),
       "doc_id", 5, 1000000L)
   }
 
@@ -531,8 +534,7 @@ object SigIndex {
                              batchJoin: String = "shuffle"): DataFrame = {
     val base = stageOnce(spark, dir)
     val batch = Tables.documents(spark, dir).filter(newPred)
-    val mhB = Dedup.minhashSignatures(
-      TextAnalysis.shingles(batch, "doc_id", "text", distinct = false), "doc_id", NumHashes)
+    val mhB = Dedup.minhashSignaturesFromText(batch, "doc_id", "text", NumHashes)
       .persist()
     val bandsB = Dedup.minhashBands(mhB, "doc_id", NumHashes, RowsPerBand)
     val mhEx = spark.read.parquet(s"$base/minhash_sigs").filter(!newPred)
@@ -567,9 +569,8 @@ object SigIndex {
       Seq(idCol), "left_semi")
     // sign ONLY the quality survivors — the near-dup gate is the
     // expensive stage, so it runs on the pre-filtered batch
-    val mhB = Dedup.minhashSignatures(
-      TextAnalysis.shingles(quality, idCol, textCol, distinct = false),
-      idCol, NumHashes).persist()
+    val mhB = Dedup.minhashSignaturesFromText(quality, idCol, textCol, NumHashes)
+      .persist()
     val bandsB = Dedup.minhashBands(mhB, idCol, NumHashes, RowsPerBand)
     val matches = Dedup.incrementalMatches(
       mhB, bandsB, corpusSigs, corpusBands, idCol, threshold, NumHashes)

@@ -199,6 +199,34 @@ object VectorExpressions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "vector_sign_bands", signBandsFromExprs, "built-in")
     }
+    val mh = org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_slices")
+    if (!spark.sessionState.functionRegistry.functionExists(mh)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_slices", minHashFromExprs, "built-in")
+    }
+  }
+
+  /** Column-API handle for [[MinHashSlices]] (see [[register]]). */
+  def minhashSlices(text: Column, numHashes: Int, width: Int, stride: Int): Column =
+    org.apache.spark.sql.functions.call_function("minhash_slices",
+      text,
+      org.apache.spark.sql.functions.lit(numHashes),
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(stride))
+
+  /** Registry/extension constructor — geometry arguments must be int
+    * literals (signature geometry is part of the operator's identity).
+    */
+  private[functions] def minHashFromExprs(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(exprs.length == 4,
+      "minhash_slices(text, numHashes, width, stride) takes 4 arguments")
+    (exprs(1), exprs(2), exprs(3)) match {
+      case (Literal(n: Int, _), Literal(w: Int, _), Literal(s: Int, _)) =>
+        MinHashSlices(exprs(0), n, w, s)
+      case other => throw new IllegalArgumentException(
+        s"minhash_slices: numHashes/width/stride must be int literals, got $other")
+    }
   }
 
   /** Column-API handle for [[VectorSignBands]] (see [[register]]). */
@@ -251,5 +279,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           classOf[VectorSignBands].getName, "vector_sign_bands"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           VectorExpressions.signBandsFromExprs(exprs)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_slices"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashSlices].getName, "minhash_slices"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          VectorExpressions.minHashFromExprs(exprs)))
   }
 }

@@ -1849,4 +1849,39 @@ class DedupSimilaritySpec extends SparkSpec {
       "escalating re-rank must reproduce the generous-prefix adoption exactly")
     spark.catalog.clearCache()
   }
+
+  test("minhash_slices expression equals the explode+min composition bit-for-bit") {
+    // the r16 row-local signing path's parity contract: identical output
+    // to minhashSignatures(shingles(docs, distinct = false)) — the
+    // composition every oracle and every store was built against. Pinned
+    // on the gate corpus AND on adversarial edge rows (width boundary,
+    // sub-width text dropped, multi-byte UTF-8 where char-indexed
+    // slicing and byte-level md5 must not be conflated).
+    import spark.implicits._
+    def viaExpr(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignaturesFromText(docs, "doc_id", "text", 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    def viaAgg(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(
+          TextAnalysis.shingles(docs, "doc_id", "text", distinct = false), "doc_id", 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
+    val e = viaExpr(corpus)
+    val a = viaAgg(corpus)
+    assert(e.size === a.size && e.nonEmpty)
+    assert(e === a, "row-local signatures drifted from the explode+min composition")
+    val edges = Seq(
+      (1L, "abcdefg"),            // width-1 chars → NO signature row
+      (2L, "abcdefgh"),           // exactly one shingle
+      (3L, "abcdefghi"),          // width+1: still one shingle at stride 4
+      (4L, "abcdefghijkl"),       // second shingle starts at char 5
+      (5L, "héllo wörld — ünïcode tëxt hërë ąčęė"), // multi-byte chars
+      (6L, "")                    // empty text → dropped
+    ).toDF("doc_id", "text")
+    val ee = viaExpr(edges)
+    val aa = viaAgg(edges)
+    assert(ee.keySet === Set(2L, 3L, 4L, 5L))
+    assert(ee === aa, "edge-row signatures drifted (char/byte slicing or boundary)")
+    spark.catalog.clearCache()
+  }
 }

@@ -75,18 +75,19 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("staged signature serves carry no text lineage; inline minhash twins do") {
-    // the SigIndex contract: shingle + md5 + min-aggregate run at staging
-    // time only — a serve plan reading the store must never re-derive
-    // signatures from document text. The signature fingerprint in a plan
-    // is md5 OVER A SHINGLE SUBSTRING — `md5(cast(substring` — which
-    // distinguishes it from dataSplit's legitimate md5-over-doc_id
-    // (`md5(cast(cast(doc_id`) that split_leakage_staged keeps.
-    val sigMark = "md5(cast(substring"
+    // the SigIndex contract: signature derivation runs at staging time
+    // only — a serve plan reading the store must never re-derive
+    // signatures from document text. Since r16 the from-text signing
+    // path is the compiled row-local expression, so its plan fingerprint
+    // is `minhash_slices(` (the pre-r16 explode+min composition's
+    // `md5(cast(substring` died with the rewrite — same fingerprint
+    // migration as the r14 LSH banding expression).
+    val sigMark = "minhash_slices("
     for (k <- Seq("dedup_minhash_staged", "dedup_minhash_est_staged",
                   "dedup_clusters_staged", "doc_pagerank_staged", "split_leakage_staged",
                   "dedup_pipeline_staged"))
       assert(!sections(k).contains(sigMark),
-        s"$k plan re-computes md5 signatures — staged serve must read the store only")
+        s"$k plan re-computes signatures — staged serve must read the store only")
     // dedup_clusters is absent from this list deliberately: its component
     // labels localCheckpoint eagerly, severing the explained plan's
     // lineage above the final join — the mark cannot appear either way
@@ -370,6 +371,15 @@ class PlanAuditSpec extends AnyFunSuite {
         for (k <- Seq("dedup_clusters_staged", "dedup_pipeline_staged"))
           assert(secs(k).contains("graft_clusters_"),
             s"$name: $k does not read the staged cluster map — stale artifact or regressed serve")
+        // r16: from-text signing is the compiled row-local minhash_slices
+        // expression (the explode+min composition shuffled ~250 M shingle
+        // rows at sf100 — 31.7 of the 33 s incremental serve); the pair
+        // CONSUMERS read the stored pair list instead of re-banding
+        assert(secs("dedup_minhash").contains("minhash_slices("),
+          s"$name: dedup_minhash lost the compiled row-local signing expression — stale artifact or regressed rewrite")
+        for (k <- Seq("dedup_minhash_staged", "doc_pagerank_staged", "split_leakage_staged"))
+          assert(secs(k).contains("graft_clusters_"),
+            s"$name: $k does not read the staged pair list — stale artifact or regressed serve")
       }
     }
     assume(missing.isEmpty,
