@@ -12,6 +12,16 @@ package graft
   * verifies output parity (count + sum of hashes) across variants — the
   * same protocol as the ShjSweep/bloom A/Bs in BASELINE.md.
   *
+  * Caveat for SCALED dirs (data/sf10+): the registered batch predicate
+  * doc_id % 5 = 0 selects whole ScaleUp replicas there (doc_id' =
+  * doc_id·copies + r), and a replica's near-dups live in the SAME
+  * replica — so the match report is EMPTY by construction and the
+  * parity digest degenerates to (0, 0). The sweep still measures the
+  * real per-batch cost (signing + band probing); the non-empty-output
+  * parity lives at the unscaled gate dirs (sf0.01: 397 rows,
+  * hash-green). Measured round 16: no variant wins at sf10 OR sf100 —
+  * signing dominated, which led to the MinHashSlices rewrite.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=data/sf100 sbt "runMain graft.IncrSweep"
   */
 object IncrSweep {
