@@ -100,7 +100,24 @@ object Bench {
           "are disk-bound at this scale (use the _sampled presets)")
       ExactAnchors
     } else Set.empty[String]
-    val skipped = quadSkipped ++ anchorSkipped
+    // SimHash's FIXED 4×16-bit band geometry is the dedup_embedding_lsh
+    // cliff in document form: candidate volume ~ 4·n²/2^16, fine at every
+    // gate scale, ~1.5 B pairs at 5 M docs — the first full-registry run
+    // past the exact-anchor skip (round 16) found dedup_simhash spilling
+    // ~55 GB of shuffle and dedup_simhash_md5 ENOSPC-ing right behind it.
+    // Both are reference-parity correctness baselines (the md5 twin IS
+    // the oracle contract); the corpus-sized near-dup paths at scale are
+    // minhash-LSH and the auto-geometry embedding LSH. Same hard-config
+    // treatment, same doc bound as the exact anchors.
+    val FixedBandCliffs = Set("dedup_simhash", "dedup_simhash_md5")
+    val simhashSkipped = if (docRows > ExactAnchorMaxDocs) {
+      System.err.println(
+        s"[bench] skipping ${FixedBandCliffs.mkString(",")}: documents has " +
+          s"$docRows rows > $ExactAnchorMaxDocs — fixed 4×16-bit band " +
+          "geometry is quadratic at this scale (gate-only baselines)")
+      FixedBandCliffs
+    } else Set.empty[String]
+    val skipped = quadSkipped ++ anchorSkipped ++ simhashSkipped
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         only.forall(_.contains(n)) && subset.forall(_.contains(n)) && !skipped.contains(n) }
