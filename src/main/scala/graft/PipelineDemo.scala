@@ -94,13 +94,20 @@ object PipelineDemo {
         // (quality signals, the id semi-join, signing, the final
         // anti-join) — unpersisted, each would re-pull the source
         batch.persist()
+        // persist the batch's packed frame ONCE and both write and
+        // aggregate off it — re-reading the whole sink directory and
+        // filtering on batch_id would be O(total rows written so far)
+        // per batch, a linearly growing per-batch overhead that's
+        // invisible at 3 demo batches but wrong as the pattern this
+        // demo models (ADVICE r16)
         val packed = SigIndex.packIngestBatch(spark, sfDir, batch)
           .withColumn("batch_id", lit(id))
+          .persist()
         packed.write.mode("append").parquet(s"$outDir/packed")
-        val stats = spark.read.parquet(s"$outDir/packed")
-          .filter(col("batch_id") === id)
+        val stats = packed
           .agg(coalesce(sum(col("n_docs")), lit(0L)).as("kept"),
                coalesce(sum(col("seq_tokens")), lit(0L)).as("toks")).head
+        packed.unpersist()
         perBatch += ((stats.getLong(0), stats.getLong(1)))
         println(s"[pipeline-demo] batch $id: in=${batch.count()} " +
           s"kept=${stats.getLong(0)} packed_tokens=${stats.getLong(1)}")

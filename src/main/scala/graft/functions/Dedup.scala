@@ -226,6 +226,11 @@ object Dedup {
                                             idCol: String, threshold: Double,
                                             numHashes: Int,
                                             batchJoin: String = "shuffle"): DataFrame = {
+    // Validated at entry (ADVICE r16): a typo'd strategy would silently
+    // fall through to the "shuffle" baseline, and an A/B sweep (IncrSweep)
+    // would then time three identical plans and report phantom parity.
+    require(Set("shuffle", "broadcast", "semi").contains(batchJoin),
+      s"batchJoin must be one of shuffle|broadcast|semi, got '$batchJoin'")
     val ex = bandsEx.select(col(idCol).as("doc_ex"), col("band"), col("sig"))
     val nw0 = bandsNew
       .select(col(idCol).as("doc_new"), col("band").as("band_n"), col("sig").as("sig_n"))
@@ -377,6 +382,119 @@ object Dedup {
   /** [[simhashPairs]] over the engine-portable md5 fingerprint. */
   def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashBandPairs(simhashMd5(docs, idCol, textCol), idCol)
+
+  /** Fingerprint block widths for the block-combination geometry: 64 bits
+    * split as evenly as m allows (the first 64 mod m blocks take the
+    * extra bit), offsets ascending from bit 0.
+    */
+  private[graft] def simhashBlockSizes(m: Int): Seq[Int] = {
+    val base = 64 / m
+    val rem = 64 % m
+    (0 until m).map(i => if (i < rem) base + 1 else base)
+  }
+
+  private def choose(m: Int, h: Int): Long =
+    (1 to h).foldLeft(1L)((acc, i) => acc * (m - i + 1) / i)
+
+  /** Corpus-sized block count for exact hamming ≤ `h` SimHash pairing —
+    * the auto-geometry rule VERDICT r16 item 3 asked for, mirroring what
+    * `lshBitsFor` does for embedding LSH. The fixed 4×16-bit banding is
+    * the m = 4 point of the block-COMBINATION family (Manku/Jarvelin/
+    * Sarma, WWW'07 "Detecting Near-Duplicates for Web Crawling"): split
+    * the 64 fingerprint bits into m > h blocks and equi-join once per
+    * (m−h)-block combination. A pair within hamming h dirties at most h
+    * blocks, so some kept-combination matches EXACTLY — the guarantee is
+    * geometry-independent, only the candidate volume changes: per-table
+    * collisions scale as n²/2^keyBits, and keyBits GROWS with m
+    * (16 → 25 → 31 → 40 for m = 4, 5, 6, 8) while the table count C(m,h)
+    * grows only polynomially (4 → 10 → 20 → 56). The rule picks the
+    * smallest m whose expected total candidate volume stays ≤
+    * `targetOcc`·n under a uniform-fingerprint model — the same
+    * constant-occupancy posture as `lshBitsFor`:
+    *
+    *   n ≤ ~260 k  → m = 4 (the reference-parity fixed geometry —
+    *                 identical output, identical plan at every gate scale)
+    *   n ≤ ~53 M   → m = 5 (25-bit keys, 10 tables — covers sf10/sf100)
+    *   n ≤ ~3.4 B  → m = 6 (31-bit keys, 20 tables)
+    *   beyond     → m = 8 (40-bit keys, 56 tables)
+    */
+  def simhashBlocksFor(n: Long, h: Int = 3, targetOcc: Int = 16): Int =
+    Seq(4, 5, 6, 8).find { m =>
+      val keyBits = 64 - simhashBlockSizes(m).sorted.takeRight(h).sum
+      // total candidates ~ n² · C(m,h) / 2^keyBits ≤ targetOcc · n
+      math.pow(2.0, keyBits) >= n.toDouble * choose(m, h) / targetOcc
+    }.getOrElse(8)
+
+  /** Exact hamming ≤ `h` pairs over any 64-bit fingerprint table via the
+    * block-combination join (see [[simhashBlocksFor]]). Output contract
+    * is GEOMETRY-INDEPENDENT: exactly the pairs within hamming `h`, with
+    * the distance attached — unlike [[simhashBandPairs]], whose raw
+    * band-collision superset varies with banding. Every kept-combination
+    * key packs into one LONG (≤ 64 bits by construction), so the join is
+    * a plain (band, key) equi-join — shuffle volume C(m,h)·n skinny rows,
+    * candidate volume sum-of-bucket², never n².
+    */
+  private[graft] def simhashBlockPairs(sh: DataFrame, idCol: String,
+                                           m: Int, h: Int = 3): DataFrame = {
+    require(m > h && m <= 64, s"need h < m <= 64 blocks, got m=$m h=$h")
+    val sizes = simhashBlockSizes(m)
+    val offs = sizes.scanLeft(0)(_ + _)
+    val bandCols = (0 until m).combinations(m - h).toSeq.zipWithIndex.map {
+      case (kept, ci) =>
+        // key = the kept blocks' bits, concatenated big-endian — a pure
+        // shift/mask composition, fully codegen'd
+        val key = kept.foldLeft(lit(0L)) { (acc, blk) =>
+          val mask = if (sizes(blk) == 64) -1L else (1L << sizes(blk)) - 1
+          shiftleft(acc, sizes(blk)).bitwiseOR(
+            shiftrightunsigned(col("simhash"), offs(blk)).bitwiseAND(lit(mask)))
+        }
+        struct(lit(ci).as("band"), key.as("key"))
+    }
+    val banded = sh.select(col(idCol), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist() // both self-join sides read it — the block-key index
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("key"))
+    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+      col("band").as("band_b"), col("key").as("key_b"))
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .filter(col("hamming") <= h)
+      .distinct()
+  }
+
+  /** The corpus-sized SimHash near-dup operator (`dedup_simhash_auto`):
+    * row-local [[SimHash60]] md5 fingerprints (no token explode, no
+    * aggregate shuffle — the MinHashSlices discipline one family over) +
+    * auto block-combination geometry. Exact contract: every pair within
+    * hamming ≤ `h`, at ANY corpus size — at gate scales the geometry
+    * resolves to the reference-parity m = 4 (the fixed 4×16 banding), at
+    * sf10/sf100 it widens keys instead of drowning in the n²/2^16
+    * candidate cliff that put the fixed-geometry twins in the bench skip
+    * set. md5 keeps the fingerprint engine-portable, so the DuckDB
+    * oracle is [[simhashMd5Sql]] restricted to hamming ≤ h.
+    */
+  def simhashPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                       h: Int = 3): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
+    val m = simhashBlocksFor(docs.count(), h)
+    val sh = docs.select(col(idCol),
+      VectorExpressions.simhash60(col(textCol)).as("simhash"))
+    simhashBlockPairs(sh, idCol, m, h)
+  }
+
+  /** DuckDB twin of [[simhashPairsAuto]]: the fixed-geometry md5 oracle
+    * restricted to hamming ≤ 3 — the 4×16 banding finds EVERY hamming ≤ 3
+    * pair (it is the m = 4 block-combination), so its filtered output is
+    * the auto operator's exact contract regardless of the m the Spark
+    * side picked.
+    */
+  lazy val simhashAutoSql: String = // lazy: simhashMd5Sql initializes later in the file
+    s"SELECT doc_a, doc_b, hamming FROM ($simhashMd5Sql) t WHERE hamming <= 3"
 
   /** DuckDB twin of [[simhashPairsMd5]]: per-token 60-bit md5-slice hash,
     * per-bit majority vote (strict `2·ones > n`, matching
@@ -1456,6 +1574,12 @@ object Dedup {
     // oracle-backed twin of dedup_simhash: md5-slice token hash makes the
     // fingerprint engine-portable; xxhash64 stays the production default
     QueryDef("dedup_simhash_md5", (s, dir) => simhashPairsMd5(Tables.documents(s, dir), "doc_id", "text"), Some(simhashMd5Sql)),
+    // the corpus-sized twin (VERDICT r16 item 3): exact hamming<=3 pairs
+    // via auto block-combination geometry — NOT in the bench skip set;
+    // at gate scales the geometry IS the fixed 4x16 banding, at scale it
+    // widens keys (m=5: 25-bit keys, 10 tables at sf10/sf100) instead of
+    // paying the n^2/2^16 candidate cliff
+    QueryDef("dedup_simhash_auto", (s, dir) => simhashPairsAuto(Tables.documents(s, dir), "doc_id", "text"), Some(simhashAutoSql)),
     // NgramStride (6, vs the shingles default 4): the round-4 sweep
     // (NgramSweep) measured 3.0 s vs 5.8 s at sf0.1 with an IDENTICAL
     // pair set at both strides (sym-diff 0 at sf0.01) — sparser

@@ -532,6 +532,11 @@ object SigIndex {
                                pmod(col("doc_id"), lit(5L)) === 0L,
                              threshold: Double = 0.5,
                              batchJoin: String = "shuffle"): DataFrame = {
+    // Fail before the store staging / batch persist, not after (ADVICE
+    // r16) — incrementalMatches re-validates, but by then a cold store
+    // build may already have run.
+    require(Set("shuffle", "broadcast", "semi").contains(batchJoin),
+      s"batchJoin must be one of shuffle|broadcast|semi, got '$batchJoin'")
     val base = stageOnce(spark, dir)
     val batch = Tables.documents(spark, dir).filter(newPred)
     val mhB = Dedup.minhashSignaturesFromText(batch, "doc_id", "text", NumHashes)

@@ -204,7 +204,16 @@ object VectorExpressions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "minhash_slices", minHashFromExprs, "built-in")
     }
+    val sh = org.apache.spark.sql.catalyst.FunctionIdentifier("simhash60")
+    if (!spark.sessionState.functionRegistry.functionExists(sh)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    }
   }
+
+  /** Column-API handle for [[SimHash60]] (see [[register]]). */
+  def simhash60(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash60", text)
 
   /** Column-API handle for [[MinHashSlices]] (see [[register]]). */
   def minhashSlices(text: Column, numHashes: Int, width: Int, stride: Int): Column =

@@ -46,13 +46,24 @@ class BenchArtifactSpec extends AnyFunSuite {
   // extractors parse exactly that shape (string-keyed arrays/objects,
   // no nesting inside the extracted spans) — no JSON library on the
   // classpath, and pulling one in for our own fixed format would be a
-  // heavier dependency than the format warrants.
+  // heavier dependency than the format warrants. If the format ever
+  // gains nesting (per-query objects, names with commas), the
+  // scan-to-first-close extraction would silently UNDERCOUNT — weakening
+  // exactly the coverage guarantee this spec enforces — so each span is
+  // required flat: a format change turns the suite red, not quietly
+  // wrong (ADVICE r16).
+  private def flatSpan(body: String, what: String): String = {
+    require(!body.exists(c => c == '{' || c == '['),
+      s"$what span contains nesting — Bench's JSON format changed; update these extractors")
+    body
+  }
+
   private def stringArray(json: String, field: String): Seq[String] = {
     val start = json.indexOf("\"" + field + "\":[")
     require(start >= 0, s"artifact has no $field array")
     val open = json.indexOf('[', start)
     val close = json.indexOf(']', open)
-    val body = json.substring(open + 1, close).trim
+    val body = flatSpan(json.substring(open + 1, close).trim, s"$field array")
     if (body.isEmpty) Seq.empty
     else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
@@ -62,7 +73,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     require(start >= 0, "artifact has no queries object")
     val open = json.indexOf('{', start)
     val close = json.indexOf('}', open)
-    val body = json.substring(open + 1, close).trim
+    val body = flatSpan(json.substring(open + 1, close).trim, "queries object")
     if (body.isEmpty) 0 else body.split(",").length
   }
 
@@ -100,5 +111,37 @@ class BenchArtifactSpec extends AnyFunSuite {
     // not that a scale decade wasn't exercised this round.
     assert(java.nio.file.Files.exists(dir.resolve("bench_sf0.1.json")),
       "bench_out/bench_sf0.1.json missing — the committed full-registry evidence is gone")
+  }
+
+  test("every generated scale decade has a committed full-registry artifact") {
+    // The round-16 failure mode this closes (VERDICT r16 item 2): the
+    // docs claimed a committed bench_sf100.json that did not exist —
+    // the empty-failed and coverage rules above only validate files
+    // that ARE there, so a claimed-but-missing artifact passed silently
+    // two rounds running. The manifest is derived, not hand-listed:
+    // every sf* dir under data/ (the generated decades) must have its
+    // full-registry bench_<sf>.json in bench_out/, alongside the two
+    // driver-scale artifacts. Deleting an artifact without replacing it
+    // — or generating a new decade without benching it — reds the suite
+    // the session it happens.
+    val dataDir = java.nio.file.Paths.get("data")
+    val decadeDirs: Seq[String] =
+      if (!java.nio.file.Files.isDirectory(dataDir)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(dataDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq
+            .filter(p => java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString.matches("sf[0-9.]+"))
+            .map(_.getFileName.toString)
+        } finally s.close()
+      }
+    val required = Seq("sf0.001", "sf0.1") ++ decadeDirs.sorted
+    val missing = required.map(sf => s"bench_$sf.json")
+      .filterNot(n => java.nio.file.Files.exists(dir.resolve(n)))
+    assert(missing.isEmpty,
+      s"claimed/expected full-registry artifacts missing from bench_out/ — " +
+        s"run graft.Bench at each scale and commit: ${missing.mkString(", ")}")
   }
 }

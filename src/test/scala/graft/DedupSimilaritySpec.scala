@@ -156,6 +156,73 @@ class DedupSimilaritySpec extends SparkSpec {
         s"(xxhash64=${xx.size}, md5=${md.size})")
   }
 
+  test("SimHash60 expression is bit-parity with the split+UDAF md5 composition") {
+    // the row-local expression's contract: identical fingerprints to
+    // Dedup.simhashMd5 (explode split(text,' ') → md5-slice hash →
+    // SimHashAggregator) on EVERY tokenization edge — empty string (one
+    // empty token), leading/consecutive/trailing spaces (empty tokens
+    // kept, matching split's limit=-1), no-space docs (one token), and
+    // multi-byte UTF-8 (0x20 never occurs inside a UTF-8 sequence, so
+    // byte-level scanning must agree with character-level split)
+    val edge = docs(
+      1L -> "",
+      2L -> " ",
+      3L -> "  leading and   inner gaps trailing  ",
+      4L -> "single-token-no-spaces",
+      5L -> "ünïcödé tökens — 日本語のテキスト und ß šš 𝔘𝔫𝔦𝔠𝔬𝔡𝔢",
+      6L -> "the quick brown fox jumps over the lazy dog",
+      7L -> "a b a b a b a b c") // repeated tokens exercise the vote counts
+    val composed = Dedup.simhashMd5(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    VectorExpressions.register(spark)
+    val compiled = edge.select(col("doc_id"),
+        VectorExpressions.simhash60(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compiled === composed)
+    // and on a real corpus slice, not just the crafted edges
+    val sfDocs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val c2 = sfDocs.select(col("doc_id"),
+        VectorExpressions.simhash60(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = Dedup.simhashMd5(sfDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 === m2)
+  }
+
+  test("simhashBlocksFor: fixed geometry at gate scales, wider keys per decade") {
+    assert(Dedup.simhashBlocksFor(6000L) === 4) // sf0.01 gate → reference parity
+    assert(Dedup.simhashBlocksFor(260000L) === 4) // last n where 2^16 >= 4n/16
+    assert(Dedup.simhashBlocksFor(500000L) === 5) // sf10
+    assert(Dedup.simhashBlocksFor(5000000L) === 5) // sf100
+    assert(Dedup.simhashBlocksFor(100000000L) === 6) // beyond m=5's ~53M reach
+    // block sizes always sum to the 64 fingerprint bits
+    Seq(4, 5, 6, 8).foreach(m => assert(Dedup.simhashBlockSizes(m).sum === 64))
+  }
+
+  test("block-combination pairing is exact at every geometry: = hamming<=3 band pairs") {
+    // the auto operator's core guarantee: the output is the hamming<=3
+    // pair set EXACTLY, independent of m — verified against the fixed
+    // 4x16 banding (which finds every hamming<=3 pair by pigeonhole)
+    // filtered to the same radius, on the real gate fixture
+    val sfDocs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = Dedup.simhashPairsMd5(sfDocs, "doc_id", "text")
+      .filter(col("hamming") <= 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+    assert(expected.nonEmpty, "fixture has no hamming<=3 pairs — spec is vacuous")
+    VectorExpressions.register(spark)
+    val sh = sfDocs.select(col("doc_id"),
+      VectorExpressions.simhash60(col("text")).as("simhash"))
+    Seq(4, 5, 6).foreach { m =>
+      val got = Dedup.simhashBlockPairs(sh, "doc_id", m)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+      assert(got === expected, s"m=$m block pairing diverged from the exact set")
+    }
+    // and the registered auto operator end-to-end (geometry self-chosen)
+    val auto = Dedup.simhashPairsAuto(sfDocs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+    assert(auto === expected)
+  }
+
   private def vecs(rows: (Long, Seq[Float])*) = {
     import spark.implicits._
     rows.toSeq.toDF("vec_id", "embedding")
