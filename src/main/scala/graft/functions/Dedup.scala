@@ -1419,6 +1419,12 @@ object Dedup {
     * arithmetic makes the two paths bit-identical, so the oracle is
     * shared unchanged.
     */
+  /** Dev-sweep window into [[pagerankOnEdgeDeg]] (PrSweep only). */
+  private[graft] def pagerankOnEdgeDegForSweep(edgeDeg: DataFrame, deg: DataFrame,
+                                               idCol: String, iters: Int,
+                                               scale: Long): DataFrame =
+    pagerankOnEdgeDeg(edgeDeg, deg, idCol, iters, scale)
+
   private[functions] def pagerankOnEdgeDeg(edgeDeg: DataFrame, deg: DataFrame,
                                            idCol: String, iters: Int,
                                            scale: Long): DataFrame = {

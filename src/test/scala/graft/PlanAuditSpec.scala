@@ -328,6 +328,38 @@ class PlanAuditSpec extends AnyFunSuite {
       "sf100 plans should carry FEWER broadcast joins than sf10 plans")
   }
 
+  test("staged QA report reads only hash-slice-filtered store partitions at scale") {
+    // VERDICT r16 item 6: the sampled presets are the production audit;
+    // the staged QA plan's exact-truth side is self-bounded by the
+    // round-12 doc-slice filter (pmod(xxhash64(doc_id), n/500) = 0) on
+    // BOTH stored sides — the band index (minhashPairsStaged) and the
+    // shingle store (storedShingles). A refactor that drops either
+    // filter silently reintroduces a full-corpus exact pass that spills
+    // >50 GB at sf100; this fingerprint makes that a red suite. The
+    // filter only exists above 500 docs (mod = 1 at the gate scale by
+    // design — PLANS.txt is exempt), so the pin runs against every
+    // present at-scale artifact. Downstream InMemoryTableScan nodes
+    // legitimately read unfiltered CACHED frames; the slice contract is
+    // about the store-facing Filter conditions, identified by the band
+    // and shingle columns they guard.
+    for (name <- Seq("PLANS_sf1.txt", "PLANS_sf10.txt", "PLANS_sf100.txt")) {
+      val p = java.nio.file.Paths.get(name)
+      if (java.nio.file.Files.exists(p)) {
+        val text = java.nio.file.Files.readString(p)
+        val section = text.split("(?m)^== ").find(_.startsWith("dedup_qa_report_staged"))
+          .getOrElse(fail(s"$name has no dedup_qa_report_staged section"))
+        val conds = section.linesIterator
+          .filter(l => l.contains("Condition :") && l.contains("pmod(xxhash64(doc_id")).toSeq
+        assert(conds.exists(_.contains("(band#")),
+          s"$name: staged QA plan lost the doc-slice filter on the BAND INDEX side — " +
+            "the full-corpus minhash pair pass is back")
+        assert(conds.exists(_.contains("(sh#")),
+          s"$name: staged QA plan lost the doc-slice filter on the SHINGLE STORE side — " +
+            "the full-corpus exact-truth pass is back")
+      }
+    }
+  }
+
   test("artifact freshness tripwire: registered rewrites fingerprint every plans artifact") {
     // Round 14 failed its own suite on STALE artifacts: the code fixed a
     // CartesianProduct hazard but three of the four PLANS files were
