@@ -36,11 +36,14 @@ object PrSweep {
       val df = v match {
         case "base" => SigIndex.docPagerankStaged(spark, sfDir)
         case "slim" => docPagerankStagedSlim(spark, sfDir)
-        case s if s.startsWith("base:") => // iters-sliced baseline: marginal round cost
+        case s if s.startsWith("base:") && s.drop(5).forall(_.isDigit) && s.length > 5 =>
+          // iters-sliced baseline: marginal round cost
           val base = SigIndex.stageClusters(spark, sfDir)
           graft.functions.Dedup.pagerankOnEdgeDegForSweep(
             spark.read.parquet(s"$base/edge_deg"),
             spark.read.parquet(s"$base/deg"), "doc_id", s.drop(5).toInt, 1000000L)
+        case other =>
+          sys.error(s"unknown PrSweep variant '$other' — valid: base, slim, base:<iters>")
       }
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -49,9 +52,12 @@ object PrSweep {
       // and .write spawns its own QueryExecution, so df.queryExecution
       // stays un-adapted; capture the real one via the listener
       val executed = PrSweep.lastPlan.getOrElse("")
+      // count whole node names: a bare sliding-substring count would also
+      // match "Exchange" inside Reused/Broadcast/ShuffleExchange, inflating
+      // the reuse decomposition (ADVICE r17)
       val counts = Seq("ReusedQueryStage", "ReusedExchange", "ShuffleQueryStage",
         "Exchange", "AQEShuffleRead").map(k =>
-        s"$k=${executed.sliding(k.length).count(_ == k)}").mkString(" ")
+        s"$k=${("(?<![A-Za-z])" + k).r.findAllMatchIn(executed).size}").mkString(" ")
       println(f"[prsweep] $v%-5s ${secs}%8.2f s  $counts")
       if (sys.env.contains("SPARK_GRAFT_PR_DUMP")) println(executed)
       graft.engine.Scoped.releaseAll(spark)

@@ -33,9 +33,15 @@ object SparkEntry {
     allDefs.map(d => d.key -> d.build).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (approximate/engine-specific hashing: dedup_simhash, knn_lsh) →
-    * driver records a weaker rows-only check.
+    * the same parquet tables. Exactly ONE key is deliberately omitted —
+    * `dedup_simhash`, whose xxhash64 token fingerprints have no DuckDB
+    * counterpart → the driver records a weaker rows-only check
+    * (`err: no_oracle` in CORRECTNESS_r*.json is expected for it, and
+    * only it). Its semantics are still oracle-gated through two
+    * hash-green twins: `dedup_simhash_md5` (same fixed 4×16 geometry,
+    * md5 slices) and `dedup_simhash_auto` (geometry-independent exact
+    * hamming≤3), plus the spec pinning the xxhash64 pair set against the
+    * md5 twin (DedupSimilaritySpec).
     */
   def oracleSql: Map[String, String] =
     allDefs.collect { case QueryDef(k, _, Some(sql)) => k -> sql }.toMap

@@ -37,16 +37,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "PLANS.txt contains EXPLAIN FAILED sections — fix the query or the fixture dir and re-run graft.Explain")
   }
 
-  private lazy val sections: Map[String, String] = {
-    // section = everything from "== <key>" to the next bare key header
-    // ("== Physical Plan ==" has a trailing marker, so it never delimits)
+  /** section = everything from "== <key>" to the next bare key header.
+    * The keyed regex deliberately excludes "== Physical Plan ==" (trailing
+    * marker), so a section spans its whole explain output — a raw
+    * `split("(?m)^== ")` would truncate every section two lines in, at its
+    * own Physical Plan header (the round-17 staged-QA test bug).
+    */
+  private def parseSections(text: String): Map[String, String] = {
     val keyRe = "(?m)^== ([a-z0-9_]+)$".r
-    val ms = keyRe.findAllMatchIn(plans).toSeq
+    val ms = keyRe.findAllMatchIn(text).toSeq
     ms.zipWithIndex.map { case (m, i) =>
-      val end = if (i + 1 < ms.size) ms(i + 1).start else plans.length
-      m.group(1) -> plans.substring(m.end, end)
+      val end = if (i + 1 < ms.size) ms(i + 1).start else text.length
+      m.group(1) -> text.substring(m.end, end)
     }.toMap
   }
+
+  private lazy val sections: Map[String, String] = parseSections(plans)
 
   test("staged ANN searches carry no Lloyd training lineage; inline twins do") {
     // the entire point of AnnIndex: train once at staging time, serve
@@ -342,20 +348,30 @@ class PlanAuditSpec extends AnyFunSuite {
     // legitimately read unfiltered CACHED frames; the slice contract is
     // about the store-facing Filter conditions, identified by the band
     // and shingle columns they guard.
+    def sliceConds(section: String): Seq[String] = section.linesIterator
+      .filter(l => l.contains("Condition :") && l.contains("pmod(xxhash64(doc_id")).toSeq
     for (name <- Seq("PLANS_sf1.txt", "PLANS_sf10.txt", "PLANS_sf100.txt")) {
       val p = java.nio.file.Paths.get(name)
       if (java.nio.file.Files.exists(p)) {
         val text = java.nio.file.Files.readString(p)
-        val section = text.split("(?m)^== ").find(_.startsWith("dedup_qa_report_staged"))
-          .getOrElse(fail(s"$name has no dedup_qa_report_staged section"))
-        val conds = section.linesIterator
-          .filter(l => l.contains("Condition :") && l.contains("pmod(xxhash64(doc_id")).toSeq
+        val section = parseSections(text).getOrElse("dedup_qa_report_staged",
+          fail(s"$name has no dedup_qa_report_staged section"))
+        val conds = sliceConds(section)
         assert(conds.exists(_.contains("(band#")),
           s"$name: staged QA plan lost the doc-slice filter on the BAND INDEX side — " +
             "the full-corpus minhash pair pass is back")
         assert(conds.exists(_.contains("(sh#")),
           s"$name: staged QA plan lost the doc-slice filter on the SHINGLE STORE side — " +
             "the full-corpus exact-truth pass is back")
+        // prove the guard guards: the same assertions on the artifact with
+        // its slice-filter Condition lines stripped must NOT find them — a
+        // parser that (like r17's split-at-"== ") inspects only the section
+        // header would pass both directions and pin nothing
+        val stripped = section.linesIterator
+          .filterNot(l => l.contains("Condition :") && l.contains("pmod(xxhash64(doc_id"))
+          .mkString("\n")
+        assert(sliceConds(stripped).isEmpty,
+          s"$name: tripwire self-check failed — stripped section still matches")
       }
     }
   }
