@@ -75,6 +75,26 @@ object Bench {
           "gate-only (use dedup_embedding_lsh_auto at scale)")
       QuadraticBaselines
     } else Set.empty[String]
+    // semdedup_pairs scans within-cell EXACT pairs over the staged FIXED
+    // 16-cell IVF postings: Σ|cell|² ≈ n²/16 — ~2.5e11 cosine pairs at
+    // 2 M vectors. Round 18's first-ever full-registry sf100 run sat 65+
+    // minutes inside one 2-straggler-task codegen stage of it (zero I/O,
+    // pure dot-product CPU; thread dump pinned the stage) with hours-to-
+    // days of work remaining — the dedup_embedding cliff in staged-IVF
+    // form. It is the fixed-geometry oracle gate twin; semdedup_auto
+    // (√n cells, Σ|cell|² ≈ n^1.5) is the production path and stays in.
+    // Same hard-config treatment, same vector bound as the embedding
+    // quadratics (1 M: the auto twin's measured envelope).
+    val FixedCellPairScans = Set("semdedup_pairs")
+    val FixedCellMaxRows = 1000000L
+    val semdedupSkipped = if (embRows > FixedCellMaxRows) {
+      System.err.println(
+        s"[bench] skipping ${FixedCellPairScans.mkString(",")}: embeddings has " +
+          s"$embRows rows > $FixedCellMaxRows — fixed 16-cell within-cell " +
+          "exact pair scan is quadratic at this scale (gate-only baseline; " +
+          "semdedup_auto is the production path)")
+      FixedCellPairScans
+    } else Set.empty[String]
     // The full-corpus EXACT anchors (n-gram jaccard, containment, and
     // the QA report's exact truth side — over every shingle posting,
     // staged AND inline forms alike) are correctness baselines whose
@@ -117,16 +137,26 @@ object Bench {
           "geometry is quadratic at this scale (gate-only baselines)")
       FixedBandCliffs
     } else Set.empty[String]
-    val skipped = quadSkipped ++ anchorSkipped ++ simhashSkipped
+    val skipped = quadSkipped ++ anchorSkipped ++ simhashSkipped ++ semdedupSkipped
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         only.forall(_.contains(n)) && subset.forall(_.contains(n)) && !skipped.contains(n) }
     // Two timed runs per query, min reported: the second run measures
     // steady state, and min-of-2 filters co-tenant/GC noise spikes
     // (observed 0.3 s queries spiking to 20 s under external load).
+    // SPARK_GRAFT_BENCH_RUNS=1 drops to a single timed run per query —
+    // for time-boxed full-registry runs at the largest decades, where a
+    // 3+ hour wall doubles for noise filtering that only matters on
+    // sub-second queries. The JSON line records the protocol ("runs")
+    // so an artifact always says which it used.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2") match {
+      case "1" => 1
+      case "2" => 2
+      case other => sys.error(s"SPARK_GRAFT_BENCH_RUNS=$other not recognized (known: 1, 2)")
+    }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to nRuns).map { i =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -136,6 +166,11 @@ object Bench {
             false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        // progress breadcrumb: a killed/hung run leaves per-query evidence
+        // (round 18's first sf100 attempt died inside an unbounded query
+        // with a log that showed NOTHING — the straggler had to be found
+        // by thread-dumping the JVM)
+        System.err.println(f"[bench] $name run$i ${elapsed}%.1f s")
         // operators persist their index frames (LSH bands, shingle index,
         // IVF centroids) and localCheckpoint their CC labels; drop both
         // kinds so cache memory from one run can't skew the next
@@ -161,7 +196,7 @@ object Bench {
     val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subsetJson = if (subset.isDefined) "\"r1\"" else "null"
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"subset":$subsetJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"subset":$subsetJson,"runs":$nRuns,"sf":"$sfDir"}"""
     println(line)
     // committable evidence: the same line lands in bench_out/ (driver
     // stdout tails have repeatedly truncated it — ADVICE r7). Dev runs

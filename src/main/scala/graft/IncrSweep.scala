@@ -37,19 +37,33 @@ object IncrSweep {
     val variants = Seq("shuffle", "broadcast", "semi")
     val times = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val digests = collection.mutable.Map.empty[String, (Long, Long)]
-    for (round <- 1 to 2; v <- variants) {
-      val t0 = System.nanoTime()
-      val out = graft.functions.SigIndex.dedupIncrementalStaged(spark, sfDir, batchJoin = v)
-      // digest instead of noop: parity across variants is the point
-      val d = out.agg(count(lit(1)), sum(xxhash64(col("doc_new"), col("n_matches"),
-        col("best_match"), col("best_jacc")))).head
-      val t = (System.nanoTime() - t0) / 1e9
+    for (round <- 1 to 2) {
+      // Decomposition stage (VERDICT r17 item 6): the per-batch SIGNING
+      // cost alone — text scan + compiled MinHashSlices + band derivation
+      // over the batch slice, no store join. The full-serve minus this is
+      // the candidate-join + scoring + window share; which of the two
+      // dominates decides whether the batchJoin lever can matter at all.
+      val s0 = System.nanoTime()
+      graft.functions.SigIndex.signBatchOnly(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val st = (System.nanoTime() - s0) / 1e9
       graft.engine.Scoped.releaseAll(spark)
-      times(v) = t :: times(v)
-      digests(v) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
-      println(f"[incr-sweep] round $round $v%-10s $t%8.1f s  digest=${digests(v)}")
+      times("sign-only") = st :: times("sign-only")
+      println(f"[incr-sweep] round $round sign-only  $st%8.1f s")
+      for (v <- variants) {
+        val t0 = System.nanoTime()
+        val out = graft.functions.SigIndex.dedupIncrementalStaged(spark, sfDir, batchJoin = v)
+        // digest instead of noop: parity across variants is the point
+        val d = out.agg(count(lit(1)), sum(xxhash64(col("doc_new"), col("n_matches"),
+          col("best_match"), col("best_jacc")))).head
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.engine.Scoped.releaseAll(spark)
+        times(v) = t :: times(v)
+        digests(v) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
+        println(f"[incr-sweep] round $round $v%-10s $t%8.1f s  digest=${digests(v)}")
+      }
     }
-    for (v <- variants)
+    for (v <- "sign-only" +: variants)
       println(f"[incr-sweep] MIN $v%-10s ${times(v).min}%8.1f s  " +
         s"(runs: ${times(v).reverse.map(t => f"$t%.1f").mkString(", ")})")
     require(digests.values.toSet.size == 1,

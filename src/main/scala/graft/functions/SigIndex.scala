@@ -548,6 +548,19 @@ object SigIndex {
       NumHashes, batchJoin)
   }
 
+  /** The SIGNING stage of [[dedupIncrementalStaged]] alone — batch text
+    * scan + compiled MinHashSlices + band derivation, no store access.
+    * Dev decomposition hook (IncrSweep): full-serve time minus this is
+    * the candidate-join + scoring + window share.
+    */
+  def signBatchOnly(spark: SparkSession, dir: String,
+                    newPred: org.apache.spark.sql.Column =
+                      pmod(col("doc_id"), lit(5L)) === 0L): DataFrame = {
+    val batch = Tables.documents(spark, dir).filter(newPred)
+    val mhB = Dedup.minhashSignaturesFromText(batch, "doc_id", "text", NumHashes)
+    Dedup.minhashBands(mhB, "doc_id", NumHashes, RowsPerBand)
+  }
+
   /** One micro-batch of the end-to-end ingest curation pipeline
     * (VERDICT r15 item 8) — the composition a production training-data
     * pipeline runs per arriving batch, all off the STAGED stores:
