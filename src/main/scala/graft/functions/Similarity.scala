@@ -1337,10 +1337,15 @@ object Similarity {
     */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    // compute the per-vector scale BELOW the explode: listed alongside the
+    // generator in one select, the analyzer placed this interpreted HOF in
+    // the Project ABOVE Generate — evaluated once per exploded ELEMENT
+    // (dim × rows; 128 M times at sf100, 375 s) instead of once per vector
+    // (2 M). withColumn pins it under the Generate: per-row, and the
+    // explode+quantize pipeline above stays whole-stage codegen.
     emb
-      .select(col(idCol),
-        posexplode(col(vecCol)).as(Seq("dim_idx", "v")),
-        maxAbs.as("ma"))
+      .withColumn("ma", maxAbs)
+      .select(col(idCol), col("ma"), posexplode(col(vecCol)).as(Seq("dim_idx", "v")))
       .select(col(idCol), col("dim_idx"),
         when(col("ma") === 0.0, lit(0))
           .otherwise(floor(col("v").cast("double") * (lit(127.0) / col("ma")) + lit(0.5)).cast("int"))
