@@ -1,0 +1,297 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The Bloom probe geometry shared by both expressions here and by
+  * [[Curation.contaminationBloom]]'s DuckDB oracle: position i of a
+  * shingle is the 12-bit value of lowercase-hex md5 characters
+  * [3i, 3i+3) — `hexDigit(c0)·256 + hexDigit(c1)·16 + hexDigit(c2)`,
+  * the exact arithmetic of Curation's `bloomPos`/`bloomPosSql`. Hex char
+  * at 0-based index j is the high nibble of digest byte j/2 when j is
+  * even, the low nibble when odd — so the positions come straight off
+  * the digest bytes with no hex-string materialization.
+  *
+  * Why expressions and not Column compositions: a composed
+  * `md5(sh).as("d")` probed k times re-evaluates the md5 wherever the
+  * optimizer inlines the alias into the probes' many `substr(d, …)`
+  * references (predicate pushdown substitutes through projections) —
+  * measured as a >8× regression when the 3-probe membership filter
+  * replaced the explode+join form at sf100. Here the digest is computed
+  * exactly once per shingle inside the expression, and the bit tests are
+  * three loads — the `MinHashSlices` discipline applied to the Bloom
+  * probe.
+  */
+private[functions] object BloomHash {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def digest(sh: UTF8String): Array[Byte] = md5.get().digest(sh.getBytes)
+
+  /** The thread's digest instance, for callers hashing byte RANGES
+    * (shingle walks) without per-shingle string materialization.
+    */
+  def md5ThreadLocal: java.security.MessageDigest = md5.get()
+
+  /** 12-bit probe position i of a digest (hex chars [3i, 3i+3)). */
+  def pos(d: Array[Byte], i: Int): Int =
+    (nib(d, 3 * i) << 8) | (nib(d, 3 * i + 1) << 4) | nib(d, 3 * i + 2)
+
+  private def nib(d: Array[Byte], j: Int): Int =
+    if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+}
+
+/** `bloom_positions(shingle)` → the `hashes` probe positions of a
+  * shingle, as an int array — the build-side primitive: explode,
+  * distinct (≤4096 values → map-side partial aggregation collapses it),
+  * bit-pack.
+  */
+case class BloomPositions(child: Expression, hashes: Int) extends UnaryExpression {
+  require(hashes >= 1 && hashes * 3 <= 32,
+    "bloom_positions: need 1 <= hashes <= 10 (3 hex chars each of one md5)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_positions"
+
+  override def nullSafeEval(input: Any): Any =
+    BloomPositions.compute(input.asInstanceOf[UTF8String], hashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BloomPositions.compute($v, $hashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomPositions {
+  def compute(sh: UTF8String, hashes: Int): ArrayData = {
+    val d = BloomHash.digest(sh)
+    val out = new Array[Int](hashes)
+    var i = 0
+    while (i < hashes) { out(i) = BloomHash.pos(d, i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `bloom_member(shingle, words)` → true iff ALL `hashes` probe
+  * positions of the shingle are set in the packed bitset `words`
+  * (array<long>, bit p = bit (p&63) of word (p>>6)) — the probe-side
+  * primitive: one digest, `hashes` bit loads, zero joins.
+  */
+case class BloomMember(left: Expression, right: Expression, hashes: Int)
+    extends BinaryExpression {
+  require(hashes >= 1 && hashes * 3 <= 32,
+    "bloom_member: need 1 <= hashes <= 10 (3 hex chars each of one md5)")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, ARRAY<BIGINT>) inputs, got $other")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_member"
+
+  override def nullSafeEval(sh: Any, words: Any): Any =
+    BloomMember.compute(sh.asInstanceOf[UTF8String], words.asInstanceOf[ArrayData], hashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, words) =>
+      s"${ev.value} = graft.functions.BloomMember.compute($sh, $words, $hashes);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMember {
+  def compute(sh: UTF8String, words: ArrayData, hashes: Int): Boolean = {
+    val d = BloomHash.digest(sh)
+    var i = 0
+    while (i < hashes) {
+      val p = BloomHash.pos(d, i)
+      if (((words.getLong(p >> 6) >>> (p & 63)) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Byte-offset walk shared by the two whole-document Bloom expressions:
+  * visits every `stride`-spaced width-`width` CHARACTER shingle of the
+  * text (identical slicing to SQL `substring` and
+  * [[TextAnalysis.shingles]] — the [[MinHashSlices]] walk), calling
+  * `f(bytes, from, len)` once per shingle. Returns false when the text
+  * is shorter than `width` characters (no shingle — the composition's
+  * length filter).
+  */
+private[functions] object ShingleWalk {
+  def foreach(text: UTF8String, width: Int, stride: Int)(
+      f: (Array[Byte], Int, Int) => Unit): Boolean = {
+    val bytes = text.getBytes
+    val numChars = text.numChars()
+    if (numChars < width) return false
+    val offs = new Array[Int](numChars + 1)
+    var c = 0
+    var b = 0
+    while (c < numChars) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(numChars) = bytes.length
+    var p = 0
+    val last = numChars - width
+    while (p <= last) {
+      f(bytes, offs(p), offs(p + width) - offs(p))
+      p += stride
+    }
+    true
+  }
+}
+
+/** `bloom_doc_bits(text)` → the packed `words`-long bitset of ALL probe
+  * positions set by the document's shingles — the build side collapses
+  * to one row per benchmark document (no shingle rows, no position
+  * rows), and the corpus-level bitset is a `words`-way bit_or aggregate
+  * over those. Null/short texts contribute nothing (null out, bit_or
+  * skips nulls), exactly like the composition's length filter.
+  */
+case class BloomDocBits(child: Expression, width: Int, stride: Int,
+                        hashes: Int, words: Int) extends UnaryExpression {
+  require(width >= 1 && stride >= 1 && hashes >= 1 && hashes * 3 <= 32,
+    "bloom_doc_bits: width/stride >= 1, 1 <= hashes <= 10")
+  require(words * 64 >= 4096,
+    "bloom_doc_bits: positions are 12-bit — need words*64 >= 4096")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_doc_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    BloomDocBits.compute(input.asInstanceOf[UTF8String], width, stride, hashes, words)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("bdb")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.BloomDocBits.compute($v, $width, $stride, $hashes, $words);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomDocBits {
+  /** Shared by eval and codegen. Null for texts shorter than `width`. */
+  def compute(text: UTF8String, width: Int, stride: Int,
+              hashes: Int, words: Int): ArrayData = {
+    val out = new Array[Long](words)
+    val md = BloomHash.md5ThreadLocal
+    val any = ShingleWalk.foreach(text, width, stride) { (bytes, from, len) =>
+      md.update(bytes, from, len)
+      val d = md.digest()
+      var j = 0
+      while (j < hashes) {
+        val p = BloomHash.pos(d, j)
+        out(p >> 6) |= 1L << (p & 63)
+        j += 1
+      }
+    }
+    if (!any) null else new GenericArrayData(out)
+  }
+}
+
+/** `bloom_flag_count(text, words)` → the number of DISTINCT flagged
+  * shingle digests in the document: every probe position of the digest
+  * set in the packed bitset `words`. This is the whole candidate side of
+  * [[Curation.contaminationBloom]] in one row-local pass — the pipeline
+  * that exploded ~2.5 B shingle rows per sf100 scan (then 3 position
+  * rows each through a join and a shingle-grain aggregate) produces ONE
+  * row per document with no shuffle anywhere. Distinctness is exact on
+  * the 128-bit digest (a HashSet allocated lazily — the overwhelmingly
+  * common no-flag document allocates nothing), matching the
+  * composition's distinct-(doc, digest) grain; distinct-shingle vs
+  * distinct-digest differ only under an md5 collision between two
+  * 8-char shingles, which has never been exhibited. Null for texts
+  * shorter than `width` (callers filter `> 0`, so null and 0 both drop,
+  * matching the composition's length filter + inner-count semantics).
+  */
+case class BloomFlagCount(left: Expression, right: Expression, width: Int,
+                          stride: Int, hashes: Int) extends BinaryExpression {
+  require(width >= 1 && stride >= 1 && hashes >= 1 && hashes * 3 <= 32,
+    "bloom_flag_count: width/stride >= 1, 1 <= hashes <= 10")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, ARRAY<BIGINT>) inputs, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_flag_count"
+
+  override def nullSafeEval(text: Any, words: Any): Any =
+    BloomFlagCount.compute(text.asInstanceOf[UTF8String],
+      words.asInstanceOf[ArrayData], width, stride, hashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("bfc")
+    nullSafeCodeGen(ctx, ev, (t, w) =>
+      s"""Long $res = graft.functions.BloomFlagCount.compute($t, $w, $width, $stride, $hashes);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomFlagCount {
+  /** Shared by eval and codegen. Null for texts shorter than `width`;
+    * boxed so codegen can distinguish null from 0.
+    */
+  def compute(text: UTF8String, words: ArrayData, width: Int, stride: Int,
+              hashes: Int): java.lang.Long = {
+    val w = words.toLongArray()
+    val md = BloomHash.md5ThreadLocal
+    var set: java.util.HashSet[java.nio.ByteBuffer] = null
+    val any = ShingleWalk.foreach(text, width, stride) { (bytes, from, len) =>
+      md.update(bytes, from, len)
+      val d = md.digest()
+      var j = 0
+      var all = true
+      while (all && j < hashes) {
+        val p = BloomHash.pos(d, j)
+        all = ((w(p >> 6) >>> (p & 63)) & 1L) != 0L
+        j += 1
+      }
+      if (all) {
+        if (set == null) set = new java.util.HashSet[java.nio.ByteBuffer]()
+        set.add(java.nio.ByteBuffer.wrap(d))
+      }
+    }
+    if (!any) null
+    else if (set == null) java.lang.Long.valueOf(0L)
+    else java.lang.Long.valueOf(set.size.toLong)
+  }
+}

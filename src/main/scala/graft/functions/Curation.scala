@@ -415,19 +415,12 @@ object Curation {
   val BloomBits = 4096
   val BloomHashes = 3
 
-  /** Value of the hex digit at 1-based position `off` of `hexCol`
-    * (lowercase hex — md5 output). ascii() arithmetic is engine-portable
-    * where hex→int casts are not.
+  /** 12-bit Bloom position from 3 hex chars of md5 column `d` at 1-based
+    * `off` — the oracle-side (and pre-r19 Spark-side) hex-decode
+    * arithmetic; [[BloomHash]] computes the identical positions from the
+    * digest bytes. ascii() CASE arithmetic is engine-portable where
+    * hex→int casts are not.
     */
-  private def hexDigit(hexCol: Column, off: Int): Column = {
-    val a = ascii(substring(hexCol, off, 1))
-    when(a >= 97, a - 87).otherwise(a - 48)
-  }
-
-  /** 12-bit Bloom position from 3 hex chars of `hexCol` at `off`. */
-  private def bloomPos(hexCol: Column, off: Int): Column =
-    hexDigit(hexCol, off) * 256 + hexDigit(hexCol, off + 1) * 16 + hexDigit(hexCol, off + 2)
-
   private def bloomPosSql(off: Int): String = {
     def hv(o: Int) =
       s"(CASE WHEN ascii(substr(d, $o, 1)) >= 97 THEN ascii(substr(d, $o, 1)) - 87 ELSE ascii(substr(d, $o, 1)) - 48 END)"
@@ -453,24 +446,48 @@ object Curation {
     * shuffles. Size `BloomBits` to the benchmark's distinct-shingle count
     * (bits ≈ 10× shingles for ~1% FP at k=3); 4096 matches the test
     * fixture's ~1k benchmark shingles.
+    *
+    * Physical shape (round-19 rewrite): NO row multiplication anywhere.
+    * The build side packs each benchmark document's probe positions into
+    * a `BloomBits/64`-long bitset in ONE compiled pass over its text
+    * ([[BloomDocBits]]), bit-ORs those per-doc bitsets into the corpus
+    * bitset (one `words`-way aggregate over one row per benchmark doc),
+    * and broadcasts the single packed row. Each candidate DOCUMENT then
+    * computes its distinct-flagged-digest count in ONE compiled pass
+    * ([[BloomFlagCount]]: walk the shingles, md5 each in place, 3 bit
+    * loads per shingle, lazy HashSet only for the rare flagged digest) —
+    * one output row per document, zero shuffles beyond the two scans.
+    * The composable formulation (explode shingle rows → explode 3
+    * position rows each → join the position frame → two hash aggregates)
+    * computes the same thing but pays ~2.5 B generated rows at sf100:
+    * 214.4 s, and an intermediate rewrite that kept the shingle explode
+    * while compiling only the 3-probe membership still paid the
+    * generate/shuffle plumbing (256 s — the row multiplication, not the
+    * probe arithmetic, is the cost). Bit-parity: shingle slicing,
+    * probe positions (hex-nibble arithmetic over the same md5), the
+    * all-k conjunction, the distinct-(doc, digest) grain, and the
+    * inner-count semantics (docs with zero flagged shingles are absent;
+    * `> 0` filter == groupBy on flagged survivors) are each pinned in
+    * the expressions' scaladoc and CurationSpec's composition-parity
+    * test, so the DuckDB oracle is byte-identical.
     */
   def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
                          benchPred: Column, width: Int = 8, stride: Int = 4): DataFrame = {
-    val benchSh = TextAnalysis.shingles(docs.filter(benchPred), idCol, textCol, width, stride)
-    // the "bitset": distinct positions set by any benchmark shingle —
-    // ≤ BloomBits rows by construction, AQE broadcasts it unhinted
-    val bloom = benchSh.select(md5(col("sh")).as("d"))
-      .select(explode(array((0 until BloomHashes).map(i => bloomPos(col("d"), 1 + 3 * i)): _*)).as("pos"))
-      .distinct()
-    val candSh = TextAnalysis.shingles(docs.filter(!benchPred), idCol, textCol, width, stride)
-      .select(col(idCol), md5(col("sh")).as("d"))
-    val hits = candSh
-      .select(col(idCol), col("d"),
-        explode(array((0 until BloomHashes).map(i => bloomPos(col("d"), 1 + 3 * i)): _*)).as("pos"))
-      .join(bloom, Seq("pos"))
-      .groupBy(col(idCol), col("d")).agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === BloomHashes)
-    hits.groupBy(col(idCol)).agg(count(lit(1)).as("n_flagged"))
+    VectorExpressions.register(docs.sparkSession)
+    val words = BloomBits / 64
+    // corpus bitset: per-doc packed bitsets bit-OR'd wordwise into one row
+    val docBits = docs.filter(benchPred)
+      .select(VectorExpressions.bloomDocBits(col(textCol), width, stride, BloomHashes, words).as("w"))
+    val bloomRow = docBits.agg(
+      array((0 until words).map { i =>
+        coalesce(expr(s"bit_or(element_at(w, ${i + 1}))"), lit(0L))
+      }: _*).as("bloom_words"))
+    docs.filter(!benchPred)
+      .crossJoin(broadcast(bloomRow))
+      .select(col(idCol),
+        VectorExpressions.bloomFlagCount(col(textCol), col("bloom_words"), width, stride, BloomHashes)
+          .as("n_flagged"))
+      .filter(col("n_flagged") > 0)
   }
 
   val contaminationBloomSql: String = {

@@ -94,19 +94,24 @@ object TextAnalysis {
 
   /** Quality scoring: length, token count, mean token length, stopword
     * ratio, non-alphanumeric ratio.
+    *
+    * The four counters come from ONE row-local pass ([[TextStats]],
+    * compiled; bit-parity contract in its scaladoc) — the previous
+    * composition re-materialized the split-token array per counter and
+    * ran a full-text regex for a length (178.3 s at sf100). The ratios
+    * stay as the same Column arithmetic over the counters.
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nTokens = size(split(col(textCol), " ")).cast("long")
-    val nChars = length(col(textCol)).cast("long")
-    val stops = markerCount(col(textCol), langMarkers.head._2)
-    val nonAlnum = (length(col(textCol)) - length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))).cast("long")
-    docs.select(
-      col(idCol),
-      nChars.as("n_chars_m"),
-      nTokens.as("n_tokens"),
-      (nChars.cast("double") / nTokens).as("mean_tok_len"),
-      (stops.cast("double") / nTokens).as("stop_ratio"),
-      (nonAlnum.cast("double") / nChars).as("nonalnum_ratio"))
+    VectorExpressions.register(docs.sparkSession)
+    val st = VectorExpressions.textStats(col(textCol), langMarkers.head._2)
+    docs.select(col(idCol), st.as("st"))
+      .select(
+        col(idCol),
+        col("st.n_chars").as("n_chars_m"),
+        col("st.n_tokens").as("n_tokens"),
+        (col("st.n_chars").cast("double") / col("st.n_tokens")).as("mean_tok_len"),
+        (col("st.n_stops").cast("double") / col("st.n_tokens")).as("stop_ratio"),
+        (col("st.n_nonalnum").cast("double") / col("st.n_chars")).as("nonalnum_ratio"))
   }
 
   val qualityScoreSql: String = {
@@ -748,10 +753,12 @@ object TextAnalysis {
     * that exact hashing misses).
     */
   def normalize(textCol: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z0-9 ]", " "), " +", " "))
+    VectorExpressions.normalizeText(textCol) // compiled single pass; bit-parity contract in [[NormalizeText]]
 
-  def normalizedHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def normalizedHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
     docs.select(col(idCol), md5(normalize(col(textCol))).as("norm_hash"))
+  }
 
   val normalizedHashSql: String =
     "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash FROM documents"
@@ -1163,6 +1170,7 @@ object TextAnalysis {
     * partition is one duplicate group (tiny); no global sort anywhere.
     */
   def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
     val slim = docs.select(col(idCol), md5(normalize(col(textCol))).as("nh"),
       length(col(textCol)).cast("long").as("doc_len"))
     val grp = Window.partitionBy(col("nh"))
@@ -1439,6 +1447,7 @@ object TextAnalysis {
     */
   def dupRatioBySource(docs: DataFrame, idCol: String, textCol: String,
                        sourceCol: String): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
     // Aggregate to (hash, source) counts BEFORE anything is consumed
     // twice: the persisted frame holds 32-byte hashes and counts, never
     // text, and the corpus scan runs exactly once.

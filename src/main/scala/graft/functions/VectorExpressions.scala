@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 
 /** Native Catalyst expression for float-vector dot products.
   *
@@ -209,6 +209,118 @@ object VectorExpressions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "simhash60", exprs => SimHash60(exprs.head), "built-in")
     }
+    val ts = org.apache.spark.sql.catalyst.FunctionIdentifier("text_stats")
+    if (!spark.sessionState.functionRegistry.functionExists(ts)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "text_stats", textStatsFromExprs, "built-in")
+    }
+    val nt = org.apache.spark.sql.catalyst.FunctionIdentifier("normalize_text")
+    if (!spark.sessionState.functionRegistry.functionExists(nt)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "normalize_text", exprs => NormalizeText(exprs.head), "built-in")
+    }
+    val bp = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_positions")
+    if (!spark.sessionState.functionRegistry.functionExists(bp)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_positions", exprs => intLitArg(exprs, 2, "bloom_positions(sh, hashes)")(
+          k => BloomPositions(exprs.head, k)), "built-in")
+    }
+    val bm = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_member")
+    if (!spark.sessionState.functionRegistry.functionExists(bm)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_member", exprs => intLitArg(exprs, 3, "bloom_member(sh, words, hashes)")(
+          k => BloomMember(exprs(0), exprs(1), k)), "built-in")
+    }
+    val bd = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_doc_bits")
+    if (!spark.sessionState.functionRegistry.functionExists(bd)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_doc_bits", exprs => {
+          require(exprs.length == 5, "bloom_doc_bits(text, width, stride, hashes, words) takes 5 arguments")
+          val sig = "bloom_doc_bits geometry"
+          BloomDocBits(exprs.head, intLit(exprs(1), sig), intLit(exprs(2), sig),
+            intLit(exprs(3), sig), intLit(exprs(4), sig))
+        }, "built-in")
+    }
+    val bf = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_flag_count")
+    if (!spark.sessionState.functionRegistry.functionExists(bf)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_flag_count", exprs => {
+          require(exprs.length == 5, "bloom_flag_count(text, words, width, stride, hashes) takes 5 arguments")
+          val sig = "bloom_flag_count geometry"
+          BloomFlagCount(exprs(0), exprs(1), intLit(exprs(2), sig),
+            intLit(exprs(3), sig), intLit(exprs(4), sig))
+        }, "built-in")
+    }
+  }
+
+  /** Geometry args must be int literals (part of the operator's identity). */
+  private def intLit(e: Expression, sig: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e match {
+      case Literal(k: Int, _) => k
+      case other => throw new IllegalArgumentException(s"$sig: must be an int literal, got $other")
+    }
+  }
+
+  /** The last of `n` args must be an int literal (probe-count geometry is
+    * part of the operator's identity, like minhash_slices' arguments).
+    */
+  private def intLitArg(exprs: Seq[Expression], n: Int, sig: String)(
+      build: Int => Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(exprs.length == n, s"$sig takes $n arguments")
+    exprs.last match {
+      case Literal(k: Int, _) => build(k)
+      case other => throw new IllegalArgumentException(
+        s"$sig: the count must be an int literal, got $other")
+    }
+  }
+
+  /** Column-API handle for [[BloomPositions]] (see [[register]]). */
+  def bloomPositions(sh: Column, hashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("bloom_positions",
+      sh, org.apache.spark.sql.functions.lit(hashes))
+
+  /** Column-API handle for [[BloomMember]] (see [[register]]). */
+  def bloomMember(sh: Column, words: Column, hashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("bloom_member",
+      sh, words, org.apache.spark.sql.functions.lit(hashes))
+
+  /** Column-API handle for [[BloomDocBits]] (see [[register]]). */
+  def bloomDocBits(text: Column, width: Int, stride: Int, hashes: Int, words: Int): Column =
+    org.apache.spark.sql.functions.call_function("bloom_doc_bits",
+      text, org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(stride),
+      org.apache.spark.sql.functions.lit(hashes), org.apache.spark.sql.functions.lit(words))
+
+  /** Column-API handle for [[BloomFlagCount]] (see [[register]]). */
+  def bloomFlagCount(text: Column, bloomWords: Column, width: Int, stride: Int, hashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("bloom_flag_count",
+      text, bloomWords, org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(stride),
+      org.apache.spark.sql.functions.lit(hashes))
+
+  /** Column-API handle for [[TextStats]] (see [[register]]). */
+  def textStats(text: Column, markers: Seq[String]): Column =
+    org.apache.spark.sql.functions.call_function("text_stats",
+      text, org.apache.spark.sql.functions.typedLit(markers))
+
+  /** Column-API handle for [[NormalizeText]] (see [[register]]). */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("normalize_text", text)
+
+  /** Registry/extension constructor — the marker set is part of the
+    * operator's identity, so it must be a string-array literal.
+    */
+  private[functions] def textStatsFromExprs(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(exprs.length == 2, "text_stats(text, markers) takes 2 arguments")
+    val markers = exprs(1) match {
+      case Literal(a: ArrayData, ArrayType(StringType, _)) =>
+        a.toObjectArray(StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"text_stats: markers must be a string-array literal, got $other")
+    }
+    TextStats(exprs(0), markers)
   }
 
   /** Column-API handle for [[SimHash60]] (see [[register]]). */

@@ -315,6 +315,103 @@ class CurationSpec extends SparkSpec {
       s"bloom total $bloomTotal implausibly far above exact $exactTotal")
   }
 
+  test("contaminationBloom packed-bitset equals the explode+join composition") {
+    // r19 rewrite contract: the broadcast 64-long bitset + row-local
+    // 3-probe conjunction must count exactly what the composable form
+    // counted — explode 3 position rows per shingle, join the distinct
+    // bloom-position frame, keep (doc, digest) pairs hitting all 3.
+    val docs = Tables.documents(spark, dir)
+    val bench = col("source") === "src0"
+    def composed: Map[Long, Long] = {
+      val posExprs = (0 until Curation.BloomHashes).map { i =>
+        val o = 1 + 3 * i
+        expr(s"""(CASE WHEN ascii(substr(d,$o,1))>=97 THEN ascii(substr(d,$o,1))-87 ELSE ascii(substr(d,$o,1))-48 END)*256
+                |+(CASE WHEN ascii(substr(d,${o + 1},1))>=97 THEN ascii(substr(d,${o + 1},1))-87 ELSE ascii(substr(d,${o + 1},1))-48 END)*16
+                |+(CASE WHEN ascii(substr(d,${o + 2},1))>=97 THEN ascii(substr(d,${o + 2},1))-87 ELSE ascii(substr(d,${o + 2},1))-48 END)""".stripMargin.replace("\n", ""))
+      }
+      val benchSh = TextAnalysis.shingles(docs.filter(bench), "doc_id", "text")
+      val bloom = benchSh.select(md5(col("sh")).as("d"))
+        .select(explode(array(posExprs: _*)).as("pos")).distinct()
+      val candSh = TextAnalysis.shingles(docs.filter(!bench), "doc_id", "text")
+        .select(col("doc_id"), md5(col("sh")).as("d"))
+      candSh.select(col("doc_id"), col("d"), explode(array(posExprs: _*)).as("pos"))
+        .join(bloom, Seq("pos"))
+        .groupBy(col("doc_id"), col("d")).agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === Curation.BloomHashes)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val packed = Curation.contaminationBloom(docs, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed === composed)
+  }
+
+  test("TextStats expression is bit-parity with the split/regex composition") {
+    import spark.implicits._
+    // every tokenization/charset edge: empty text, lone/leading/adjacent/
+    // trailing spaces (split limit=-1 keeps empty tokens), no-space docs,
+    // uppercase (NOT lowercased — [^a-z0-9 ] counts 'T'), digits,
+    // multi-byte UTF-8 incl. supplementary planes (count per CODE POINT),
+    // and marker tokens at start/middle/end/adjacent positions
+    val edge = Seq(
+      1L -> "", 2L -> " ", 3L -> "   ",
+      4L -> "the quick brown fox is a dog", 5L -> "The Quick BROWN",
+      6L -> "a  of   to", 7L -> "the", 8L -> " the ", 9L -> "to to to",
+      10L -> "no-marker tokens, with punct!?", 11L -> "123 4a5 _",
+      12L -> "ünïcödé tökens — 日本語 und ß 𝔘𝔫𝔦𝔠𝔬𝔡𝔢",
+      13L -> "tab\tand\nnewline are nonalnum").toDF("doc_id", "text")
+    val markers = TextAnalysis.langMarkers.head._2
+    val old = edge.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(filter(split(col("text"), " "), t => t.isin(markers: _*))).cast("long").as("n_stops"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long").as("n_nonalnum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.functions.VectorExpressions.register(spark)
+    val neu = edge.select(col("doc_id"),
+        graft.functions.VectorExpressions.textStats(col("text"), markers).as("st"))
+      .select(col("doc_id"), col("st.n_chars"), col("st.n_tokens"), col("st.n_stops"), col("st.n_nonalnum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(neu === old)
+    // and on a real corpus slice, not just crafted edges
+    val sfDocs = Tables.documents(spark, dir)
+    val o2 = sfDocs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("t"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long").as("na"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n2 = sfDocs.select(col("doc_id"),
+        graft.functions.VectorExpressions.textStats(col("text"), markers).as("st"))
+      .select(col("doc_id"), col("st.n_tokens"), col("st.n_nonalnum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(n2 === o2)
+  }
+
+  test("NormalizeText expression is bit-parity with the lower+regex chain") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> "   ", 3L -> "...!!!", 4L -> "Hello, World! 123",
+      5L -> "  multiple   spaces  and--dashes__underscores  ",
+      6L -> "MiXeD CaSe AnD ünïcödé ÉÀÇ 日本語 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 end",
+      7L -> "already clean lowercase 09", 8L -> "a.b,c;d:e f\tg\nh",
+      9L -> "İstanbul ß STRASSE").toDF("doc_id", "text")
+    val old = edge.select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.functions.VectorExpressions.register(spark)
+    val neu = edge.select(col("doc_id"),
+        graft.functions.VectorExpressions.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(neu === old)
+    val sfDocs = Tables.documents(spark, dir)
+    val o2 = sfDocs.select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n2 = sfDocs.select(col("doc_id"),
+        graft.functions.VectorExpressions.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(n2 === o2)
+  }
+
   test("curriculumOrder: bucketed rank equals the naive per-source window, interleave holds") {
     val docs = Tables.documents(spark, dir)
     val got = Curation.curriculumOrder(docs, "doc_id", "source", "n_chars")
