@@ -50,6 +50,28 @@ class ScaleSpec extends SparkSpec {
     assert(plain.size === 2000)
   }
 
+  test("saltedJoin salts only hot keys; uniform data degenerates to the plain join") {
+    import spark.implicits._
+    // 90% of rows on key 1 → exactly {1} dominates a reducer
+    // (sampleFraction = 1.0 → the exact profile: threshold = rows/8/P)
+    val skewed = spark.range(2000).select(
+      when(col("id") < 1800, 1L).otherwise(col("id") % 50).as("k"),
+      col("id").as("payload"))
+    val hot = Scale.hotKeys(skewed, "k", sampleFraction = 1.0).collect().map(_.getLong(0)).toSet
+    assert(hot === Set(1L), s"expected only the 90% key hot, got $hot")
+    // uniform: 40 rows/key, reducer threshold 2000/8/4 = 62.5 → no hot
+    // keys → the small side is NOT replicated (plain-join degeneration)
+    val uniform = spark.range(2000).select((col("id") % 50).as("k"), col("id").as("payload"))
+    assert(Scale.hotKeys(uniform, "k", sampleFraction = 1.0).isEmpty)
+    val small = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = uniform.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Scale.saltedJoin(uniform, small, "k", buckets = 8)
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+  }
+
   test("bucketed tables join without an exchange") {
     import spark.implicits._
     for (t <- Seq("bucketed_a", "bucketed_b")) {
