@@ -712,8 +712,18 @@ object AnnIndex {
     val cent = Similarity.ivfCentroids(
       Similarity.ivfTrainSlice(emb, "vec_id", Similarity.ivfTrainSampleModFor(n, cells)),
       "vec_id", "embedding", cells, iters = 1).persist()
-    semDedupPairsOf(
-      Similarity.assignCells(emb, cent, "vec_id", "embedding"), threshold, maxCellSize)
+    // assignment mirrors stageAuto's decade rule: flat exact argmax below
+    // HierAssignMinCells (every oracle gate — 23 cells — takes this path,
+    // unchanged), hierarchical above it. The r18 sf100 artifact measured
+    // the inline twin at 324.5 s — the flat n×√n argmax (2 M × 1414
+    // cells) that stageAuto's build already stopped paying in round 17;
+    // the within-cell pair scan itself serves in ~18 s at the same scale.
+    val assigned =
+      if (cells >= HierAssignMinCells)
+        Similarity.assignCellsHier(emb, cent, "vec_id", "embedding",
+          Similarity.hierBranchesFor(cells), HierBranchProbe)
+      else Similarity.assignCells(emb, cent, "vec_id", "embedding")
+    semDedupPairsOf(assigned, threshold, maxCellSize)
   }
 
   /** Below this cell count the final assignment pass stays the flat
