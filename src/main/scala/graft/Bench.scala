@@ -165,8 +165,30 @@ object Bench {
     // path makes the splice a named protocol: the JSON line carries
     // "resumed":<count> so the artifact itself says how many of its
     // numbers were carried over from the prior session.
-    val resumed: Map[String, Double] = sys.env.get("SPARK_GRAFT_BENCH_RESUME").map { p =>
+    // Round-19 hardening (ADVICE r18): the prior artifact must come from
+    // the SAME scale and subset protocol — resuming an sf10 artifact into
+    // an sf100 session would silently record wrong-scale numbers, the
+    // exact evidence-tampering risk the named protocol exists to prevent.
+    // The spliced key NAMES land in the line ("resumed_keys"), and the
+    // prior session's runs protocol is carried as "resumed_runs", so a
+    // min-of-2 number spliced into a runs=1 session keeps its provenance.
+    val resume: Option[(Map[String, Double], Int)] = sys.env.get("SPARK_GRAFT_BENCH_RESUME").map { p =>
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+      def strField(name: String): Option[String] =
+        ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+      def intField(name: String): Option[Int] =
+        ("\"" + name + "\":([0-9]+)").r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      val priorSf = strField("sf").getOrElse(sys.error(s"resume artifact $p has no sf field"))
+      require(priorSf == sfDir,
+        s"resume artifact $p measured sf '$priorSf' but this session runs '$sfDir' — " +
+          "cross-scale splicing refused")
+      val priorSubset = strField("subset") // None when "subset":null
+      val curSubset = if (subset.isDefined) Some("r1") else None
+      require(priorSubset == curSubset,
+        s"resume artifact $p subset=$priorSubset but this session's is $curSubset — " +
+          "cross-protocol splicing refused")
+      val priorRuns = intField("runs").getOrElse(
+        sys.error(s"resume artifact $p has no runs field"))
       def span(field: String, open: Char, close: Char): String = {
         val s = txt.indexOf("\"" + field + "\":" + open)
         require(s >= 0, s"resume artifact has no $field")
@@ -176,11 +198,19 @@ object Bench {
       val failedPrior = { val b = span("failed", '[', ']')
         if (b.isEmpty) Set.empty[String]
         else b.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet }
-      span("queries", '{', '}').split(",").iterator.map { kv =>
-        val Array(k, v) = kv.split(":")
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
-      }.filterNot { case (k, _) => failedPrior(k) }.toMap
-    }.getOrElse(Map.empty)
+      val qBody = span("queries", '{', '}')
+      val m =
+        if (qBody.isEmpty) Map.empty[String, Double] // zero-key artifact: resume nothing
+        else qBody.split(",").iterator.map { kv =>
+          kv.split(":") match {
+            case Array(k, v) => k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+            case _ => sys.error(s"resume artifact $p: unparseable queries entry '$kv' — " +
+              "these extractors expect the flat single-line JSON Bench itself writes")
+          }
+        }.filterNot { case (k, _) => failedPrior(k) }.toMap
+      (m, priorRuns)
+    }
+    val resumed: Map[String, Double] = resume.map(_._1).getOrElse(Map.empty)
     if (resumed.nonEmpty)
       System.err.println(s"[bench] resume: ${resumed.size} prior keys available")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -230,8 +260,11 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subsetJson = if (subset.isDefined) "\"r1\"" else "null"
+    val resumedUsed = resumed.keySet.filter(k => selected.exists(_._1 == k)).toSeq.sorted
+    val resumedKeysJson = resumedUsed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val resumedRuns = resume.map(_._2).getOrElse(nRuns)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"subset":$subsetJson,"runs":$nRuns,"resumed":${resumed.keySet.count(k => selected.exists(_._1 == k))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"subset":$subsetJson,"runs":$nRuns,"resumed":${resumedUsed.size},"resumed_runs":$resumedRuns,"resumed_keys":$resumedKeysJson,"sf":"$sfDir"}"""
     println(line)
     // committable evidence: the same line lands in bench_out/ (driver
     // stdout tails have repeatedly truncated it — ADVICE r7). Dev runs

@@ -54,10 +54,12 @@ object PrSweep {
       val executed = PrSweep.lastPlan.getOrElse("")
       // count whole node names: a bare sliding-substring count would also
       // match "Exchange" inside Reused/Broadcast/ShuffleExchange, inflating
-      // the reuse decomposition (ADVICE r17)
+      // the reuse decomposition (ADVICE r17); the boundary is symmetric —
+      // without the trailing lookahead a counted key would still match as
+      // a PREFIX of a longer node name (ADVICE r18)
       val counts = Seq("ReusedQueryStage", "ReusedExchange", "ShuffleQueryStage",
         "Exchange", "AQEShuffleRead").map(k =>
-        s"$k=${("(?<![A-Za-z])" + k).r.findAllMatchIn(executed).size}").mkString(" ")
+        s"$k=${("(?<![A-Za-z])" + k + "(?![A-Za-z])").r.findAllMatchIn(executed).size}").mkString(" ")
       println(f"[prsweep] $v%-5s ${secs}%8.2f s  $counts")
       if (sys.env.contains("SPARK_GRAFT_PR_DUMP")) println(executed)
       graft.engine.Scoped.releaseAll(spark)

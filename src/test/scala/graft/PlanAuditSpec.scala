@@ -225,8 +225,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // subqueries (coprocess_ratio, funnel_steps, q6/q11/q14/q15/q17/
     // q19/q22, corpus-constant aggregates in bm25/tfidf/token stats),
     // one-row QA/profile reports, and global curriculum/rank orderings.
+    // contamination_bloom joined in r19: its corpus Bloom bitset is ONE
+    // global 64-long row (bit_or over one packed row per benchmark doc,
+    // partial-aggregated map-side — the single partition receives only
+    // per-task partials), the definitional corpus-constant aggregate.
     val singlePartOk = Set(
-      "ann_recall_report", "bm25_topk", "cms_counters", "coprocess_ratio",
+      "ann_recall_report", "bm25_topk", "cms_counters", "contamination_bloom",
+      "coprocess_ratio",
       "count_window", "curriculum_order", "dedup_qa_report",
       "dedup_qa_report_staged", "embedding_dedup_qa", "funnel_steps",
       "key_skew_profile", "knn_ivf_auto", "mrl_recall", "packing_stats",
@@ -363,15 +368,21 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(conds.exists(_.contains("(sh#")),
           s"$name: staged QA plan lost the doc-slice filter on the SHINGLE STORE side — " +
             "the full-corpus exact-truth pass is back")
-        // prove the guard guards: the same assertions on the artifact with
-        // its slice-filter Condition lines stripped must NOT find them — a
-        // parser that (like r17's split-at-"== ") inspects only the section
-        // header would pass both directions and pin nothing
+        // prove the guard guards: THE REAL ASSERTIONS (band/sh membership
+        // over sliceConds) must fail on a degraded artifact. The strip
+        // predicate is deliberately LOOSER than sliceConds' own (any
+        // doc-slice mention, not just Condition lines), so this is not
+        // `f(x -- f's matches) is empty` by construction (ADVICE r18):
+        // a sliceConds that matched, say, section headers would survive
+        // the strip and turn this self-check red
         val stripped = section.linesIterator
-          .filterNot(l => l.contains("Condition :") && l.contains("pmod(xxhash64(doc_id"))
+          .filterNot(_.contains("pmod(xxhash64(doc_id"))
           .mkString("\n")
-        assert(sliceConds(stripped).isEmpty,
-          s"$name: tripwire self-check failed — stripped section still matches")
+        val strippedConds = sliceConds(stripped)
+        assert(!strippedConds.exists(_.contains("(band#")) &&
+          !strippedConds.exists(_.contains("(sh#")),
+          s"$name: tripwire self-check failed — the band/shingle guard " +
+            "still passes on a slice-filter-stripped artifact")
       }
     }
   }
