@@ -266,6 +266,151 @@ case class BloomFlagCount(left: Expression, right: Expression, width: Int,
     copy(left = newLeft, right = newRight)
 }
 
+/** `bloom_flagged_shingles(text, words)` → the document's DISTINCT
+  * shingles whose every probe position is set in the packed bitset
+  * `words`, as a string array. This is the PRE-FILTER half of the exact
+  * [[TextAnalysis.contaminationCheck]]: the Bloom direction has no false
+  * negatives (positions are md5-derived, deterministic), so every truly
+  * benchmark-shared shingle survives, and the handful of false positives
+  * are rejected by the exact join that consumes this array — the result
+  * is bit-identical to joining ALL distinct candidate shingles, at the
+  * cost of exploding only the flagged ones (≈ contaminated + FP ≈ none)
+  * instead of ~1 B rows. Null for texts shorter than `width`; an empty
+  * array explodes to no rows, matching the composition's inner join.
+  */
+case class BloomFlaggedShingles(left: Expression, right: Expression, width: Int,
+                                stride: Int, hashes: Int) extends BinaryExpression {
+  require(width >= 1 && stride >= 1 && hashes >= 1 && hashes * 3 <= 32,
+    "bloom_flagged_shingles: width/stride >= 1, 1 <= hashes <= 10")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, ARRAY<BIGINT>) inputs, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_flagged_shingles"
+
+  override def nullSafeEval(text: Any, words: Any): Any =
+    BloomFlaggedShingles.compute(text.asInstanceOf[UTF8String],
+      words.asInstanceOf[ArrayData], width, stride, hashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("bfs")
+    nullSafeCodeGen(ctx, ev, (t, w) =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.BloomFlaggedShingles.compute($t, $w, $width, $stride, $hashes);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomFlaggedShingles {
+  /** Shared by eval and codegen. Null for texts shorter than `width`. */
+  def compute(text: UTF8String, words: ArrayData, width: Int, stride: Int,
+              hashes: Int): ArrayData = {
+    val w = words.toLongArray()
+    val md = BloomHash.md5ThreadLocal
+    // LinkedHashSet: dedup on shingle CONTENT; deterministic (walk) order
+    var set: java.util.LinkedHashSet[UTF8String] = null
+    val any = ShingleWalk.foreach(text, width, stride) { (bytes, from, len) =>
+      md.update(bytes, from, len)
+      val d = md.digest()
+      var j = 0
+      var all = true
+      while (all && j < hashes) {
+        val p = BloomHash.pos(d, j)
+        all = ((w(p >> 6) >>> (p & 63)) & 1L) != 0L
+        j += 1
+      }
+      if (all) {
+        if (set == null) set = new java.util.LinkedHashSet[UTF8String]()
+        set.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, from + len)))
+      }
+    }
+    if (!any) null
+    else if (set == null) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** `min_shingle_md5(text)` → the minimum `md5(shingle)` hex string over
+  * the document's stride-spaced shingles — the winnowing half of
+  * [[TextAnalysis.fingerprint]] in one row-local pass. Lowercase-hex
+  * ordering equals unsigned byte ordering of the digest, so the minimum
+  * tracks as two big-endian-compared longs and only the winner is
+  * hex-rendered. Replaces an explode + per-doc min aggregate + left
+  * join back to the corpus (one full (doc, 32-hex) shuffle); null for
+  * texts shorter than `width`, exactly the left join's null for
+  * shingle-less docs.
+  */
+case class MinShingleMd5(child: Expression, width: Int, stride: Int)
+    extends UnaryExpression {
+  require(width >= 1 && stride >= 1, "min_shingle_md5: width/stride >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_shingle_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    MinShingleMd5.compute(input.asInstanceOf[UTF8String], width, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("msm")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""org.apache.spark.unsafe.types.UTF8String $res =
+         |  graft.functions.MinShingleMd5.compute($v, $width, $stride);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinShingleMd5 {
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** Shared by eval and codegen. Null for texts shorter than `width`. */
+  def compute(text: UTF8String, width: Int, stride: Int): UTF8String = {
+    val md = BloomHash.md5ThreadLocal
+    // current minimum digest as two unsigned big-endian longs
+    var hi = -1L // unsigned max
+    var lo = -1L
+    var found = false
+    val any = ShingleWalk.foreach(text, width, stride) { (bytes, from, len) =>
+      md.update(bytes, from, len)
+      val d = md.digest()
+      var dhi = 0L
+      var dlo = 0L
+      var i = 0
+      while (i < 8) { dhi = (dhi << 8) | (d(i) & 0xffL); dlo = (dlo << 8) | (d(i + 8) & 0xffL); i += 1 }
+      val less = java.lang.Long.compareUnsigned(dhi, hi) < 0 ||
+        (dhi == hi && java.lang.Long.compareUnsigned(dlo, lo) < 0)
+      if (!found || less) { hi = dhi; lo = dlo; found = true }
+    }
+    if (!any) return null
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      val b = (if (i < 8) (hi >>> ((7 - i) * 8)) else (lo >>> ((15 - i) * 8))).toInt & 0xff
+      out(2 * i) = hex(b >> 4).toByte
+      out(2 * i + 1) = hex(b & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
 object BloomFlagCount {
   /** Shared by eval and codegen. Null for texts shorter than `width`;
     * boxed so codegen can distinguish null from 0.

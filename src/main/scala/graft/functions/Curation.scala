@@ -471,19 +471,28 @@ object Curation {
     * the expressions' scaladoc and CurationSpec's composition-parity
     * test, so the DuckDB oracle is byte-identical.
     */
+  /** The corpus Bloom bitset over the benchmark slice's shingles, as ONE
+    * row (`bloom_words: array<long>`, `BloomBits/64` words): per-doc
+    * packed bitsets ([[BloomDocBits]]) bit-OR'd wordwise. Shared by
+    * [[contaminationBloom]] and the bloom-prefiltered exact
+    * [[TextAnalysis.contaminationCheck]]; callers broadcast it.
+    */
+  private[functions] def corpusBloomRow(docs: DataFrame, benchPred: Column, textCol: String,
+                                        width: Int, stride: Int): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
+    val words = BloomBits / 64
+    docs.filter(benchPred)
+      .select(VectorExpressions.bloomDocBits(col(textCol), width, stride, BloomHashes, words).as("w"))
+      .agg(array((0 until words).map { i =>
+        coalesce(expr(s"bit_or(element_at(w, ${i + 1}))"), lit(0L))
+      }: _*).as("bloom_words"))
+  }
+
   def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
                          benchPred: Column, width: Int = 8, stride: Int = 4): DataFrame = {
     VectorExpressions.register(docs.sparkSession)
-    val words = BloomBits / 64
-    // corpus bitset: per-doc packed bitsets bit-OR'd wordwise into one row
-    val docBits = docs.filter(benchPred)
-      .select(VectorExpressions.bloomDocBits(col(textCol), width, stride, BloomHashes, words).as("w"))
-    val bloomRow = docBits.agg(
-      array((0 until words).map { i =>
-        coalesce(expr(s"bit_or(element_at(w, ${i + 1}))"), lit(0L))
-      }: _*).as("bloom_words"))
     docs.filter(!benchPred)
-      .crossJoin(broadcast(bloomRow))
+      .crossJoin(broadcast(corpusBloomRow(docs, benchPred, textCol, width, stride)))
       .select(col(idCol),
         VectorExpressions.bloomFlagCount(col(textCol), col("bloom_words"), width, stride, BloomHashes)
           .as("n_flagged"))

@@ -734,11 +734,16 @@ object TextAnalysis {
     * min-shingle-hash (stable under small appends, unlike the full hash).
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // min is duplicate-insensitive → non-distinct shingles, one shuffle less
-    val sh = shingles(docs, idCol, textCol, distinct = false)
-    val minSh = sh.groupBy(col(idCol)).agg(min(md5(col("sh"))).as("fp_min"))
-    docs.select(col(idCol), md5(col(textCol)).as("fp_full"))
-      .join(minSh, Seq(idCol), "left")
+    // r19: the min-shingle-hash tracks row-locally ([[MinShingleMd5]] —
+    // one pass, min as two unsigned longs) instead of exploding every
+    // shingle through a per-doc min aggregate and a left join back to
+    // the corpus (88.8 s at sf100 for a one-scan shape). min is
+    // duplicate-insensitive, so walk order is irrelevant; docs shorter
+    // than the shingle width get the expression's null = the old left
+    // join's missing-row null.
+    VectorExpressions.register(docs.sparkSession)
+    docs.select(col(idCol), md5(col(textCol)).as("fp_full"),
+      VectorExpressions.minShingleMd5(col(textCol), 8, 4).as("fp_min"))
   }
 
   val fingerprintSql: String =
@@ -985,22 +990,20 @@ object TextAnalysis {
     * engine-portable.
     */
   def docRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = docs.select(col(idCol), split(col(textCol), " ").as("w"))
-    val bigramTop = ws.filter(size(col("w")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
-        .as("bigram"))
-      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol)).agg(max(col("cnt")).as("top_cnt"))
-      .withColumnRenamed(idCol, "t_id")
-    ws.select(col(idCol),
-        size(col("w")).cast("long").as("n_words"),
-        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("distinct_ratio"))
-      .join(bigramTop, col(idCol) === col("t_id"), "left")
+    // r19: all three counters are per-document-local, so they come from
+    // ONE compiled pass ([[RepetitionStats]], bit-parity contract in its
+    // scaladoc) — the composition exploded every bigram through two
+    // per-doc aggregates and a join back to the corpus (110.3 s at
+    // sf100, paid AGAIN inside quality_filter). The when() reproduces
+    // the old null-left-join → coalesce(…, 0.0) for sub-2-token docs.
+    VectorExpressions.register(docs.sparkSession)
+    docs.select(col(idCol), VectorExpressions.repetitionStats(col(textCol)).as("st"))
       .select(col(idCol),
-        col("n_words"),
-        col("distinct_ratio"),
-        coalesce(col("top_cnt").cast("double") / (col("n_words") - 1), lit(0.0)).as("top_bigram_frac"))
+        col("st.n_words").as("n_words"),
+        (col("st.n_distinct").cast("double") / col("st.n_words")).as("distinct_ratio"),
+        when(col("st.n_words") >= 2,
+          col("st.top_bigram").cast("double") / (col("st.n_words") - 1))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
   val docRepetitionSql: String =
@@ -1363,12 +1366,29 @@ object TextAnalysis {
     * (AQE decides; no hint, so a huge benchmark degrades to a shuffled
     * join instead of an OOM). The per-doc count aggregates map-side.
     */
+  /** Exact benchmark-contamination check, BLOOM-PREFILTERED (r19): the
+    * candidate side no longer explodes ~1 B shingle rows into the join —
+    * each document emits only its Bloom-flagged shingles
+    * ([[BloomFlaggedShingles]], row-local: one md5 + 3 bit loads per
+    * shingle against the broadcast corpus bitset), and the exact join
+    * against the benchmark's true distinct-shingle set confirms or
+    * rejects those few. Bit-identical to joining ALL distinct candidate
+    * shingles because the Bloom direction has no false negatives — the
+    * textbook Bloom deployment, applied to this op's own oracle
+    * contract (the DuckDB SQL is unchanged). sf100: 194.1 s → the
+    * benchmark-side explode+distinct is now the dominant term.
+    */
   def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
                          benchPred: Column, width: Int = 8, stride: Int = 4): DataFrame = {
+    VectorExpressions.register(docs.sparkSession)
     val bench = shingles(docs.filter(benchPred), idCol, textCol, width, stride)
       .select(col("sh")).distinct()
-    val cand = shingles(docs.filter(!benchPred), idCol, textCol, width, stride)
-    cand.join(bench, Seq("sh"))
+    val flagged = docs.filter(!benchPred)
+      .crossJoin(broadcast(Curation.corpusBloomRow(docs, benchPred, textCol, width, stride)))
+      .select(col(idCol),
+        explode(VectorExpressions.bloomFlaggedShingles(
+          col(textCol), col("bloom_words"), width, stride, Curation.BloomHashes)).as("sh"))
+    flagged.join(bench, Seq("sh"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 

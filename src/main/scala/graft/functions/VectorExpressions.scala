@@ -251,7 +251,46 @@ object VectorExpressions {
             intLit(exprs(3), sig), intLit(exprs(4), sig))
         }, "built-in")
     }
+    val bfs = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_flagged_shingles")
+    if (!spark.sessionState.functionRegistry.functionExists(bfs)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_flagged_shingles", exprs => {
+          require(exprs.length == 5, "bloom_flagged_shingles(text, words, width, stride, hashes) takes 5 arguments")
+          val sig = "bloom_flagged_shingles geometry"
+          BloomFlaggedShingles(exprs(0), exprs(1), intLit(exprs(2), sig),
+            intLit(exprs(3), sig), intLit(exprs(4), sig))
+        }, "built-in")
+    }
+    val msm = org.apache.spark.sql.catalyst.FunctionIdentifier("min_shingle_md5")
+    if (!spark.sessionState.functionRegistry.functionExists(msm)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "min_shingle_md5", exprs => {
+          require(exprs.length == 3, "min_shingle_md5(text, width, stride) takes 3 arguments")
+          val sig = "min_shingle_md5 geometry"
+          MinShingleMd5(exprs.head, intLit(exprs(1), sig), intLit(exprs(2), sig))
+        }, "built-in")
+    }
+    val rs = org.apache.spark.sql.catalyst.FunctionIdentifier("repetition_stats")
+    if (!spark.sessionState.functionRegistry.functionExists(rs)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
+    }
   }
+
+  /** Column-API handle for [[BloomFlaggedShingles]] (see [[register]]). */
+  def bloomFlaggedShingles(text: Column, bloomWords: Column, width: Int, stride: Int, hashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("bloom_flagged_shingles",
+      text, bloomWords, org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(stride),
+      org.apache.spark.sql.functions.lit(hashes))
+
+  /** Column-API handle for [[MinShingleMd5]] (see [[register]]). */
+  def minShingleMd5(text: Column, width: Int, stride: Int): Column =
+    org.apache.spark.sql.functions.call_function("min_shingle_md5",
+      text, org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(stride))
+
+  /** Column-API handle for [[RepetitionStats]] (see [[register]]). */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("repetition_stats", text)
 
   /** Geometry args must be int literals (part of the operator's identity). */
   private def intLit(e: Expression, sig: String): Int = {

@@ -346,6 +346,80 @@ class CurationSpec extends SparkSpec {
     assert(packed === composed)
   }
 
+  test("bloom-prefiltered contaminationCheck equals the straight shingle join") {
+    // r19 contract: the Bloom direction has no false negatives, so
+    // prefiltering candidate shingles row-locally and exact-confirming
+    // only the flagged ones must give the SAME per-doc shared counts as
+    // joining every distinct candidate shingle
+    val docs = Tables.documents(spark, dir)
+    val bench = col("source") === "src0"
+    val composed = {
+      val b = TextAnalysis.shingles(docs.filter(bench), "doc_id", "text").select(col("sh")).distinct()
+      TextAnalysis.shingles(docs.filter(!bench), "doc_id", "text")
+        .join(b, Seq("sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val prefiltered = TextAnalysis.contaminationCheck(docs, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prefiltered === composed)
+  }
+
+  test("MinShingleMd5 expression equals the explode+min+left-join composition") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> "short", 3L -> "exactly8", 4L -> "exactly9!",
+      5L -> "a longer document with many shingles to scan through here",
+      6L -> "ünïcödé shïnglés 日本語テキストのドキュメント 𝔘𝔫𝔦 with multibyte content")
+      .toDF("doc_id", "text")
+    def composed(df: org.apache.spark.sql.DataFrame): Map[Long, Option[String]] = {
+      val sh = TextAnalysis.shingles(df, "doc_id", "text", distinct = false)
+      val m = sh.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp_min"))
+      df.select(col("doc_id")).join(m, Seq("doc_id"), "left")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    }
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame): Map[Long, Option[String]] =
+      df.select(col("doc_id"),
+          graft.functions.VectorExpressions.minShingleMd5(col("text"), 8, 4).as("fp_min"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(compiled(edge) === composed(edge)) // incl. null for width-short docs
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs) === composed(sfDocs))
+  }
+
+  test("RepetitionStats expression is bit-parity with the split/bigram composition") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> " ", 3L -> "one", 4L -> "a b", 5L -> "a a a a a",
+      6L -> "a b a b a b", 7L -> "x  y  x  y", // empty tokens count and pair up
+      8L -> "the cat sat on the mat the cat sat again",
+      9L -> "ünï ünï ünï 日本 語 日本 語 𝔘 𝔫", 10L -> "trailing space ")
+      .toDF("doc_id", "text")
+    def composed(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] = {
+      val ws = df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      val top = ws.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+          .as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+      ws.select(col("doc_id"), size(col("w")).cast("long").as("nw"),
+          size(array_distinct(col("w"))).cast("long").as("nd"))
+        .join(top, Seq("doc_id"), "left")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3)))).toMap
+    }
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] =
+      df.select(col("doc_id"), graft.functions.VectorExpressions.repetitionStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_words"), col("st.n_distinct"), col("st.top_bigram"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(compiled(edge) === composed(edge))
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs) === composed(sfDocs))
+  }
+
   test("TextStats expression is bit-parity with the split/regex composition") {
     import spark.implicits._
     // every tokenization/charset edge: empty text, lone/leading/adjacent/

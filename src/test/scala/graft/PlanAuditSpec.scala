@@ -228,10 +228,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // contamination_bloom joined in r19: its corpus Bloom bitset is ONE
     // global 64-long row (bit_or over one packed row per benchmark doc,
     // partial-aggregated map-side — the single partition receives only
-    // per-task partials), the definitional corpus-constant aggregate.
+    // per-task partials), the definitional corpus-constant aggregate;
+    // contamination_check shares the same broadcast bitset since its
+    // bloom-prefilter rewrite.
+    // semdedup_auto joined with it: above HierAssignMinCells its
+    // assignment takes the hierarchical path, whose branch-table attach
+    // is the same √cells→1-row collect_list that already puts
+    // knn_ivf_auto on this list.
     val singlePartOk = Set(
       "ann_recall_report", "bm25_topk", "cms_counters", "contamination_bloom",
-      "coprocess_ratio",
+      "contamination_check", "coprocess_ratio", "semdedup_auto",
       "count_window", "curriculum_order", "dedup_qa_report",
       "dedup_qa_report_staged", "embedding_dedup_qa", "funnel_steps",
       "key_skew_profile", "knn_ivf_auto", "mrl_recall", "packing_stats",
