@@ -626,7 +626,20 @@ object Similarity {
     val centroids = ivfCentroids(
       ivfTrainSlice(emb, idCol, ivfTrainSampleModFor(n, cells)),
       idCol, vecCol, cells, iters).persist()
-    ivfSearch(emb, centroids, queryPred, idCol, vecCol, k, ivfNprobeFor(cells))
+    // assignment follows stageAuto's decade rule (r19, third
+    // application): the flat n×cells argmax at corpus-sized geometry
+    // (2 M × 1414 at sf100) was both the dominant cost AND a latent
+    // 8 g-heap OOM — reproduced in isolation at sf100 on the r18 commit
+    // too, i.e. a pre-existing landmine that could kill a full-registry
+    // session mid-run. Gate geometry (23 cells) keeps the flat exact
+    // path, so the oracle is untouched.
+    val corpus =
+      (if (cells >= AnnIndex.HierAssignMinCells)
+        assignCellsHier(emb, centroids, idCol, vecCol,
+          hierBranchesFor(cells), AnnIndex.HierBranchProbe)
+      else assignCells(emb, centroids, idCol, vecCol)).persist()
+    ivfSearchAssigned(corpus, emb.filter(queryPred), centroids, idCol, vecCol,
+      k, ivfNprobeFor(cells))
   }
 
   /** IVF top-k search: score queries only against their `nprobe` nearest
@@ -963,18 +976,24 @@ object Similarity {
       posexplode(array((0 until numSub).map(m => slice(col(vecCol), m * subDim + 1, subDim)): _*))
         .as(Seq("m", "sv")))
 
-  /** Nearest-code assignment per (vector, subspace): squared-L2 argmin via
-    * a `min(struct(dist, code))` aggregation — map-side partial, no
-    * window sort. The distance is the explicit |x|² − 2·x·c + |c|²
-    * expansion so both engines evaluate the identical double arithmetic.
+  /** Nearest-code assignment per (vector, subspace): squared-L2 argmin,
+    * computed ROW-LOCALLY by [[PqAssignCode]] against the whole codebook
+    * attached as one broadcast sorted array — same |x|² − 2·x·c + |c|²
+    * double arithmetic and min(struct(dist, code)) tie-break as the
+    * pre-r19 `join ×numCodes → min(struct)` form (contract in the
+    * expression's scaladoc), without the ×numCodes row expansion and the
+    * slice-grain re-aggregation it paid (256 M generated rows at sf100
+    * for 16 M slices — measured as the bulk of the PQ family's cost).
     */
   private[graft] def pqAssign(sub: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
-    val dist = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
-      dot(col("cv"), col("cv"))
-    sub.join(broadcast(codebook), Seq("m"))
-      .select(col(idCol), col("m"), col("code"), dist.as("dist"))
-      .groupBy(col(idCol), col("m"))
-      .agg(min(struct(col("dist"), col("code"))).getField("code").as("code"))
+    VectorExpressions.register(sub.sparkSession)
+    // sorted by (m, code): the expression's tie-break contract
+    val cbRow = codebook
+      .select(col("m").cast("int").as("m"), col("code").cast("int").as("code"), col("cv"))
+      .agg(sort_array(collect_list(struct(col("m"), col("code"), col("cv")))).as("cbs"))
+    sub.crossJoin(broadcast(cbRow))
+      .select(col(idCol), col("m"),
+        VectorExpressions.pqAssignCode(col("sv"), col("m").cast("int"), col("cbs")).as("code"))
   }
 
   /** Product quantization — the memory-side ANN scale path past scalar

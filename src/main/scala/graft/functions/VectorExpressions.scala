@@ -167,6 +167,106 @@ object VectorSignBands {
   }
 }
 
+/** `pq_assign_code(sv, m, cbs)` → the nearest PQ code for subvector `sv`
+  * in subspace `m`, scanning a broadcast-attached whole-codebook array
+  * `cbs: array<struct<m:int, code:int, cv:array<float>>>` row-locally —
+  * the compiled form of [[Similarity.pqAssign]]'s
+  * `join(broadcast(codebook)) → min(struct(dist, code))`, which expanded
+  * every (vector, subspace) slice ×numCodes through a join and re-ground
+  * it in a slice-grain hash aggregate (256 M generated rows at sf100 for
+  * a 16 M-slice corpus).
+  *
+  * Bit-parity contract: the distance is the SAME
+  * `dot(sv,sv) − 2.0·dot(sv,cv) + dot(cv,cv)` double arithmetic
+  * ([[VectorDotProduct]]'s sequential float→double accumulation, three
+  * independent accumulators, combined left-to-right), and the tie-break
+  * is `min(struct(dist, code))`: callers attach `cbs` SORTED ascending
+  * by (m, code), so the first strict improvement (`Double.compare`,
+  * mirroring Spark's double ordering) in ascending code order is the
+  * same winner. Null when no codebook entry carries subspace `m` — in
+  * the join form that (id, m) row simply did not exist; every subspace
+  * always has ≥1 code (seeds slice all of them), so this is unreachable
+  * in practice and would fail the oracle gate loudly, not silently.
+  */
+case class PqAssignCode(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), org.apache.spark.sql.types.IntegerType,
+            ArrayType(s: org.apache.spark.sql.types.StructType, _))
+          if s.length == 3 && (s.fields(2).dataType match {
+            case ArrayType(FloatType | DoubleType, _) => true; case _ => false }) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<FLOAT|DOUBLE>, INT, ARRAY<STRUCT<m,code,cv:ARRAY<FLOAT|DOUBLE>>>) inputs, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_assign_code"
+
+  // float-vs-double reads, resolved at plan time like VectorDotProduct's:
+  // the residual-PQ path (ivfpq) carries double arrays end to end
+  @transient private lazy val svDouble =
+    first.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  @transient private lazy val cvDouble =
+    third.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields(2).dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(sv: Any, m: Any, cbs: Any): Any =
+    PqAssignCode.compute(sv.asInstanceOf[ArrayData], m.asInstanceOf[Int],
+      cbs.asInstanceOf[ArrayData], svDouble, cvDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("pqc")
+    nullSafeCodeGen(ctx, ev, (sv, m, cbs) =>
+      s"""Integer $res = graft.functions.PqAssignCode.compute($sv, $m, $cbs, $svDouble, $cvDouble);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.intValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PqAssignCode {
+  /** Shared by eval and codegen. `cbs` must be sorted by (m, code). */
+  def compute(sv: ArrayData, m: Int, cbs: ArrayData,
+              svDouble: Boolean, cvDouble: Boolean): java.lang.Integer = {
+    val d = sv.numElements()
+    var best = 0.0
+    var bestCode = -1
+    var found = false
+    val n = cbs.numElements()
+    var i = 0
+    while (i < n) {
+      val e = cbs.getStruct(i, 3)
+      if (e.getInt(0) == m) {
+        val cv = e.getArray(2)
+        var d1 = 0.0
+        var d2 = 0.0
+        var d3 = 0.0
+        var j = 0
+        while (j < d) {
+          val x = if (svDouble) sv.getDouble(j) else sv.getFloat(j).toDouble
+          val c = if (cvDouble) cv.getDouble(j) else cv.getFloat(j).toDouble
+          d1 += x * x
+          d2 += x * c
+          d3 += c * c
+          j += 1
+        }
+        val dist = d1 - 2.0 * d2 + d3
+        if (!found || java.lang.Double.compare(dist, best) < 0) {
+          found = true; best = dist; bestCode = e.getInt(1)
+        }
+      }
+      i += 1
+    }
+    if (!found) null else java.lang.Integer.valueOf(bestCode)
+  }
+}
+
 object VectorExpressions {
   /** Column-API handle for [[VectorDotProduct]]. Spark 4's Column no longer
     * exposes the catalyst expression directly, so the handle goes through
@@ -275,7 +375,19 @@ object VectorExpressions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
     }
+    val pac = org.apache.spark.sql.catalyst.FunctionIdentifier("pq_assign_code")
+    if (!spark.sessionState.functionRegistry.functionExists(pac)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "pq_assign_code", exprs => {
+          require(exprs.length == 3, "pq_assign_code(sv, m, cbs) takes 3 arguments")
+          PqAssignCode(exprs(0), exprs(1), exprs(2))
+        }, "built-in")
+    }
   }
+
+  /** Column-API handle for [[PqAssignCode]] (see [[register]]). */
+  def pqAssignCode(sv: Column, m: Column, cbs: Column): Column =
+    org.apache.spark.sql.functions.call_function("pq_assign_code", sv, m, cbs)
 
   /** Column-API handle for [[BloomFlaggedShingles]] (see [[register]]). */
   def bloomFlaggedShingles(text: Column, bloomWords: Column, width: Int, stride: Int, hashes: Int): Column =

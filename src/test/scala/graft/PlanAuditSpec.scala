@@ -234,10 +234,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // semdedup_auto joined with it: above HierAssignMinCells its
     // assignment takes the hierarchical path, whose branch-table attach
     // is the same √cells→1-row collect_list that already puts
-    // knn_ivf_auto on this list.
+    // knn_ivf_auto on this list. The PQ inline twins joined when
+    // pqAssign switched to the compiled row-local scan: the whole
+    // codebook (numSub × numCodes = 128 rows) collapses to ONE sorted
+    // broadcast array row — the definitional constant-size
+    // broadcast-attach aggregate.
     val singlePartOk = Set(
       "ann_recall_report", "bm25_topk", "cms_counters", "contamination_bloom",
       "contamination_check", "coprocess_ratio", "semdedup_auto",
+      "pq_codes", "pq_codes_incremental", "pq_knn", "pq_knn_rerank", "ivfpq_knn",
       "count_window", "curriculum_order", "dedup_qa_report",
       "dedup_qa_report_staged", "embedding_dedup_qa", "funnel_steps",
       "key_skew_profile", "knn_ivf_auto", "mrl_recall", "packing_stats",
