@@ -174,10 +174,20 @@ object Bench {
     // min-of-2 number spliced into a runs=1 session keeps its provenance.
     val resume: Option[(Map[String, Double], Int)] = sys.env.get("SPARK_GRAFT_BENCH_RESUME").map { p =>
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+      // Field extraction is anchored to the text AFTER the queries
+      // object's closing brace (ADVICE r19): the queries map precedes
+      // the top-level fields in the line Bench writes, so a qkey
+      // literally named "sf"/"runs"/"subset" would otherwise be matched
+      // first and silently corrupt the resume validation.
+      val tail = {
+        val qs = txt.indexOf("\"queries\":{")
+        require(qs >= 0, s"resume artifact $p has no queries object")
+        txt.substring(txt.indexOf('}', qs))
+      }
       def strField(name: String): Option[String] =
-        ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+        ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(tail).map(_.group(1))
       def intField(name: String): Option[Int] =
-        ("\"" + name + "\":([0-9]+)").r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        ("\"" + name + "\":([0-9]+)").r.findFirstMatchIn(tail).map(_.group(1).toInt)
       val priorSf = strField("sf").getOrElse(sys.error(s"resume artifact $p has no sf field"))
       require(priorSf == sfDir,
         s"resume artifact $p measured sf '$priorSf' but this session runs '$sfDir' — " +

@@ -440,3 +440,63 @@ object BloomFlagCount {
     else java.lang.Long.valueOf(set.size.toLong)
   }
 }
+
+/** `distinct_shingles(text, width, stride)` → the document's DISTINCT
+  * stride-spaced character shingles as `array<string>`, one row-local
+  * pass — null for texts shorter than `width`, exactly
+  * [[TextAnalysis.shingles]]'s length filter. Replaces the
+  * generate_series-posexplode + per-row `substring` + global distinct
+  * shape on the BENCHMARK side of [[TextAnalysis.contaminationCheck]]
+  * (the dominant term after the r19 Bloom prefilter): the Generate now
+  * emits only per-doc-distinct shingles, and the per-shingle substring
+  * machinery collapses into [[ShingleWalk]]'s offset arithmetic
+  * (zero-copy views during dedup, cloned on emit). The global
+  * `.distinct()` downstream is unchanged — within-doc dedup commutes
+  * with it.
+  */
+case class DistinctShingles(child: Expression, width: Int, stride: Int)
+    extends UnaryExpression {
+  require(width >= 1 && stride >= 1, "distinct_shingles: width/stride >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "distinct_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    DistinctShingles.compute(input.asInstanceOf[UTF8String], width, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("dsh")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.DistinctShingles.compute($v, $width, $stride);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DistinctShingles {
+  /** Shared by eval and codegen. Null for texts shorter than `width`. */
+  def compute(text: UTF8String, width: Int, stride: Int): ArrayData = {
+    // LinkedHashSet: dedup on shingle CONTENT; deterministic (walk) order
+    var set: java.util.LinkedHashSet[UTF8String] = null
+    val any = ShingleWalk.foreach(text, width, stride) { (bytes, from, len) =>
+      if (set == null) set = new java.util.LinkedHashSet[UTF8String]()
+      set.add(UTF8String.fromBytes(bytes, from, len))
+    }
+    if (!any) return null
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().clone(); j += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -190,15 +190,21 @@ object Curation {
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 spanTokens: Int, maxDf: Int): DataFrame = {
     require(spanTokens >= 1 && maxDf >= 1, "need spanTokens >= 1 and maxDf >= 1")
-    val toks = split(col(textCol), " ")
+    // r20 rewrite (VERDICT r19 item 3): the posexplode-over-sequence
+    // shape carried the document's FULL token array through the Generate
+    // so each generated row could slice its own span — the r18 quantize
+    // heavy-expression-above-Generate shape in array-copy form (53.4 s
+    // at sf100). [[VectorExpressions.spanTiles]] tiles the text in ONE
+    // compiled walk below the Generate (element i = span_idx i, so
+    // posexplode's pos IS the old span_idx), and each generated row is
+    // just its own small struct.
+    VectorExpressions.register(docs.sparkSession)
     val spans = docs
-      .select(col(idCol), toks.as("toks"), size(toks).as("n"))
-      .select(col(idCol), col("toks"),
-        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(spanTokens)))
-          .as(Seq("span_idx", "start")))
+      .select(col(idCol),
+        posexplode(VectorExpressions.spanTiles(col(textCol), spanTokens))
+          .as(Seq("span_idx", "tile")))
       .select(col(idCol), col("span_idx"),
-        array_join(slice(col("toks"), col("start") + lit(1), lit(spanTokens)), " ").as("span"),
-        size(slice(col("toks"), col("start") + lit(1), lit(spanTokens))).as("ntok"))
+        col("tile.span").as("span"), col("tile.ntok").as("ntok"))
       .withColumn("h", md5(col("span")))
       .persist() // two consumers: the df count and the reassembly join
     val frequent = spans.groupBy(col("h"))

@@ -58,16 +58,21 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "bu4", "le5", "wo3", "zai4"),
   )
 
-  private def markerCount(textCol: Column, markers: Seq[String]): Column =
-    size(filter(split(textCol, " "), t => t.isin(markers: _*))).cast("long")
-
   /** Language-ID: count stopword-marker hits per language over
     * whitespace tokens; argmax with a fixed priority tie-break.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withCounts = langMarkers.foldLeft(docs.select(col(idCol), col(textCol))) {
-      case (df, (lang, markers)) => df.withColumn(s"c_$lang", markerCount(col(textCol), markers))
-    }
+    // r20: five per-language `size(filter(split(...)))` columns each
+    // re-split and re-scanned the text — [[LangMarkerCounts]] computes
+    // all five counters in ONE compiled walk; the argmax/tie-break
+    // Column arithmetic over them is unchanged.
+    VectorExpressions.register(docs.sparkSession)
+    val withCounts = docs.select(col(idCol), col(textCol))
+      .withColumn("__lmc",
+        VectorExpressions.langMarkerCounts(col(textCol), langMarkers.map(_._2)))
+      .select(Seq(col(idCol), col(textCol)) ++
+        langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+          element_at(col("__lmc"), i + 1).as(s"c_$lang") }: _*)
     val langs = langMarkers.map(_._1)
     val pred = langs.init.foldRight(lit(langs.last)) { (lang, elseCol) =>
       val others = langs.filterNot(_ == lang).map(l => col(s"c_$l"))
@@ -130,11 +135,15 @@ object TextAnalysis {
   /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
     * (letter runs | digit runs | single non-alphanumeric).
     */
-  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol),
-      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
-      regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("re_tokens"))
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // r20: split + regexp_count → [[TokenizeCounts]], both counters in
+    // one compiled byte walk (the regex engine dominated the 40.7 s
+    // sf100 entry; parity contract in the expression scaladoc).
+    VectorExpressions.register(docs.sparkSession)
+    docs.select(col(idCol), VectorExpressions.tokenizeCounts(col(textCol)).as("tc"))
+      .select(col(idCol), col("tc.ws_tokens").as("ws_tokens"),
+        col("tc.re_tokens").as("re_tokens"))
+  }
 
   val tokenCountSql: String =
     """SELECT doc_id,
@@ -157,16 +166,26 @@ object TextAnalysis {
     * map-side-combined exact integers; mean is a scaled integer division.
     */
   def tokenSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // r20 rewrite (the bigram_logprob seam, unigram form): the
+    // occurrence-grain token explode flowed through the frequency
+    // join-back — [[TokenCounts]] pre-aggregates each document's token
+    // multiset to map grain in one compiled pass, so the join probes
+    // |distinct (doc, tok)| rows and the per-doc sums weight by `c`.
+    // freq = Σ c per token (was count(*) over occurrences) — identical
+    // integers, and the scored sums stay exact.
+    VectorExpressions.register(docs.sparkSession)
+    val toks = docs.select(col(idCol),
+        explode(VectorExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.tok").as("tok"), col("tc.cnt").as("c"))
+    val freq = toks.groupBy(col("tok")).agg(sum(col("c")).as("freq"))
     val total = freq.agg(sum(col("freq")).as("total")) // 1-row scalar
     val bits = (length(bin(col("total"))) - 1) - (length(bin(col("freq"))) - 1)
     toks.join(freq, Seq("tok"))
       .crossJoin(broadcast(total))
-      .select(col(idCol), bits.cast("long").as("bits"))
+      .select(col(idCol), col("c"), bits.cast("long").as("bits"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("bits")).as("total_bits"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("bits")).as("total_bits"))
       .withColumn("mean_millibits", expr("(total_bits * 1000) div n_tokens"))
   }
 
@@ -202,21 +221,29 @@ object TextAnalysis {
     * the inevitable hot function words.
     */
   def bigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = docs.select(col(idCol), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-    val bg = ws.select(col(idCol), explode(expr(
-      "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
-      .as("bigram"))
-    val bf = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bg_freq"))
+    // r20 rewrite (VERDICT r19 item 1): the occurrence-grain bigram
+    // explode (one row per bigram OCCURRENCE, ~2.5 B at sf100) flowed
+    // through BOTH frequency join-backs. [[BigramCounts]] pre-aggregates
+    // each document's bigram multiset to map grain in one compiled pass
+    // (null = the old size(w) >= 2 filter; explode drops it), so the
+    // joins probe |distinct (doc, bigram)| rows and the per-doc sums
+    // weight by `c` — the same exact integers, fewer rows everywhere.
+    // bg_freq = Σ c per bigram (was count(*) over occurrences).
+    VectorExpressions.register(docs.sparkSession)
+    val bg = docs.select(col(idCol),
+        explode(VectorExpressions.bigramCounts(col(textCol))).as("bc"))
+      .select(col(idCol), col("bc.bigram").as("bigram"), col("bc.cnt").as("c"))
+    val bf = bg.groupBy(col("bigram")).agg(sum(col("c")).as("bg_freq"))
     val cf = bf.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("bg_freq")).as("ctx_freq"))
     val bits = (length(bin(col("ctx_freq"))) - 1) - (length(bin(col("bg_freq"))) - 1)
     bg.join(bf, Seq("bigram"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(cf, Seq("w1"))
-      .select(col(idCol), bits.cast("long").as("bits"))
+      .select(col(idCol), col("c"), bits.cast("long").as("bits"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("bits")).as("total_bits"))
       .withColumn("mean_millibits", expr("(total_bits * 1000) div n_bigrams"))
   }
 
@@ -251,14 +278,20 @@ object TextAnalysis {
     * pairs| ≤ alphabet², i.e. constant-bounded; the top-k is a
     * TakeOrdered, never a global sort.
     */
-  def bpeMergePairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("tok"))
-      .filter(length(col("tok")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))")).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+  def bpeMergePairs(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    // r20 rewrite (VERDICT r19 item 2): the token explode THEN
+    // character-pair explode generated the corpus's full character
+    // volume through two Generates before the (alphabet²-bounded)
+    // aggregate. [[BpePairCounts]] counts each document's pairs at map
+    // grain in one compiled pass (code-point stepping = substring
+    // semantics; null = no token with ≥ 2 chars), so the Generate emits
+    // per-doc-distinct pairs and the global count is Σ of weights.
+    VectorExpressions.register(docs.sparkSession)
+    docs.select(explode(VectorExpressions.bpePairCounts(col(textCol))).as("pc"))
+      .groupBy(col("pc.pair").as("pair")).agg(sum(col("pc.cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
+  }
 
   val bpeMergePairsSql: String =
     """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -314,12 +347,20 @@ object TextAnalysis {
   /** The weighted distinct-token seed vocabulary every BPE round works
     * on: (tok, corpus freq, single-character symbol array).
     */
-  private def bpeSeedVocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("tok"))
+  private def bpeSeedVocab(docs: DataFrame, textCol: String): DataFrame = {
+    // r20: the corpus-token explode → [[TokenCounts]] map grain; the
+    // vocabulary aggregate then reduces per-doc-distinct rows instead of
+    // every occurrence (freq = Σ per-doc counts — identical integers).
+    // Shared by the whole BPE family (train/vocab/encode, batched
+    // twins): every one of those qkeys pays this pass first.
+    VectorExpressions.register(docs.sparkSession)
+    docs.select(explode(VectorExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col("tc.tok").as("tok"), col("tc.cnt").as("c"))
       .filter(length(col("tok")) >= 1)
-      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("tok")).agg(sum(col("c")).as("freq"))
       .withColumn("syms",
         expr("transform(sequence(1, length(tok)), i -> substring(tok, CAST(i AS INT), 1))"))
+  }
 
   /** The round's ranked adjacent-pair counts (weighted by token corpus
     * frequency), capped at `top` rows — a TakeOrdered, never a global
@@ -702,14 +743,21 @@ object TextAnalysis {
     */
   private[graft] def bpeEncodeStatsFromSeg(docs: DataFrame, idCol: String,
                                            textCol: String, seg: DataFrame): DataFrame = {
-    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    // r20: the corpus joins the segmentation at (doc, tok) MAP grain
+    // ([[TokenCounts]]) instead of every occurrence; per-doc stats
+    // weight by `c` — identical integers (inner-join drop semantics for
+    // out-of-vocab tokens are grain-independent).
+    VectorExpressions.register(docs.sparkSession)
+    val words = docs.select(col(idCol),
+        explode(VectorExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.tok").as("tok"), col("tc.cnt").as("c"))
       .filter(length(col("tok")) >= 1)
     val vt = seg.select(col("tok").as("v_tok"), col("n_syms"))
     words.join(vt, col("tok") === col("v_tok"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("tok")).cast("long")).as("n_chars"),
-        sum(col("n_syms")).as("n_tokens"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * length(col("tok")).cast("long")).as("n_chars"),
+        sum(col("c") * col("n_syms")).as("n_tokens"))
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("n_tokens"), 4))
   }
@@ -774,15 +822,16 @@ object TextAnalysis {
     * carries |distinct bigrams|, and a df-cap/threshold would bound a
     * pathological vocabulary.
     */
-  def topBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    docs.select(split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
-        .as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+  def topBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    // r20: occurrence-grain bigram explode → [[BigramCounts]] map grain
+    // (one compiled pass per doc; null = the size(w) >= 2 filter); the
+    // global count becomes Σ of per-doc weights — identical integers.
+    VectorExpressions.register(docs.sparkSession)
+    docs.select(explode(VectorExpressions.bigramCounts(col(textCol))).as("bc"))
+      .groupBy(col("bc.bigram").as("bigram")).agg(sum(col("bc.cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(k)
+  }
 
   val topBigramsSql: String =
     """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
@@ -805,9 +854,15 @@ object TextAnalysis {
     * each partition is one document's distinct terms, never the corpus.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    // r20: tf is per-document-local work — [[TokenCounts]] emits the
+    // (doc, term, tf) triples straight from one compiled pass, deleting
+    // the corpus-token explode AND the (doc, term) hash-aggregate
+    // exchange that produced the same frame.
     // tf feeds the df aggregation AND the scored join → persist
-    val tf = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    VectorExpressions.register(docs.sparkSession)
+    val tf = docs.select(col(idCol),
+        explode(VectorExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.tok").as("term"), col("tc.cnt").as("tf"))
       .persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1061,7 +1116,15 @@ object TextAnalysis {
     * into wider per-doc projections.
     */
   private def langPred(textCol: Column): Column = {
-    val counts = langMarkers.map { case (l, m) => l -> markerCount(textCol, m) }.toMap
+    // r20: counts come off ONE compiled [[LangMarkerCounts]] walk (the
+    // element_at probes over the same subtree CSE into a single
+    // evaluation under whole-stage codegen) instead of five
+    // split+filter subexpressions. Callers must have run
+    // VectorExpressions.register on the session (every registered
+    // consumer does).
+    val lmc = VectorExpressions.langMarkerCounts(textCol, langMarkers.map(_._2))
+    val counts = langMarkers.map(_._1).zipWithIndex.map {
+      case (l, i) => l -> element_at(lmc, i + 1) }.toMap
     val langs = langMarkers.map(_._1)
     langs.init.foldRight(lit(langs.last): Column) { (lang, els) =>
       val others = langs.filterNot(_ == lang).map(counts)
@@ -1081,6 +1144,7 @@ object TextAnalysis {
     * per-doc scalars.
     */
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    VectorExpressions.register(docs.sparkSession) // langPred's compiled counts
     val rep = docRepetition(docs, idCol, textCol)
       .select(col(idCol).as("r_id"), col("n_words"), col("distinct_ratio"), col("top_bigram_frac"))
     docs.select(col(idCol), langPred(col(textCol)).as("lang_pred"))
@@ -1381,8 +1445,16 @@ object TextAnalysis {
   def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
                          benchPred: Column, width: Int = 8, stride: Int = 4): DataFrame = {
     VectorExpressions.register(docs.sparkSession)
-    val bench = shingles(docs.filter(benchPred), idCol, textCol, width, stride)
-      .select(col("sh")).distinct()
+    // r20 (VERDICT r19 item 5): the benchmark-side explode+distinct was
+    // the dominant term after the r19 Bloom prefilter. DistinctShingles
+    // dedups within the document in the same compiled walk the Bloom
+    // expressions use, so the Generate emits per-doc-distinct shingles
+    // and the substring machinery disappears; the global distinct (which
+    // within-doc dedup commutes with) is unchanged.
+    val bench = docs.filter(benchPred)
+      .select(explode(VectorExpressions.distinctShingles(
+        col(textCol), width, stride)).as("sh"))
+      .distinct()
     val flagged = docs.filter(!benchPred)
       .crossJoin(broadcast(Curation.corpusBloomRow(docs, benchPred, textCol, width, stride)))
       .select(col(idCol),
@@ -1424,9 +1496,14 @@ object TextAnalysis {
     * shuffle.
     */
   def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    // r20: same seam as tfidfTopTerms — (doc, term, tf) straight from
+    // [[TokenCounts]]'s compiled pass (empty-token filter kept), no
+    // corpus-token explode, no (doc, term) aggregate exchange.
+    VectorExpressions.register(docs.sparkSession)
+    val tf = docs.select(col(idCol),
+        explode(VectorExpressions.tokenCounts(col(textCol))).as("tc"))
+      .select(col(idCol), col("tc.tok").as("term"), col("tc.cnt").as("tf"))
       .filter(col("term") =!= "")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val n = freq.agg(sum(col("cnt")).as("n_tok")) // one row

@@ -383,7 +383,98 @@ object VectorExpressions {
           PqAssignCode(exprs(0), exprs(1), exprs(2))
         }, "built-in")
     }
+    val bgc = org.apache.spark.sql.catalyst.FunctionIdentifier("bigram_counts")
+    if (!spark.sessionState.functionRegistry.functionExists(bgc)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
+    }
+    val tkc = org.apache.spark.sql.catalyst.FunctionIdentifier("token_counts")
+    if (!spark.sessionState.functionRegistry.functionExists(tkc)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "token_counts", exprs => TokenCounts(exprs.head), "built-in")
+    }
+    val bpc = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_pair_counts")
+    if (!spark.sessionState.functionRegistry.functionExists(bpc)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bpe_pair_counts", exprs => BpePairCounts(exprs.head), "built-in")
+    }
+    val spt = org.apache.spark.sql.catalyst.FunctionIdentifier("span_tiles")
+    if (!spark.sessionState.functionRegistry.functionExists(spt)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "span_tiles", exprs => intLitArg(exprs, 2, "span_tiles(text, spanTokens)")(
+          k => SpanTiles(exprs.head, k)), "built-in")
+    }
+    val dsh = org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_shingles")
+    if (!spark.sessionState.functionRegistry.functionExists(dsh)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "distinct_shingles", exprs => {
+          require(exprs.length == 3, "distinct_shingles(text, width, stride) takes 3 arguments")
+          val sig = "distinct_shingles geometry"
+          DistinctShingles(exprs.head, intLit(exprs(1), sig), intLit(exprs(2), sig))
+        }, "built-in")
+    }
+    val tzc = org.apache.spark.sql.catalyst.FunctionIdentifier("tokenize_counts")
+    if (!spark.sessionState.functionRegistry.functionExists(tzc)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "tokenize_counts", exprs => TokenizeCounts(exprs.head), "built-in")
+    }
+    val lmc = org.apache.spark.sql.catalyst.FunctionIdentifier("lang_marker_counts")
+    if (!spark.sessionState.functionRegistry.functionExists(lmc)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "lang_marker_counts", langMarkerCountsFromExprs, "built-in")
+    }
   }
+
+  /** Column-API handle for [[TokenizeCounts]] (see [[register]]). */
+  def tokenizeCounts(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("tokenize_counts", text)
+
+  /** Column-API handle for [[LangMarkerCounts]] (see [[register]]): each
+    * marker set travels as ONE space-joined literal string (markers are
+    * ASCII and space-free, so the join is unambiguous).
+    */
+  def langMarkerCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.functions.call_function("lang_marker_counts",
+      text, org.apache.spark.sql.functions.typedLit(sets.map(_.mkString(" "))))
+
+  /** Registry/extension constructor — marker sets are part of the
+    * operator's identity, so they must arrive as a string-array literal
+    * (one space-joined entry per language).
+    */
+  private[functions] def langMarkerCountsFromExprs(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(exprs.length == 2, "lang_marker_counts(text, sets) takes 2 arguments")
+    val sets = exprs(1) match {
+      case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(StringType, _)) =>
+        a.toObjectArray(StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.split(" ").toSeq).toSeq
+      case other => throw new IllegalArgumentException(
+        s"lang_marker_counts: sets must be a string-array literal, got $other")
+    }
+    LangMarkerCounts(exprs(0), sets)
+  }
+
+  /** Column-API handle for [[BigramCounts]] (see [[register]]). */
+  def bigramCounts(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("bigram_counts", text)
+
+  /** Column-API handle for [[TokenCounts]] (see [[register]]). */
+  def tokenCounts(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("token_counts", text)
+
+  /** Column-API handle for [[BpePairCounts]] (see [[register]]). */
+  def bpePairCounts(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("bpe_pair_counts", text)
+
+  /** Column-API handle for [[SpanTiles]] (see [[register]]). */
+  def spanTiles(text: Column, spanTokens: Int): Column =
+    org.apache.spark.sql.functions.call_function("span_tiles",
+      text, org.apache.spark.sql.functions.lit(spanTokens))
+
+  /** Column-API handle for [[DistinctShingles]] (see [[register]]). */
+  def distinctShingles(text: Column, width: Int, stride: Int): Column =
+    org.apache.spark.sql.functions.call_function("distinct_shingles",
+      text, org.apache.spark.sql.functions.lit(width), org.apache.spark.sql.functions.lit(stride))
 
   /** Column-API handle for [[PqAssignCode]] (see [[register]]). */
   def pqAssignCode(sv: Column, m: Column, cbs: Column): Column =

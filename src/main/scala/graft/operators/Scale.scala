@@ -73,13 +73,22 @@ object Scale {
     val total = cnts.agg(sum(col("cnt")).as("n_sampled")) // exchange reused from cnts
     cnts.crossJoin(broadcast(total))
       .filter(col("cnt").cast("double") >= lit(reducerFrac / parts) * col("n_sampled"))
-      .select(col(key))
+      .select(col(key), col("cnt"))
   }
 
-  /** Ceiling on the hot-key set size — [[hotKeys]]' threshold makes this
-    * a mathematical bound (at most partitions/reducerFrac keys can each
-    * hold ≥ reducerFrac·rows/partitions of the sampled mass), so the
-    * plan-time `take` below is a BOUNDED collect of the
+  /** Ceiling on the hot-key set the salted join SPREADS — [[hotKeys]]'
+    * threshold already bounds its output mathematically (at most
+    * partitions/reducerFrac keys can each hold ≥
+    * reducerFrac·rows/partitions of the sampled mass), but that bound
+    * SCALES with the session's shuffle-partition count (RunnerSession
+    * sizes it from corpus bytes, up to 20 000 → a 160 000-key bound) —
+    * so a big corpus with many moderately hot keys can legitimately
+    * exceed any constant. The salted join therefore keeps the HOTTEST
+    * `MaxHotKeys` by sampled count (deterministic count-desc/key-asc
+    * order) instead of require-crashing (ADVICE r19): an unspread
+    * borderline key only loses the spread — the JOIN RESULT is
+    * identical, which is the same argument that makes the sampling
+    * sound. The plan-time `take` stays a BOUNDED collect of the
     * `ivfCellsFor`-count class, independent of corpus size.
     */
   private val MaxHotKeys = 1024
@@ -88,13 +97,14 @@ object Scale {
                  sampleFraction: Double = 0.01): DataFrame = {
     require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
       "saltedJoin: inputs must not already have a _salt column (it would be clobbered)")
-    // plan-time constant, like semDedupAuto's corpus count: the hot set
-    // is ≤ partitions/reducerFrac keys BY CONSTRUCTION (see MaxHotKeys),
-    // so this collect is bounded regardless of data size, and literal
-    // IN-lists beat two broadcast-join attachments of the same frame
-    val hotVals = hotKeys(big, key, sampleFraction).take(MaxHotKeys + 1).map(_.get(0)).toSeq
-    require(hotVals.length <= MaxHotKeys,
-      s"saltedJoin: hot-key bound violated (${hotVals.length} > $MaxHotKeys) — threshold math broken")
+    // plan-time constant, like semDedupAuto's corpus count: the take is
+    // bounded by MaxHotKeys regardless of data size (see its scaladoc),
+    // and literal IN-lists beat two broadcast-join attachments of the
+    // same frame. The sort input is the hotKeys frame itself — ≤
+    // partitions/reducerFrac rows, a TakeOrdered, never corpus-sized.
+    val hotVals = hotKeys(big, key, sampleFraction)
+      .orderBy(col("cnt").desc, col(key).asc)
+      .take(MaxHotKeys).map(_.get(0)).toSeq
     if (hotVals.isEmpty) return big.join(small, Seq(key)) // nothing skews: THE plain join
     val isHot = col(key).isin(hotVals: _*)
     val salts = small.sparkSession.range(0, buckets).select(col("id").cast("int").as("_salt"))

@@ -527,4 +527,168 @@ class CurationSpec extends SparkSpec {
     // every reported pair is a genuine leak (splits differ by construction)
     assert(got.forall { case (_, _, sa, sb) => sa != sb })
   }
+  test("BigramCounts expression equals the size-filter + bigram-explode composition") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> " ", 3L -> "one", 4L -> "a b", 5L -> "a a a a a",
+      6L -> "a b a b a b", 7L -> "x  y  x  y", // empty tokens pair up
+      8L -> "the cat sat on the mat the cat sat again",
+      9L -> "ünï ünï ünï 日本 語 日本 語 𝔘 𝔫", 10L -> "trailing space ")
+      .toDF("doc_id", "text")
+    def composed(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      df.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+          .as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      df.select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.bigramCounts(col("text"))).as("bc"))
+        .select(col("doc_id"), col("bc.bigram"), col("bc.cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(compiled(edge) === composed(edge))
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs) === composed(sfDocs))
+  }
+
+  test("TokenCounts expression equals the token-explode + per-doc count composition") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> " ", 3L -> "one", 4L -> "a b a", 5L -> "x  y  x",
+      6L -> "ünï 日本 ünï 𝔘", 7L -> "trailing space ").toDF("doc_id", "text")
+    def composed(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      df.select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.tokenCounts(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.tok"), col("tc.cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(compiled(edge) === composed(edge))
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs) === composed(sfDocs))
+  }
+
+  test("BpePairCounts expression equals the token+pair double-explode composition") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> " ", 3L -> "a", 4L -> "ab", 5L -> "abab cd ab",
+      6L -> "aaa", 7L -> "x y z", // 1-char tokens contribute nothing
+      8L -> "ünïcödé 日本語 𝔘𝔫 mixed12 a", 9L -> "  ab  ").toDF("doc_id", "text")
+    def composed(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy(col("doc_id"), col("pair")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      df.select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.bpePairCounts(col("text"))).as("pc"))
+        .select(col("doc_id"), col("pc.pair"), col("pc.cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(compiled(edge) === composed(edge))
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs) === composed(sfDocs))
+  }
+
+  test("SpanTiles expression equals the posexplode-over-sequence + slice composition") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> " ", 3L -> "one two three four five six seven",
+      4L -> "a b c d", 5L -> "a b c d e", 6L -> "x  y  z ", // empties kept
+      7L -> "ünï 日本 語 𝔘 𝔫 extra words here beyond one span")
+      .toDF("doc_id", "text")
+    def composed(df: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Int, String, Int)] = {
+      val toks = split(col("text"), " ")
+      df.select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(k)))
+            .as(Seq("span_idx", "start")))
+        .select(col("doc_id"), col("span_idx"),
+          array_join(slice(col("toks"), col("start") + lit(1), lit(k)), " ").as("span"),
+          size(slice(col("toks"), col("start") + lit(1), lit(k))).as("ntok"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    }
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Int, String, Int)] =
+      df.select(col("doc_id"),
+          posexplode(graft.functions.VectorExpressions.spanTiles(col("text"), k))
+            .as(Seq("span_idx", "tile")))
+        .select(col("doc_id"), col("span_idx"), col("tile.span"), col("tile.ntok"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    for (k <- Seq(1, 3, 4, 7)) assert(compiled(edge, k) === composed(edge, k), s"k=$k")
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs, 16) === composed(sfDocs, 16))
+  }
+
+  test("DistinctShingles expression equals the shingle-explode + distinct composition") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> "short", 3L -> "exactly8", 4L -> "abcabcabcabc",
+      5L -> "aaaaaaaaaaaaaaaa", // heavy within-doc duplication
+      6L -> "ünïcödé 日本語 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 multibyte shingles walk by code point")
+      .toDF("doc_id", "text")
+    def composed(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      TextAnalysis.shingles(df, "doc_id", "text", 8, 4)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.distinctShingles(col("text"), 8, 4)).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(compiled(edge) === composed(edge))
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs) === composed(sfDocs))
+  }
+  test("TokenizeCounts expression equals the split + regexp_count composition") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> " ", 3L -> "abc", 4L -> "abc123def", 5L -> "123",
+      6L -> "a1b2 c3!d4?", 7L -> "UPPER Case mIx", 8L -> "...!!!",
+      9L -> "ünïcödé 日本語 𝔘𝔫 a9z", 10L -> "  double  spaces  ",
+      11L -> "tab\tnewline\nmix 42x").toDF("doc_id", "text")
+    def composed(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("re"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.select(col("doc_id"),
+          graft.functions.VectorExpressions.tokenizeCounts(col("text")).as("tc"))
+        .select(col("doc_id"), col("tc.ws_tokens"), col("tc.re_tokens"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(compiled(edge) === composed(edge))
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs) === composed(sfDocs))
+  }
+
+  test("LangMarkerCounts expression equals the five split+filter marker counts") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "", 2L -> "the the the und und es", 3L -> "le los das a of",
+      4L -> " the  und ", 5L -> "THE The",  // case-sensitive: no hits
+      6L -> "de5 shi4 wo3 le5 dans une est", 7L -> "nomarkers here at all")
+      .toDF("doc_id", "text")
+    val sets = TextAnalysis.langMarkers.map(_._2)
+    def composed(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("doc_id") +: sets.zipWithIndex.map { case (m, i) =>
+          size(filter(split(col("text"), " "), t => t.isin(m: _*))).cast("long").as(s"c$i") }: _*)
+        .collect().map(r => r.getLong(0) -> (1 to sets.length).map(r.getLong(_)).toSeq).toMap
+    graft.functions.VectorExpressions.register(spark)
+    def compiled(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("doc_id"),
+          graft.functions.VectorExpressions.langMarkerCounts(col("text"), sets).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(compiled(edge) === composed(edge))
+    val sfDocs = Tables.documents(spark, dir)
+    assert(compiled(sfDocs) === composed(sfDocs))
+  }
 }
