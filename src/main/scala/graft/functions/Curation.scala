@@ -199,6 +199,12 @@ object Curation {
     // posexplode's pos IS the old span_idx), and each generated row is
     // just its own small struct.
     VectorExpressions.register(docs.sparkSession)
+    // NOT persisted (r20): caching the span rows materialized ~(docs ×
+    // spans) rows WITH span text — a cache write+read of the whole
+    // tiled corpus — to save a recompute that is now one cheap compiled
+    // walk. Recomputing lets the df-count consumer COLUMN-PRUNE to
+    // (doc_id, h) (its subtree never materializes span text at all);
+    // only the reassembly join carries text, once.
     val spans = docs
       .select(col(idCol),
         posexplode(VectorExpressions.spanTiles(col(textCol), spanTokens))
@@ -206,7 +212,6 @@ object Curation {
       .select(col(idCol), col("span_idx"),
         col("tile.span").as("span"), col("tile.ntok").as("ntok"))
       .withColumn("h", md5(col("span")))
-      .persist() // two consumers: the df count and the reassembly join
     val frequent = spans.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") > maxDf)

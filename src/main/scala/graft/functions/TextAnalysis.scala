@@ -1455,11 +1455,34 @@ object TextAnalysis {
       .select(explode(VectorExpressions.distinctShingles(
         col(textCol), width, stride)).as("sh"))
       .distinct()
-    val flagged = docs.filter(!benchPred)
-      .crossJoin(broadcast(Curation.corpusBloomRow(docs, benchPred, textCol, width, stride)))
-      .select(col(idCol),
-        explode(VectorExpressions.bloomFlaggedShingles(
-          col(textCol), col("bloom_words"), width, stride, Curation.BloomHashes)).as("sh"))
+    // ADAPTIVE prefilter (r20): the fixed-width Bloom SATURATES once the
+    // benchmark slice outgrows it (measured at sf100: 4096/4096 bits
+    // set over 5.3 M distinct bench shingles) — every candidate shingle
+    // then "passes", and the md5+probe walk is pure overhead on the way
+    // to the same exact join. The bloom row is one bounded plan-time
+    // collect either way; when its measured false-positive rate
+    // (fill^hashes) can no longer drop at least half the probes, the
+    // candidate side emits its distinct shingles directly (no digests).
+    // Both paths are bit-identical by the no-false-negative argument —
+    // the spec pins prefiltered == straight join.
+    val bloomRow = Curation.corpusBloomRow(docs, benchPred, textCol, width, stride)
+    val words = bloomRow.collect()(0).getSeq[Long](0) // BloomBits/64 longs, bounded
+    val fill = words.map(java.lang.Long.bitCount).sum.toDouble / Curation.BloomBits
+    val fpRate = math.pow(fill, Curation.BloomHashes)
+    val flagged =
+      if (fpRate >= 0.5)
+        docs.filter(!benchPred)
+          .select(col(idCol),
+            explode(VectorExpressions.distinctShingles(col(textCol), width, stride)).as("sh"))
+      else {
+        import docs.sparkSession.implicits._
+        val bw = docs.sparkSession.createDataset(Seq(words)).toDF("bloom_words")
+        docs.filter(!benchPred)
+          .crossJoin(broadcast(bw))
+          .select(col(idCol),
+            explode(VectorExpressions.bloomFlaggedShingles(
+              col(textCol), col("bloom_words"), width, stride, Curation.BloomHashes)).as("sh"))
+      }
     flagged.join(bench, Seq("sh"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
