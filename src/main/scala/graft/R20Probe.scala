@@ -11,6 +11,7 @@ object R20Probe {
     val docs = graft.engine.Tables.documents(spark, dir)
     graft.functions.VectorExpressions.register(spark)
     if (only == "cc") { ccProbe(spark, docs); spark.stop(); return }
+    if (only == "tpch") { tpchSweep(spark, dir); spark.stop(); return }
     // 1. bigram occurrence : per-doc-distinct factor (0.1% sample)
     val s = docs.sample(0.001, 42)
     val st = s.select(explode(graft.functions.VectorExpressions.bigramCounts(col("text"))).as("bc"))
@@ -61,5 +62,43 @@ object R20Probe {
         .write.format("noop").mode("overwrite").save()
     }
     pairs.unpersist()
+  }
+
+  /** TPC-H heavies AQE config sweep (VERDICT r19 item 7): q9/q16/q21
+    * under runtime-settable conf variants, INTERLEAVED in one session so
+    * co-tenant noise hits every arm alike (the ShjSweep discipline).
+    * Each (variant, query) cell is min-of-2 across two full sweep
+    * rounds. Only runtime confs are swept — advisory partition size and
+    * scan split size; the corpus-derived shuffle-partition count is the
+    * baseline's standing value.
+    */
+  private def tpchSweep(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val qs = Seq("q9_profit", "q16_supplier_cnt", "q21_waiting")
+    val variants: Seq[(String, Map[String, String])] = Seq(
+      "baseline" -> Map(),
+      "advisory256m" -> Map("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256m"),
+      "split512m" -> Map("spark.sql.files.maxPartitionBytes" -> "512m"),
+      "both" -> Map(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256m",
+        "spark.sql.files.maxPartitionBytes" -> "512m"))
+    val defaults = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
+      "spark.sql.files.maxPartitionBytes" -> "128MB")
+    val best = scala.collection.mutable.Map[(String, String), Double]()
+    // warm the tables once so round 1 is not charged file-index setup
+    qs.foreach(q => SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
+    for (round <- 1 to 2; (vn, conf) <- variants; q <- qs) {
+      defaults.foreach { case (k, v) => spark.conf.set(k, v) }
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[tpch] round$round $vn $q $t%.1f s")
+      val key = (vn, q)
+      best(key) = math.min(best.getOrElse(key, Double.MaxValue), t)
+      graft.engine.Scoped.releaseAll(spark)
+    }
+    for ((vn, _) <- variants; q <- qs)
+      println(f"[tpch] BEST $vn $q ${best((vn, q))}%.1f s")
   }
 }
