@@ -182,7 +182,16 @@ object Bench {
       val tail = {
         val qs = txt.indexOf("\"queries\":{")
         require(qs >= 0, s"resume artifact $p has no queries object")
-        txt.substring(txt.indexOf('}', qs))
+        val t = txt.substring(txt.indexOf('}', qs))
+        // the first '}' closes the queries object ONLY while that object
+        // stays a flat map of numeric values; assert the separator Bench
+        // itself writes so format drift fails loudly instead of silently
+        // extracting sf/runs/subset from inside the queries body
+        // (ADVICE r20)
+        require(t.startsWith("},\"failed\":"),
+          s"resume artifact $p: queries object does not end at the expected " +
+            "'},\"failed\":' separator — format drift, refusing to parse")
+        t
       }
       def strField(name: String): Option[String] =
         ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(tail).map(_.group(1))

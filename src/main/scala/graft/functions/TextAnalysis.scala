@@ -1087,17 +1087,21 @@ object TextAnalysis {
     * runs, then dictionary terms) so downstream hashes are reproducible.
     */
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
-        longNumPattern, "<NUM>"),
-      dictPattern, "<ENT>")
-    docs.select(
-      col(idCol),
-      regexp_count(col(textCol), lit(emailPattern)).cast("long").as("n_email"),
-      regexp_count(col(textCol), lit(longNumPattern)).cast("long").as("n_num"),
-      regexp_count(col(textCol), lit(dictPattern)).cast("long").as("n_dict"),
-      md5(scrubbed).as("scrub_hash"))
+    // r21 (VERDICT r20 item 2): the three regexp_count passes on the
+    // original text plus the three CHAINED regexp_replace passes — six
+    // full-text Java-regex walks, each with a UTF8String↔String round
+    // trip — fuse into [[PiiScrubStats]]'s byte scans (parity contract
+    // and the no-backtracking argument in its scaladoc; CurationSpec
+    // pins the expression against this exact composition). The md5 stays
+    // the same built-in Column it always was.
+    VectorExpressions.register(docs.sparkSession)
+    docs.select(col(idCol),
+        VectorExpressions.piiScrubStats(col(textCol)).as("ps"))
+      .select(col(idCol),
+        col("ps.n_email").as("n_email"),
+        col("ps.n_num").as("n_num"),
+        col("ps.n_dict").as("n_dict"),
+        md5(col("ps.scrubbed")).as("scrub_hash"))
   }
 
   val piiScrubSql: String =
@@ -1443,48 +1447,110 @@ object TextAnalysis {
     * benchmark-side explode+distinct is now the dominant term.
     */
   def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
-                         benchPred: Column, width: Int = 8, stride: Int = 4): DataFrame = {
-    VectorExpressions.register(docs.sparkSession)
-    // r20 (VERDICT r19 item 5): the benchmark-side explode+distinct was
-    // the dominant term after the r19 Bloom prefilter. DistinctShingles
-    // dedups within the document in the same compiled walk the Bloom
-    // expressions use, so the Generate emits per-doc-distinct shingles
-    // and the substring machinery disappears; the global distinct (which
-    // within-doc dedup commutes with) is unchanged.
+                         benchPred: Column, width: Int = 8, stride: Int = 4): DataFrame =
+    contaminationCheckSized(docs, idCol, textCol, benchPred, width, stride,
+      ExactSetMaxShingles, MaxPrefilterBits)
+
+  /** Benchmark sets up to this many distinct shingles take the
+    * broadcast-exact-set path (zero-shuffle candidate side): 2^24
+    * shingles ≈ 130 MB blob + ~260 MB index per JVM — comfortably inside
+    * the bench contract heap, and far above any real benchmark suite
+    * (sf100's slice is 5.3 M).
+    */
+  val ExactSetMaxShingles: Long = 1L << 24
+
+  /** Prefilter cap for the > [[ExactSetMaxShingles]] fallback: 2^27 bits
+    * = 16 MB broadcast, fill < 0.5 to ~31 M distinct shingles at k = 3.
+    */
+  val MaxPrefilterBits: Int = 1 << 27
+
+  /** [[contaminationCheck]] with explicit size caps — the production
+    * entry point passes the defaults; the spec passes tiny caps to force
+    * each fallback branch and pin its parity with the exact-set plan.
+    *
+    * r21 (VERDICT r20 item 3, resolved by measurement): the item asked
+    * for a right-sized Bloom prefilter in front of the exact join. Built
+    * and probed at sf100 — and REJECTED by its own decomposition: the
+    * corpus's true per-shingle contamination rate is ~100% (304.3 M of
+    * ~305 M candidate shingles are genuinely in the benchmark set — the
+    * scaled corpus shares its generator vocabulary), so NO prefilter can
+    * shrink the join input, and the 2^25-bit filter (fill 0.379,
+    * fp 5.4%) measured 57.8 s vs the r20 bypass's 48.4 s. What the
+    * decomposition DID show: the walks are ~23 s and the 300 M-row
+    * shingle JOIN is the dominant term. The benchmark side, however, is
+    * CONSTANT-SIZE relative to the corpus (the contaminationBloom scale
+    * contract) — so the primary path now broadcasts the benchmark's
+    * distinct shingles as one array row and counts per-document hits
+    * row-locally against a compact exact [[ShingleSet]]
+    * ([[SharedShingleCount]]): the candidate side never explodes and
+    * never shuffles. Fallbacks, in order, when the set exceeds
+    * `maxShingles`: the right-sized wide-Bloom prefilter in front of the
+    * join (fill/fpRate logged), then the straight bypass join when even
+    * that saturates. All three plans are bit-identical (spec-pinned).
+    *
+    * PLAN-TIME JOBS (the [[Curation.semDedupAuto]] precedent, documented
+    * per ADVICE r20): building this DataFrame runs `bench.count()` over
+    * the benchmark slice's distinct shingles (materializing the
+    * persisted set every branch reuses — the bench side is scanned ONCE
+    * instead of twice), plus, on the prefilter fallback only, a
+    * ≤ bits/64-row bitset aggregation over that cached set.
+    * Explain/dry construction pays them too.
+    */
+  private[graft] def contaminationCheckSized(docs: DataFrame, idCol: String,
+      textCol: String, benchPred: Column, width: Int, stride: Int,
+      maxShingles: Long, maxBits: Int): DataFrame = {
+    require(maxBits >= 64 && Integer.bitCount(maxBits) == 1,
+      s"contaminationCheck: maxBits ($maxBits) must be a power of two >= 64")
+    val spark = docs.sparkSession
+    VectorExpressions.register(spark)
+    val k = Curation.BloomHashes
     val bench = docs.filter(benchPred)
       .select(explode(VectorExpressions.distinctShingles(
         col(textCol), width, stride)).as("sh"))
       .distinct()
-    // ADAPTIVE prefilter (r20): the fixed-width Bloom SATURATES once the
-    // benchmark slice outgrows it (measured at sf100: 4096/4096 bits
-    // set over 5.3 M distinct bench shingles) — every candidate shingle
-    // then "passes", and the md5+probe walk is pure overhead on the way
-    // to the same exact join. The bloom row is one bounded plan-time
-    // collect either way; when its measured false-positive rate
-    // (fill^hashes) can no longer drop at least half the probes, the
-    // candidate side emits its distinct shingles directly (no digests).
-    // Both paths are bit-identical by the no-false-negative argument —
-    // the spec pins prefiltered == straight join.
-    val bloomRow = Curation.corpusBloomRow(docs, benchPred, textCol, width, stride)
-    val words = bloomRow.collect()(0).getSeq[Long](0) // BloomBits/64 longs, bounded
-    val fill = words.map(java.lang.Long.bitCount).sum.toDouble / Curation.BloomBits
-    val fpRate = math.pow(fill, Curation.BloomHashes)
-    val flagged =
-      if (fpRate >= 0.5)
-        docs.filter(!benchPred)
-          .select(col(idCol),
-            explode(VectorExpressions.distinctShingles(col(textCol), width, stride)).as("sh"))
-      else {
-        import docs.sparkSession.implicits._
-        val bw = docs.sparkSession.createDataset(Seq(words)).toDF("bloom_words")
-        docs.filter(!benchPred)
-          .crossJoin(broadcast(bw))
-          .select(col(idCol),
-            explode(VectorExpressions.bloomFlaggedShingles(
-              col(textCol), col("bloom_words"), width, stride, Curation.BloomHashes)).as("sh"))
-      }
-    flagged.join(bench, Seq("sh"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      .persist() // consumed by the plan-time build AND the executed branch
+    val n = bench.count()
+    if (n <= maxShingles) {
+      System.err.println(s"[contamination_check] bench_distinct=$n path=exact_set")
+      val benchArr = bench.agg(collect_list(col("sh")).as("bench_sh"))
+      docs.filter(!benchPred)
+        .crossJoin(broadcast(benchArr))
+        .select(col(idCol),
+          VectorExpressions.sharedShingleCount(
+            col(textCol), col("bench_sh"), width, stride).as("n_shared"))
+        .filter(col("n_shared") > 0)
+    } else {
+      val ideal = math.ceil(n.toDouble * k / math.log(2.0)).toLong
+      val bits = math.min(maxBits.toLong, math.max(4096L,
+        java.lang.Long.highestOneBit(math.max(1L, ideal - 1)) * 2L)).toInt
+      val warr = new Array[Long](bits / 64)
+      bench.select(explode(
+          VectorExpressions.wideBloomPositions(col("sh"), k, bits)).as("p"))
+        .groupBy(expr("p div 64").as("widx"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), p % 64))").as("wbits"))
+        .collect()
+        .foreach(r => warr(r.getLong(0).toInt) = r.getLong(1))
+      val fill = warr.map(java.lang.Long.bitCount).sum.toDouble / bits
+      val fpRate = math.pow(fill, k)
+      System.err.println(f"[contamination_check] bench_distinct=$n bits=$bits " +
+        f"fill=$fill%.3f fpRate=$fpRate%.4f path=${if (fpRate >= 0.5) "bypass" else "prefilter"}")
+      val flagged =
+        if (fpRate >= 0.5) // saturated even at the cap: the probe walk cannot pay
+          docs.filter(!benchPred)
+            .select(col(idCol),
+              explode(VectorExpressions.distinctShingles(col(textCol), width, stride)).as("sh"))
+        else {
+          import spark.implicits._
+          val bw = spark.createDataset(Seq(warr.toSeq)).toDF("bloom_words")
+          docs.filter(!benchPred)
+            .crossJoin(broadcast(bw))
+            .select(col(idCol),
+              explode(VectorExpressions.wideBloomFlaggedShingles(
+                col(textCol), col("bloom_words"), width, stride, k)).as("sh"))
+        }
+      flagged.join(bench, Seq("sh"))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    }
   }
 
   val contaminationCheckSql: String =

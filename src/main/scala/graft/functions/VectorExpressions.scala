@@ -423,6 +423,39 @@ object VectorExpressions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lang_marker_counts", langMarkerCountsFromExprs, "built-in")
     }
+    val pss = org.apache.spark.sql.catalyst.FunctionIdentifier("pii_scrub_stats")
+    if (!spark.sessionState.functionRegistry.functionExists(pss)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "pii_scrub_stats", exprs => PiiScrubStats(exprs.head), "built-in")
+    }
+    val wbp = org.apache.spark.sql.catalyst.FunctionIdentifier("wide_bloom_positions")
+    if (!spark.sessionState.functionRegistry.functionExists(wbp)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "wide_bloom_positions", exprs => {
+          require(exprs.length == 3, "wide_bloom_positions(sh, hashes, bits) takes 3 arguments")
+          val sig = "wide_bloom_positions geometry"
+          WideBloomPositions(exprs.head, intLit(exprs(1), sig), intLit(exprs(2), sig))
+        }, "built-in")
+    }
+    val ssc = org.apache.spark.sql.catalyst.FunctionIdentifier("shared_shingle_count")
+    if (!spark.sessionState.functionRegistry.functionExists(ssc)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "shared_shingle_count", exprs => {
+          require(exprs.length == 4, "shared_shingle_count(text, shingles, width, stride) takes 4 arguments")
+          val sig = "shared_shingle_count geometry"
+          SharedShingleCount(exprs(0), exprs(1), intLit(exprs(2), sig), intLit(exprs(3), sig))
+        }, "built-in")
+    }
+    val wbf = org.apache.spark.sql.catalyst.FunctionIdentifier("wide_bloom_flagged_shingles")
+    if (!spark.sessionState.functionRegistry.functionExists(wbf)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "wide_bloom_flagged_shingles", exprs => {
+          require(exprs.length == 5, "wide_bloom_flagged_shingles(text, words, width, stride, hashes) takes 5 arguments")
+          val sig = "wide_bloom_flagged_shingles geometry"
+          WideBloomFlaggedShingles(exprs(0), exprs(1), intLit(exprs(2), sig),
+            intLit(exprs(3), sig), intLit(exprs(4), sig))
+        }, "built-in")
+    }
   }
 
   /** Column-API handle for [[TokenizeCounts]] (see [[register]]). */
@@ -453,6 +486,28 @@ object VectorExpressions {
     }
     LangMarkerCounts(exprs(0), sets)
   }
+
+  /** Column-API handle for [[PiiScrubStats]] (see [[register]]). */
+  def piiScrubStats(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("pii_scrub_stats", text)
+
+  /** Column-API handle for [[SharedShingleCount]] (see [[register]]). */
+  def sharedShingleCount(text: Column, shingles: Column, width: Int, stride: Int): Column =
+    org.apache.spark.sql.functions.call_function("shared_shingle_count",
+      text, shingles, org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(stride))
+
+  /** Column-API handle for [[WideBloomPositions]] (see [[register]]). */
+  def wideBloomPositions(sh: Column, hashes: Int, bits: Int): Column =
+    org.apache.spark.sql.functions.call_function("wide_bloom_positions",
+      sh, org.apache.spark.sql.functions.lit(hashes), org.apache.spark.sql.functions.lit(bits))
+
+  /** Column-API handle for [[WideBloomFlaggedShingles]] (see [[register]]). */
+  def wideBloomFlaggedShingles(text: Column, bloomWords: Column, width: Int,
+                               stride: Int, hashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("wide_bloom_flagged_shingles",
+      text, bloomWords, org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(stride), org.apache.spark.sql.functions.lit(hashes))
 
   /** Column-API handle for [[BigramCounts]] (see [[register]]). */
   def bigramCounts(text: Column): Column =

@@ -102,9 +102,16 @@ object Scale {
     // and literal IN-lists beat two broadcast-join attachments of the
     // same frame. The sort input is the hotKeys frame itself — ≤
     // partitions/reducerFrac rows, a TakeOrdered, never corpus-sized.
-    val hotVals = hotKeys(big, key, sampleFraction)
+    val hotRows = hotKeys(big, key, sampleFraction)
       .orderBy(col("cnt").desc, col(key).asc)
-      .take(MaxHotKeys).map(_.get(0)).toSeq
+      .take(MaxHotKeys + 1)
+    // truncation must be VISIBLE (ADVICE r20): keys past the cap silently
+    // lose their skew spreading — correct join, hard-to-diagnose perf
+    if (hotRows.length > MaxHotKeys)
+      System.err.println(s"[saltedJoin] hot-key set exceeds MaxHotKeys=$MaxHotKeys: " +
+        s"spreading only the $MaxHotKeys hottest sampled keys on '$key'; " +
+        "keys beyond the cap join unspread")
+    val hotVals = hotRows.take(MaxHotKeys).map(_.get(0)).toSeq
     if (hotVals.isEmpty) return big.join(small, Seq(key)) // nothing skews: THE plain join
     val isHot = col(key).isin(hotVals: _*)
     val salts = small.sparkSession.range(0, buckets).select(col("id").cast("int").as("_salt"))
