@@ -1045,14 +1045,6 @@ object Similarity {
     (sub, cb)
   }
 
-  /** Dev-sweep window into [[pqTrain]] (probe mains only — the
-    * [[Dedup.pagerankOnEdgeDegForSweep]] precedent).
-    */
-  private[graft] def pqTrainForSweep(emb: DataFrame, idCol: String, vecCol: String,
-                                     numSub: Int, numCodes: Int, dim: Int,
-                                     iters: Int): (DataFrame, DataFrame) =
-    pqTrain(emb, idCol, vecCol, numSub, numCodes, dim, iters)
-
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
               numSub: Int = 8, numCodes: Int = 16, dim: Int = 64,
               iters: Int = 1): DataFrame = {

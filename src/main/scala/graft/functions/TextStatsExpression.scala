@@ -934,3 +934,102 @@ object PiiScrubStats {
     new GenericInternalRow(Array[Any](nEmail, nNum, nDict, scrubbed))
   }
 }
+
+/** `json_fast_long(json, field)` → the BIGINT value of `field` when the
+  * input provably matches the strict flat grammar
+  * `{ ws* "field" ws* : ws* -?(0|[1-9][0-9]{0,17}) ws* }` (ws = the four
+  * JSON whitespace bytes), null OTHERWISE — including for inputs Jackson
+  * would parse fine. This is a FAST PATH, not a parser: callers keep the
+  * original `from_json` as the `otherwise(...)` branch of a `when`, so
+  * any deviation (extra fields, string values, floats, leading zeros,
+  * nulls, exotic whitespace, malformed text) falls through to Spark's
+  * Jackson semantics untouched. For inputs the grammar DOES accept,
+  * `from_json(s, 'field BIGINT').field` returns exactly this integer
+  * (a well-formed single-field object with an in-range integral value —
+  * no PERMISSIVE-mode corner exists), so the composition is
+  * bit-identical on every input. ≤ 18 digits keeps the value far inside
+  * the long range; Jackson rejects leading zeros, so the grammar does
+  * too. Measured (r21 probe, sf100): json_props is 94% Jackson parse
+  * (3.9 s scan / 77.6 s parse-only / 82.6 s full) over a corpus whose
+  * props are 100 distinct `{"k": N}` strings — all fast-path hits.
+  */
+case class JsonFastLong(child: Expression, field: String) extends UnaryExpression {
+  require(field.nonEmpty && field.forall(c => c < 128 && c != '"' && c != '\\'),
+    "json_fast_long: field must be a non-empty ASCII name without quotes/backslashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_fast_long"
+
+  @transient private lazy val fieldBytes: Array[Byte] =
+    field.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  override def nullSafeEval(input: Any): Any =
+    JsonFastLong.compute(input.asInstanceOf[UTF8String], fieldBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fb = ctx.addReferenceObj("jsonFastField", fieldBytes, "byte[]")
+    val res = ctx.freshName("jfl")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""Long $res = graft.functions.JsonFastLong.compute($v, $fb);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JsonFastLong {
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+
+  /** Shared by eval and codegen. Null = "not in the fast grammar". */
+  def compute(s: UTF8String, field: Array[Byte]): java.lang.Long = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    @inline def skipWs(): Unit = { while (i < n && isWs(b(i))) i += 1 }
+    if (n < field.length + 6) return null // {"f":0}
+    if (b(i) != '{') return null
+    i += 1
+    skipWs()
+    if (i >= n || b(i) != '"') return null
+    i += 1
+    var f = 0
+    while (f < field.length) {
+      if (i >= n || b(i) != field(f)) return null
+      i += 1; f += 1
+    }
+    if (i >= n || b(i) != '"') return null
+    i += 1
+    skipWs()
+    if (i >= n || b(i) != ':') return null
+    i += 1
+    skipWs()
+    var neg = false
+    if (i < n && b(i) == '-') { neg = true; i += 1 }
+    if (i >= n || b(i) < '0' || b(i) > '9') return null
+    var v = 0L
+    var digits = 0
+    if (b(i) == '0') { i += 1; digits = 1 } // single 0: JSON forbids leading zeros
+    else {
+      while (i < n && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0')
+        digits += 1
+        if (digits > 18) return null
+        i += 1
+      }
+    }
+    skipWs()
+    if (i >= n || b(i) != '}') return null
+    i += 1
+    if (i != n) return null
+    java.lang.Long.valueOf(if (neg) -v else v)
+  }
+}

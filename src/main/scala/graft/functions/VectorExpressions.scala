@@ -213,14 +213,21 @@ case class PqAssignCode(first: Expression, second: Expression, third: Expression
       .asInstanceOf[org.apache.spark.sql.types.StructType]
       .fields(2).dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
-  override def nullSafeEval(sv: Any, m: Any, cbs: Any): Any =
+  @transient private var cachedCb: PqCodebook = _
+
+  override def nullSafeEval(sv: Any, m: Any, cbs: Any): Any = {
+    if (cachedCb == null)
+      cachedCb = PqCodebook.fromArrayData(cbs.asInstanceOf[ArrayData], cvDouble)
     PqAssignCode.compute(sv.asInstanceOf[ArrayData], m.asInstanceOf[Int],
-      cbs.asInstanceOf[ArrayData], svDouble, cvDouble)
+      cachedCb, svDouble)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cache = ctx.addMutableState("graft.functions.PqCodebook", "pqCodebook")
     val res = ctx.freshName("pqc")
     nullSafeCodeGen(ctx, ev, (sv, m, cbs) =>
-      s"""Integer $res = graft.functions.PqAssignCode.compute($sv, $m, $cbs, $svDouble, $cvDouble);
+      s"""if ($cache == null) { $cache = graft.functions.PqCodebook.fromArrayData($cbs, $cvDouble); }
+         |Integer $res = graft.functions.PqAssignCode.compute($sv, $m, $cache, $svDouble);
          |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.intValue(); }
          |""".stripMargin)
   }
@@ -230,27 +237,74 @@ case class PqAssignCode(first: Expression, second: Expression, third: Expression
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** The broadcast codebook decoded ONCE PER TASK into primitive arrays —
+  * r21: the per-row form walked all `numSub·numCodes` codebook structs
+  * through `ArrayData.getStruct`/`getArray` wrapper allocations for
+  * every (vector, subspace) row (128 allocations/row × 16 M rows at
+  * sf100, measured ~86 µs/row — the bulk of pq assignment). Entry order
+  * is preserved (callers attach sorted by (m, code)), and every element
+  * is stored as the DOUBLE the per-row struct read widened it to, so
+  * the distance arithmetic and the first-strict-improvement tie-break
+  * are bit-identical.
+  */
+final class PqCodebook(val ms: Array[Int], val codes: Array[Int],
+                       val offs: Array[Int], val vals: Array[Double])
+
+object PqCodebook {
+  def fromArrayData(cbs: ArrayData, cvDouble: Boolean): PqCodebook = {
+    val n = cbs.numElements()
+    val ms = new Array[Int](n)
+    val codes = new Array[Int](n)
+    val offs = new Array[Int](n + 1)
+    var total = 0
+    var i = 0
+    while (i < n) { total += cbs.getStruct(i, 3).getArray(2).numElements(); i += 1 }
+    val vals = new Array[Double](total)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val e = cbs.getStruct(i, 3)
+      ms(i) = e.getInt(0)
+      codes(i) = e.getInt(1)
+      offs(i) = o
+      val cv = e.getArray(2)
+      val d = cv.numElements()
+      var j = 0
+      while (j < d) {
+        vals(o) = if (cvDouble) cv.getDouble(j) else cv.getFloat(j).toDouble
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    offs(n) = o
+    new PqCodebook(ms, codes, offs, vals)
+  }
+}
+
 object PqAssignCode {
-  /** Shared by eval and codegen. `cbs` must be sorted by (m, code). */
-  def compute(sv: ArrayData, m: Int, cbs: ArrayData,
-              svDouble: Boolean, cvDouble: Boolean): java.lang.Integer = {
+  /** Shared by eval and codegen. `cb` preserves the caller's (m, code)
+    * sort order; same distance arithmetic and tie-break as the struct
+    * walk it replaces.
+    */
+  def compute(sv: ArrayData, m: Int, cb: PqCodebook,
+              svDouble: Boolean): java.lang.Integer = {
     val d = sv.numElements()
     var best = 0.0
     var bestCode = -1
     var found = false
-    val n = cbs.numElements()
+    val n = cb.ms.length
     var i = 0
     while (i < n) {
-      val e = cbs.getStruct(i, 3)
-      if (e.getInt(0) == m) {
-        val cv = e.getArray(2)
+      if (cb.ms(i) == m) {
+        val off = cb.offs(i)
         var d1 = 0.0
         var d2 = 0.0
         var d3 = 0.0
         var j = 0
         while (j < d) {
           val x = if (svDouble) sv.getDouble(j) else sv.getFloat(j).toDouble
-          val c = if (cvDouble) cv.getDouble(j) else cv.getFloat(j).toDouble
+          val c = cb.vals(off + j)
           d1 += x * x
           d2 += x * c
           d3 += c * c
@@ -258,7 +312,7 @@ object PqAssignCode {
         }
         val dist = d1 - 2.0 * d2 + d3
         if (!found || java.lang.Double.compare(dist, best) < 0) {
-          found = true; best = dist; bestCode = e.getInt(1)
+          found = true; best = dist; bestCode = cb.codes(i)
         }
       }
       i += 1
@@ -437,6 +491,20 @@ object VectorExpressions {
           WideBloomPositions(exprs.head, intLit(exprs(1), sig), intLit(exprs(2), sig))
         }, "built-in")
     }
+    val jfl = org.apache.spark.sql.catalyst.FunctionIdentifier("json_fast_long")
+    if (!spark.sessionState.functionRegistry.functionExists(jfl)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "json_fast_long", exprs => {
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          require(exprs.length == 2, "json_fast_long(json, field) takes 2 arguments")
+          val fld = exprs(1) match {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+            case other => throw new IllegalArgumentException(
+              s"json_fast_long: field must be a string literal, got $other")
+          }
+          JsonFastLong(exprs(0), fld)
+        }, "built-in")
+    }
     val ssc = org.apache.spark.sql.catalyst.FunctionIdentifier("shared_shingle_count")
     if (!spark.sessionState.functionRegistry.functionExists(ssc)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -490,6 +558,11 @@ object VectorExpressions {
   /** Column-API handle for [[PiiScrubStats]] (see [[register]]). */
   def piiScrubStats(text: Column): Column =
     org.apache.spark.sql.functions.call_function("pii_scrub_stats", text)
+
+  /** Column-API handle for [[JsonFastLong]] (see [[register]]). */
+  def jsonFastLong(json: Column, field: String): Column =
+    org.apache.spark.sql.functions.call_function("json_fast_long",
+      json, org.apache.spark.sql.functions.lit(field))
 
   /** Column-API handle for [[SharedShingleCount]] (see [[register]]). */
   def sharedShingleCount(text: Column, shingles: Column, width: Int, stride: Int): Column =

@@ -81,11 +81,23 @@ object Relational {
     * struct (get_json_object re-runs a JsonPath scan per extraction —
     * measurably slower, and quadratic in the number of extracted fields).
     */
-  def jsonPropSum(events: DataFrame): DataFrame =
+  def jsonPropSum(events: DataFrame): DataFrame = {
+    // r21: the probe measured this query as 94% Jackson parse (sf100:
+    // 3.9 s scan / 77.6 s parse-only / 82.6 s full). The compiled
+    // [[graft.functions.JsonFastLong]] fast path covers inputs whose
+    // equivalence with from_json is PROVABLE (strict flat grammar — its
+    // scaladoc); anything else falls through to the ORIGINAL from_json
+    // branch, so the composition is bit-identical on every input. The
+    // test corpus's props are 100% fast-path hits.
+    graft.functions.VectorExpressions.register(events.sparkSession)
+    val fast = graft.functions.VectorExpressions.jsonFastLong(col("props"), "k")
+    val slow = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
     events
-      .select(col("event_type"), from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k").as("k"))
+      .select(col("event_type"), when(fast.isNotNull, fast).otherwise(slow).as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -290,4 +290,39 @@ class MultiStreamSpec extends SparkSpec {
     // total mass: every row of every hash line counts each token once
     assert(got.values.sum === toks.size.toLong * d)
   }
+
+  test("JsonFastLong fast path + from_json fallback equals plain from_json") {
+    import spark.implicits._
+    // fast-grammar hits, legitimate deferrals (floats, strings, nulls,
+    // extra fields, leading zeros, huge numbers), and malformed inputs —
+    // the composed when(fast, fast).otherwise(slow) column must be
+    // bit-identical to the plain from_json column on ALL of them
+    val rows = Seq(
+      """{"k": 76}""", """{"k":0}""", """{ "k" : -42 }""", """{"k":	123}""",
+      """{"k": 999999999999999999}""", """{"k": 9999999999999999999}""",
+      """{"k": 07}""", """{"k": -0}""", """{"k": 1.5}""", """{"k": "12"}""",
+      """{"k": null}""", """{"k": 1, "x": 2}""", """{"x": 1}""", """{"K": 1}""",
+      """{"k": 1""", """not json""", """{}""", """ {"k": 5}""", """{"k": 5} """,
+      """{"kk": 3}""", """{"k": +5}""", """{"k": 5e2}""")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("id", "props")
+    graft.functions.VectorExpressions.register(spark)
+    val slow = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
+    val fast = graft.functions.VectorExpressions.jsonFastLong(col("props"), "k")
+    val composed = df.select(col("id"), when(fast.isNotNull, fast).otherwise(slow).as("k"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val plain = df.select(col("id"), slow.as("k"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(composed === plain)
+    // and the fixture events corpus agrees end to end
+    val ev = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = graft.operators.Relational.jsonPropSum(ev)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ref = ev.select(col("event_type"), slow.as("k"))
+      .groupBy(col("event_type")).agg(sum(col("k")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === ref)
+  }
 }
+
