@@ -484,9 +484,11 @@ object Curation {
     */
   /** The corpus Bloom bitset over the benchmark slice's shingles, as ONE
     * row (`bloom_words: array<long>`, `BloomBits/64` words): per-doc
-    * packed bitsets ([[BloomDocBits]]) bit-OR'd wordwise. Shared by
-    * [[contaminationBloom]] and the bloom-prefiltered exact
-    * [[TextAnalysis.contaminationCheck]]; callers broadcast it.
+    * packed bitsets ([[BloomDocBits]]) bit-OR'd wordwise. Used by
+    * [[contaminationBloom]] (whose 4096-bit geometry is the oracle
+    * contract); [[TextAnalysis.contaminationCheck]] stopped sharing it in
+    * r21 — its internal prefilter is the exact ShingleSet / wide-Bloom
+    * family. Callers broadcast the row.
     */
   private[functions] def corpusBloomRow(docs: DataFrame, benchPred: Column, textCol: String,
                                         width: Int, stride: Int): DataFrame = {
